@@ -1,0 +1,413 @@
+"""Delete-1/delete-2 jackknife spectra and covariances.
+
+Behaviour parity with ``/root/reference/heracles/dices/jackknife.py``:
+
+* per-region alms are computed once from region-masked maps and cached to
+  FITS (restartable, idempotent — the file-level checkpoint contract);
+* delete-k alms are formed by *alm subtraction* full - sum(regions),
+  exploiting the linearity of the SHT;
+* per-sample noise bias is rescaled by the sky-fraction ratio;
+* footprint correction is "Fast" (divide by the fsky ratio) or "Full"
+  (NaturalSpice with the mask-correlation ratio);
+* the covariance is a streaming outer-product over samples with the
+  delete-1 prefactor (njk-1)^2/njk or the delete-2 prefactor
+  (njk(njk-1)-2)/(2 njk(njk+1));
+* delete-2 debiasing builds the ensemble
+  Q = njk*x0 - (njk-1)(x1_k + x1_k') + (njk-2) x2_kk', covariances it,
+  and keeps only its diagonal.
+
+TPU-native difference: region masking and the per-region SHTs run
+batched on the accelerator through the same jitted ``map2alm`` as the
+main pipeline; the orchestration below keeps the reference's caching
+layout so long covariance runs resume for free.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from copy import deepcopy
+from dataclasses import replace
+from itertools import combinations
+
+import numpy as np
+
+from ..core import update_metadata
+from ..io import read, read_alms, write, write_alms
+from ..mapping import transform
+from ..progress import NoProgress
+from ..result import Result, binned, get_result_array
+from ..transforms import cl2corr
+from ..twopoint import angular_power_spectra
+from ..unmixing import _naturalspice
+from ..utils import add_to_Cls, sub_to_Cls
+
+__all__ = [
+    "jackknife_cls",
+    "compute_jk_alms",
+    "jackknife_fsky",
+    "jackknife_bias",
+    "correct_bias",
+    "correct_footprint_fsky",
+    "correct_footprint_naturalspice",
+    "jackknife_covariance",
+    "sample_covariance",
+    "delete2_correction",
+    "debias_covariance",
+]
+
+
+def _n_regions(jk_map):
+    labels = np.unique(jk_map)
+    return len(labels[labels != 0])
+
+
+def jackknife_cls(
+    data_maps,
+    vis_maps,
+    jk_map,
+    fields,
+    mask_correction="Fast",
+    unmixed=False,
+    nd=1,
+    dir="./dices",
+    progress=None,
+):
+    """Spectra of all delete-``nd`` jackknife samples (cached to ``dir``)."""
+    if progress is None:
+        progress = NoProgress()
+
+    compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir=dir,
+                    progress=progress)
+    return compute_jk_cls_from_alms(
+        jk_map,
+        fields,
+        mask_correction=mask_correction,
+        unmixed=unmixed,
+        nd=nd,
+        dir=dir,
+        progress=progress,
+    )
+
+
+def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
+                    progress=None):
+    """Compute and cache the alms of every jackknife region (and the full sky)."""
+    if progress is None:
+        progress = NoProgress()
+    os.makedirs(dir, exist_ok=True)
+    njk = _n_regions(jk_map)
+    progress.update(0, njk + 1)
+    for k in range(njk + 1):
+        with progress.task(f"ALMs {k}"):
+            _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir)
+        progress.update(k + 1, njk + 1)
+
+
+def _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir):
+    data_path = os.path.join(dir, f"data_alms_{k}.fits")
+    vis_path = os.path.join(dir, f"vis_alms_{k}.fits")
+    if os.path.exists(data_path) and os.path.exists(vis_path):
+        return k, False
+    if k == 0:
+        data_alms = transform(fields, data_maps)
+        vis_alms = transform(fields, vis_maps)
+    else:
+        data_alms = transform(fields, _get_region_maps(data_maps, jk_map, k))
+        vis_alms = transform(fields, _get_region_maps(vis_maps, jk_map, k))
+    write_alms(data_path, data_alms, clobber=True)
+    write_alms(vis_path, vis_alms, clobber=True)
+    return k, True
+
+
+def compute_jk_cls_from_alms(
+    jk_map,
+    fields,
+    mask_correction="Fast",
+    unmixed=False,
+    nd=1,
+    dir="./dices",
+    progress=None,
+):
+    """Spectra of every delete-``nd`` region combination from cached alms."""
+    if nd == 0:
+        data_alms_full = read_alms(os.path.join(dir, "data_alms_0.fits"))
+        return {(): angular_power_spectra(data_alms_full)}
+    if nd < 1 or nd > 2:
+        raise ValueError("number of deletions must be 1 or 2")
+    if progress is None:
+        progress = NoProgress()
+
+    njk = _n_regions(jk_map)
+    all_regions = list(combinations(range(1, njk + 1), nd))
+    cls = {}
+    progress.update(0, len(all_regions))
+    for idx, regions in enumerate(all_regions):
+        with progress.task(f"Cls {regions}"):
+            cls[regions] = _compute_single_jk_cls(
+                regions, jk_map, fields, mask_correction, unmixed, dir
+            )
+        progress.update(idx + 1, len(all_regions))
+    return cls
+
+
+def _compute_single_jk_cls(regions, jk_map, fields, mask_correction, unmixed, dir):
+    tag = "_".join(map(str, regions))
+    cls_path = os.path.join(dir, f"cls_{tag}_unmixed_{unmixed}.fits")
+    if os.path.exists(cls_path):
+        return read(cls_path)
+
+    data_alms_full = read_alms(os.path.join(dir, "data_alms_0.fits"))
+    vis_alms_full = read_alms(os.path.join(dir, "vis_alms_0.fits"))
+    mls0 = angular_power_spectra(vis_alms_full)
+
+    # linearity of the SHT: delete-k alms = full - sum of region alms
+    alms_jk = _subtract_alms(
+        data_alms_full,
+        _accumulate_alms(
+            os.path.join(dir, f"data_alms_{r}.fits") for r in regions
+        ),
+    )
+    cls_jk = angular_power_spectra(alms_jk)
+    cls_jk = correct_bias(cls_jk, jk_map, fields, *regions)
+
+    if mask_correction == "Full":
+        vis_alms_jk = _subtract_alms(
+            vis_alms_full,
+            _accumulate_alms(
+                os.path.join(dir, f"vis_alms_{r}.fits") for r in regions
+            ),
+        )
+        cls_mm = angular_power_spectra(vis_alms_jk)
+        cls_jk = correct_footprint_naturalspice(
+            cls_jk, cls_mm, mls0, fields, unmixed=unmixed
+        )
+    elif mask_correction == "Fast":
+        cls_jk = correct_footprint_fsky(cls_jk, jk_map, *regions, unmixed=unmixed)
+    else:
+        raise ValueError("mask_correction must be 'Fast' or 'Full'")
+
+    write(cls_path, cls_jk, clobber=True)
+    return cls_jk
+
+
+def _get_region_maps(maps, jk_map, jk):
+    """Zero out all pixels outside jackknife region ``jk``."""
+    out = deepcopy(maps)
+    mask = (np.asarray(jk_map) == float(jk)).astype(int)
+    for key in maps.keys():
+        out[key] *= mask
+    return out
+
+
+def _accumulate_alms(paths):
+    """Sum the alm sets stored at ``paths``, loading one file at a time."""
+    total = None
+    for path in paths:
+        alms = read_alms(path)
+        if total is None:
+            total = {key: arr.copy() for key, arr in alms.items()}
+        else:
+            for key in total:
+                total[key] += alms[key]
+    return total
+
+
+def _subtract_alms(full_alms, region_sum):
+    out = {}
+    for key in full_alms:
+        out[key] = full_alms[key].copy()
+        if region_sum is not None:
+            out[key] -= region_sum[key]
+    return out
+
+
+def bias(cls):
+    """Per-key noise bias read back from the cl metadata."""
+    return {
+        key: (cls[key].dtype.metadata or {}).get("bias", 0) for key in cls.keys()
+    }
+
+
+def jackknife_fsky(jk_map, jk=0, jk2=0, ratio=True):
+    """Sky fraction after deleting (up to) two regions.
+
+    With ``ratio=True`` (default) relative to the full footprint.
+    """
+    jk_map = np.asarray(jk_map)
+    mask = (jk_map > 0).astype(int)
+    fsky = mask.sum() / mask.size
+    keep = (mask == 1) & (jk_map != jk) & (jk_map != jk2)
+    fskyjk = keep.sum() / mask.size
+    return fskyjk / fsky if ratio else fskyjk
+
+
+def jackknife_bias(bias, fsky, fields):
+    """Rescale each bias by the delete-region sky fraction ratio."""
+    return {key: value * fsky for key, value in bias.items()}
+
+
+def correct_bias(cls, jk_map, fields, jk=0, jk2=0):
+    """Swap the full-footprint bias for the jackknife-footprint bias.
+
+    Adds back the bias subtracted during ``angular_power_spectra`` and
+    subtracts the fsky-rescaled one, updating the metadata accordingly.
+    """
+    b = bias(cls)
+    fskyjk = jackknife_fsky(jk_map, jk=jk, jk2=jk2)
+    b_jk = jackknife_bias(b, fskyjk, fields)
+    cls = add_to_Cls(cls, b)
+    cls = sub_to_Cls(cls, b_jk)
+    out = {}
+    for key in cls.keys():
+        arr = cls[key].array
+        update_metadata(arr, bias=b_jk[key])
+        out[key] = replace(cls[key], array=arr)
+    return out
+
+
+def correct_footprint_fsky(cls, jk_map, jk=0, jk2=0, unmixed=False):
+    """"Fast" footprint correction: divide by the deleted-sky fraction."""
+    ratio = not unmixed
+    fskyjk = jackknife_fsky(jk_map, jk=jk, jk2=jk2, ratio=ratio)
+    return {
+        key: replace(value, array=value.array / fskyjk)
+        for key, value in cls.items()
+    }
+
+
+def _mask_correlation_ratio(mljk, mls0, unmixed=False):
+    """alpha = xi_mask_jk / xi_mask_full at the quadrature nodes."""
+    alphas = {}
+    wmls0 = cl2corr(mls0)
+    wmljk = cl2corr(mljk)
+    for key in wmljk.keys():
+        alpha = wmljk[key].array
+        if not unmixed:
+            alpha = alpha / wmls0[key].array
+        alphas[key] = replace(mls0[key], array=alpha)
+    return alphas
+
+
+def correct_footprint_naturalspice(cls, cls_mm, mls0, fields, unmixed=False):
+    """"Full" footprint correction: NaturalSpice with the mask ratio."""
+    alphas = _mask_correlation_ratio(cls_mm, mls0, unmixed=unmixed)
+    first_cls = next(iter(cls.values()))
+    first_mls = next(iter(mls0.values()))
+    lmax = first_cls.shape[first_cls.axis[0]]
+    lmax_mask = first_mls.shape[first_mls.axis[0]]
+    cls = binned(cls, np.arange(0, lmax_mask + 1))
+    wcls = cl2corr(cls)
+    wcls = _naturalspice(wcls, alphas, fields)
+    from ..transforms import corr2cl
+
+    cls = corr2cl(wcls)
+    return binned(cls, np.arange(0, lmax + 1))
+
+
+def jackknife_covariance(samples, nd=1):
+    """Jackknife covariance of a dict of per-sample spectra dicts."""
+    return _jackknife_covariance(samples.values(), nd=nd)
+
+
+def _jackknife_covariance(samples, nd=1):
+    cov = {}
+    first, *rest = samples
+    for key1, key2 in itertools.combinations_with_replacement(first, 2):
+        result1 = first[key1]
+        result2 = first[key2]
+        sa1, sb1 = result1.spin
+        sa2, sb2 = result2.spin
+        samples1 = np.stack([np.asarray(result1)]
+                            + [np.asarray(s[key1]) for s in rest])
+        samples2 = np.stack([np.asarray(result2)]
+                            + [np.asarray(s[key2]) for s in rest])
+        if (m := len(samples1)) > 1:
+            a = sample_covariance(samples1, samples2)
+            if nd == 1:
+                njk = m
+                a *= (njk - 1) ** 2 / njk
+            elif nd == 2:
+                njk = (1 + np.sqrt(1 + 8 * m)) / 2
+                a *= (njk * (njk - 1) - 2) / (2 * njk * (njk + 1))
+            else:
+                raise ValueError("number of deletions must be 0, 1, or 2")
+            ndim1 = result1.ndim
+            oldaxis = result1.axis + tuple(ndim1 + ax for ax in result2.axis)
+            axis = tuple(range(-len(oldaxis), 0))
+            a = np.moveaxis(a, oldaxis, axis)
+            ell = get_result_array(result1, "ell") + get_result_array(
+                result2, "ell"
+            )
+            a1, b1, i1, j1 = key1
+            a2, b2, i2, j2 = key2
+            cov[a1, b1, a2, b2, i1, j1, i2, j2] = Result(
+                a, axis=axis, spin=(sa1, sb1, sa2, sb2), ell=ell
+            )
+    return cov
+
+
+def sample_covariance(samples, samples2=None):
+    """Streaming (online) sample covariance / cross-covariance."""
+    if samples2 is None:
+        samples2 = samples
+    n, *dim = samples.shape
+    n2, *dim2 = samples2.shape
+    if n2 != n:
+        raise ValueError("different numbers of samples")
+    mu = np.zeros(tuple(dim))
+    mu2 = np.zeros(tuple(dim2))
+    cov = np.zeros(tuple(dim) + tuple(dim2))
+    for i in range(n):
+        x = samples[i]
+        y = samples2[i]
+        delta = x - mu
+        mu += delta / (i + 1)
+        mu2 += (y - mu2) / (i + 1)
+        cov += (np.multiply.outer(delta, y - mu2) - cov) / (i + 1)
+    cov *= n / (n - 1)
+    return cov
+
+
+def delete2_correction(cls0, cls1, cls2):
+    """Delete-2 debiasing ensemble, diagonalised.
+
+    Q ensemble members: njk*x0 - (njk-1)(x1_k + x1_k') + (njk-2)*x2_kk'
+    over all delete-2 pairs; the correction is their (delete-2
+    prefactored) covariance with only the diagonal kept.
+    """
+    ensemble = []
+    njk = len(cls1)
+    for pair in cls2:
+        k1, k2 = pair
+        member = {}
+        for key in cls2[pair]:
+            arr = njk * cls0[key].array
+            arr = arr - (njk - 1) * cls1[(k1,)][key].array
+            arr = arr - (njk - 1) * cls1[(k2,)][key].array
+            arr = arr + (njk - 2) * cls2[pair][key].array
+            member[key] = replace(cls0[key], array=arr)
+        ensemble.append(member)
+    Q = _jackknife_covariance(ensemble, nd=2)
+    for key in Q:
+        q = Q[key]
+        *_, length = q.shape
+        diag = np.diagonal(np.asarray(q), axis1=-2, axis2=-1)
+        expanded = np.zeros_like(np.asarray(q))
+        idx = np.arange(length)
+        expanded[..., idx, idx] = diag
+        Q[key] = replace(q, array=expanded)
+    return Q
+
+
+def debias_covariance(cov_jk, cls0, cls1, cls2):
+    """Subtract the delete-2 correction from the delete-1 covariance."""
+    Q = delete2_correction(cls0, cls1, cls2)
+    return _debias_covariance(cov_jk, Q)
+
+
+def _debias_covariance(cov_jk, Q):
+    return {
+        key: replace(value, array=value.array - Q[key].array)
+        for key, value in cov_jk.items()
+    }

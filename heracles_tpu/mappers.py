@@ -1,0 +1,317 @@
+"""HEALPix and discrete (pixel-free) mappers, TPU-native.
+
+Capability parity with the reference's two mapper backends:
+
+* :class:`HealpixMapper` — the role of the healpy-backed mapper
+  (``/root/reference/heracles/healpy.py:68-209``): pixel scatter-add of
+  catalogue points, spin-0/2 map2alm with quadrature weights, optional
+  pixel-window deconvolution, ud_grade resampling.  Here the SHT is the
+  JAX ring-FFT + Wigner-scan engine (:mod:`heracles_tpu.ops.sht`) and the
+  scatter is a jitted device scatter-add instead of a numba loop.
+* :class:`DiscreteMapper` — the role of the ducc0-backed pixel-free mapper
+  (``/root/reference/heracles/ducc.py:40-162``): accumulates alms directly
+  from point positions via adjoint synthesis at arbitrary locations,
+  identity ``transform``, triangle re-truncation ``resample``.
+
+Both expose the device accumulation interface (``begin``/``add``/
+``finish``) used by the mapping pipeline to keep accumulators on the
+accelerator across catalogue pages.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import update_metadata
+from .healpix import ang2pix_ring, nside2npix, nside2pixarea, ring_geometry, ud_grade
+from .ops import ringfft, sht, wigner
+
+__all__ = ["HealpixMapper", "DiscreteMapper"]
+
+
+@functools.lru_cache(maxsize=32)
+def _scatter_fn(nside):
+    """Jitted scatter-add of page values into a device-resident map."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def scatter(state, lon, lat, values):
+        ipix = ang2pix_ring(nside, lon, lat, lonlat=True, xp=jnp)
+        return state.at[..., ipix].add(values)
+
+    return scatter
+
+
+class HealpixMapper:
+    """Mapper for HEALPix maps (TPU-native SHT backend).
+
+    Parameters mirror the reference mapper: ``lmax`` defaults to
+    ``3*nside//2`` and ``deconvolve`` (pixel-window deconvolution of the
+    alms) defaults to True (reference healpy.py:87-89).
+    """
+
+    # kept for CLI compatibility with the reference (--healpix-datapath);
+    # unused: quadrature weights are computed, not read from data files
+    DATAPATH: str | None = None
+
+    def __init__(self, nside, lmax=None, *, deconvolve=None, dtype=np.float64):
+        self._nside = int(nside)
+        self._lmax = sht.resolve_lmax(nside, lmax)
+        self._deconv = True if deconvolve is None else bool(deconvolve)
+        self._dtype = np.dtype(dtype)
+
+    @property
+    def nside(self):
+        return self._nside
+
+    @property
+    def lmax(self):
+        return self._lmax
+
+    @property
+    def deconvolve(self):
+        return self._deconv
+
+    @cached_property
+    def area(self):
+        return nside2pixarea(self._nside)
+
+    def _metadata(self, spin):
+        return dict(
+            geometry="healpix",
+            kernel="healpix",
+            nside=self._nside,
+            lmax=self._lmax,
+            deconv=self._deconv,
+            spin=spin,
+        )
+
+    def create(self, *dims, spin=0):
+        m = np.zeros((*dims, nside2npix(self._nside)), dtype=self._dtype)
+        update_metadata(m, **self._metadata(spin))
+        return m
+
+    # -- protocol scatter path (host in-place semantics) ------------------
+
+    def map_values(self, lon, lat, data, values, spin=0):
+        """Add values at (lon, lat) [degrees] into ``data`` in place."""
+        ipix = np.asarray(ang2pix_ring(self._nside, lon, lat, lonlat=True))
+        if data.ndim == 1:
+            data += np.bincount(ipix, weights=values, minlength=data.shape[-1])
+        else:
+            for i in np.ndindex(*data.shape[:-1]):
+                data[i] += np.bincount(
+                    ipix, weights=values[i], minlength=data.shape[-1]
+                )
+
+    # -- device accumulation interface ------------------------------------
+
+    def begin(self, *dims, spin=0):
+        """Device-resident zero accumulator for the mapping pipeline."""
+        dt = jnp.float64 if self._dtype == np.float64 else jnp.float32
+        return jnp.zeros((*dims, nside2npix(self._nside)), dtype=dt)
+
+    def add(self, state, lon, lat, values):
+        """Scatter-add one (padded) page of points into the accumulator."""
+        return _scatter_fn(self._nside)(state, lon, lat, values)
+
+    def finish(self, state, spin=0):
+        # np.array (not asarray): jax buffers are read-only, fields mutate
+        m = np.array(state, dtype=self._dtype)
+        update_metadata(m, **self._metadata(spin))
+        return m
+
+    # -- harmonic transform ------------------------------------------------
+
+    def transform(self, data, spin=0):
+        """Spin-0/2 spherical harmonic analysis with quadrature weights.
+
+        Spin-0 input may carry leading batch axes; spin-2 input is
+        (..., 2, npix) [Q, U] and returns (..., 2, nlm) (E, B), matching
+        the reference's dropped-T-row convention (healpy.py:175-199).
+        """
+        md = dict(getattr(data.dtype, "metadata", None) or {})
+        arr = np.asarray(data)
+        alm = np.asarray(
+            sht.map2alm_jit(arr, lmax=self._lmax, spin=spin, weights="ring")
+        )
+        if self._deconv:
+            pw = sht.pixel_window(self._nside, self._lmax)
+            fl = np.ones(self._lmax + 1)
+            s = abs(spin)
+            fl[s:] /= pw[s:]
+            ls, _ = sht._pack_index(self._lmax, self._lmax)
+            alm = alm * fl[ls]
+        alm = np.ascontiguousarray(alm)
+        update_metadata(alm, **{**md, "deconv": self._deconv})
+        return alm
+
+    def synthesize(self, alm, spin=0):
+        """Inverse transform (alm -> map); the TPU build's alm2map."""
+        out = np.asarray(
+            sht.alm2map_jit(np.ascontiguousarray(alm), self._nside,
+                            lmax=self._lmax, spin=spin)
+        )
+        m = out.astype(self._dtype)
+        update_metadata(m, **self._metadata(spin))
+        return m
+
+    def resample(self, data):
+        """Change resolution of a HEALPix map (mean-of-children degrade)."""
+        md = dict(getattr(data.dtype, "metadata", None) or {})
+        out = np.asarray(ud_grade(np.asarray(data), self._nside)).astype(self._dtype)
+        md["nside"] = self._nside
+        update_metadata(out, **md)
+        return out
+
+
+class DiscreteMapper:
+    """Pixel-free mapper accumulating alms directly from point positions.
+
+    The adjoint spherical-harmonic synthesis at arbitrary locations
+    (reference ducc.py:92-133 via ``ducc0.sht.adjoint_synthesis_general``)
+    is computed with the same Wigner scan engine as the gridded SHT, with
+    points taking the place of rings:
+
+        a_lm += sum_p v_p * conj(sYlm(theta_p, phi_p))
+
+    exactly (no NUFFT approximation; epsilon is accepted for API parity).
+    """
+
+    def __init__(self, lmax, *, dtype=np.complex128, nthreads=0,
+                 point_block=1 << 16):
+        self._lmax = int(lmax)
+        self._dtype = np.dtype(dtype)
+        self._point_block = int(point_block)
+
+    @property
+    def lmax(self):
+        return self._lmax
+
+    @property
+    def area(self):
+        return 1.0
+
+    def create(self, *dims, spin=0):
+        lmax = self._lmax
+        m = np.zeros((*dims, (lmax + 1) * (lmax + 2) // 2), dtype=self._dtype)
+        update_metadata(
+            m, geometry="discrete", kernel="none", lmax=lmax, spin=spin
+        )
+        return m
+
+    def map_values(self, lon, lat, data, values, spin=0):
+        values = np.asarray(values)
+        flatten = values.ndim == 1
+        if flatten:
+            values = values.reshape(1, -1)
+        theta = np.radians(90.0 - np.asarray(lat, dtype=np.float64))
+        phi = np.radians(np.asarray(lon, dtype=np.float64) % 360.0)
+        alm = self._adjoint_synthesis(theta, phi, values, spin)
+        data += alm[0] if flatten else alm
+
+    def _adjoint_synthesis(self, theta, phi, values, spin):
+        lmax = self._lmax
+        use64 = self._dtype == np.complex128
+        fdt = np.float64 if use64 else np.float32
+        out = np.zeros(
+            (values.shape[0], (lmax + 1) * (lmax + 2) // 2),
+            dtype=np.complex128 if use64 else np.complex64,
+        )
+        B = self._point_block
+        for start in range(0, theta.size, B):
+            th = theta[start : start + B]
+            ph = phi[start : start + B]
+            npts = th.size
+            if npts < B and theta.size > B:
+                th = np.pad(th, (0, B - npts), constant_values=np.pi / 2)
+                ph = np.pad(ph, (0, B - npts))
+            pad = th.size - npts
+            if spin == 0:
+                v = values[:, start : start + B].astype(fdt)
+                if pad:
+                    v = np.pad(v, ((0, 0), (0, pad)))
+                out += np.asarray(
+                    _adjoint_spin0(jnp.asarray(th.astype(fdt)),
+                                   jnp.asarray(ph.astype(fdt)),
+                                   jnp.asarray(v), lmax)
+                )
+            else:
+                u = (values[:-1:2, start : start + B]
+                     + 1j * values[1::2, start : start + B])
+                # values rows are (2, npts): combine to complex
+                u = (values[0, start : start + B]
+                     + 1j * values[1, start : start + B]).astype(
+                    np.complex128 if use64 else np.complex64
+                )[None]
+                if pad:
+                    u = np.pad(u, ((0, 0), (0, pad)))
+                eb = np.asarray(
+                    _adjoint_spin(jnp.asarray(th.astype(fdt)),
+                                  jnp.asarray(ph.astype(fdt)),
+                                  jnp.asarray(u), lmax, spin)
+                )
+                out += eb.reshape(out.shape)
+        return out.astype(self._dtype)
+
+    def transform(self, data, spin=0):
+        """Identity: the data already are alms (reference ducc.py:135-143)."""
+        return data
+
+    def resample(self, data):
+        """Re-truncate/pad packed alms to this mapper's lmax triangle."""
+        *dims, n = data.shape
+        lmax_in = (int((8 * n + 1) ** 0.5 + 0.01) - 3) // 2
+        lmax_out = self._lmax
+        lmax = min(lmax_in, lmax_out)
+        out = np.zeros(
+            (*dims, (lmax_out + 1) * (lmax_out + 2) // 2), dtype=self._dtype
+        )
+        i = j = 0
+        for m in range(lmax + 1):
+            out[..., j : j + lmax - m + 1] = data[..., i : i + lmax - m + 1]
+            i += lmax_in - m + 1
+            j += lmax_out - m + 1
+        return out
+
+
+@functools.partial(jax.jit, static_argnames=("lmax",))
+def _adjoint_spin0(theta, phi, values, lmax):
+    """a_lm = sum_p v_p conj(Ylm(p)) for real spin-0 point values."""
+    x = jnp.cos(theta)
+    logch = jnp.log(jnp.cos(theta / 2))
+    logsh = jnp.log(jnp.sin(theta / 2))
+    nm = lmax + 1
+    nm_pad = sht._mmax_pad(lmax, sht.DEFAULT_M_CHUNK)
+    m = jnp.arange(nm_pad)
+    # F[p, m] = v_p e^{-im phi_p}: the "ring FFT" of a single point
+    F = values[..., :, None] * jnp.exp(-1j * m * theta.dtype.type(1.0) * phi[:, None])
+    (alm,) = sht._analysis_rect(
+        (F,), x, logch, logsh, lmax, nm_pad - 1, (0,), sht.DEFAULT_M_CHUNK
+    )
+    return sht.pack_alm(alm[..., :nm], lmax, lmax)
+
+
+@functools.partial(jax.jit, static_argnames=("lmax", "spin"))
+def _adjoint_spin(theta, phi, u, lmax, spin):
+    """(E, B) alms from complex spin-s point values u = v1 + i v2."""
+    x = jnp.cos(theta)
+    logch = jnp.log(jnp.cos(theta / 2))
+    logsh = jnp.log(jnp.sin(theta / 2))
+    nm = lmax + 1
+    nm_pad = sht._mmax_pad(lmax, sht.DEFAULT_M_CHUNK)
+    m = jnp.arange(nm_pad)
+    phase = jnp.exp(-1j * m * phi[:, None])
+    F = u[..., :, None] * phase
+    Fc = jnp.conj(u)[..., :, None] * phase
+    a_p, a_m = sht._analysis_rect(
+        (F, Fc), x, logch, logsh, lmax, nm_pad - 1, (spin, -spin),
+        sht.DEFAULT_M_CHUNK,
+    )
+    alm_e = -(a_p[..., :nm] + a_m[..., :nm]) / 2
+    alm_b = 1j * (a_p[..., :nm] - a_m[..., :nm]) / 2
+    return sht.pack_alm(jnp.stack([alm_e, alm_b], axis=-3), lmax, lmax)

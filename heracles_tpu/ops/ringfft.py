@@ -1,0 +1,253 @@
+"""Batched Fourier analysis/synthesis over HEALPix isolatitude rings.
+
+This is phase 1 of the TPU-native spherical harmonic transform (the role
+played by libsharp's per-ring FFTs inside ``healpy.map2alm`` at reference
+``/root/reference/heracles/healpy.py:183-189``).  HEALPix rings are ragged
+(ring *i* has ``nph = 4i`` pixels in the caps and ``4*nside`` in the belt),
+which does not map onto a single batched FFT.  Instead of per-ring native
+FFTs (a CPU pattern), we use a TPU-first decomposition:
+
+* the equatorial belt (2/3 of all pixels, every ring ``nph = 4*nside``) is
+  one contiguous reshape + one batched complex FFT;
+* polar-cap rings are grouped into octave buckets (rings with similar
+  ``nph``) and each bucket is evaluated with a batched **Bluestein
+  chirp-z transform** at a common power-of-two length ``>= 2*max(nph)``,
+  so every DFT in a bucket has the same static shape regardless of the
+  ring's true ``nph``;
+* harmonic orders ``m >= nph`` are handled exactly through DFT aliasing,
+  ``F_m = C[m mod nph] * exp(-i*m*phi0)``, as a vectorised gather.
+
+Everything here is shape-static and jit-friendly: bucket boundaries are
+host-side constants derived from ``nside`` only.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..healpix import nside2npix
+
+__all__ = ["ring_analysis", "ring_synthesis", "ring_plan"]
+
+
+def _next_pow2(n):
+    return 1 << max(0, int(math.ceil(math.log2(max(1, n)))))
+
+
+@functools.lru_cache(maxsize=32)
+def ring_plan(nside):
+    """Host-side static plan of ring buckets for a given nside.
+
+    Returns a tuple of bucket dicts, in north-to-south ring order, each with
+
+    - ``rings``: (start, stop) ring-index range [start, stop)
+    - ``pix``:   (start, stop) RING pixel range of those rings
+    - ``nph``:   numpy array of ring lengths in the bucket
+    - ``phi0``:  numpy array of first-pixel azimuths
+    - ``L``:     the common FFT length for the bucket
+    - ``belt``:  True for the equatorial belt (direct FFT, no chirp)
+    """
+    nside = int(nside)
+    nr = 4 * nside - 1
+    i = np.arange(1, nr + 1)
+    nph = np.where(
+        i < nside, 4 * i, np.where(i <= 3 * nside, 4 * nside, 4 * (4 * nside - i))
+    ).astype(np.int64)
+    start = np.concatenate([[0], np.cumsum(nph)[:-1]])
+    phi0 = np.empty(nr)
+    north = i < nside
+    south = i > 3 * nside
+    eq = ~(north | south)
+    phi0[north] = np.pi / nph[north]
+    phi0[south] = np.pi / nph[south]
+    phi0[eq] = np.where((i[eq] - nside) % 2 == 0, np.pi / (4 * nside), 0.0)
+
+    buckets = []
+
+    def add_bucket(r0, r1, belt):
+        n_max = int(nph[r0:r1].max())
+        L = 4 * nside if belt else _next_pow2(2 * n_max)
+        buckets.append(
+            {
+                "rings": (int(r0), int(r1)),
+                "pix": (int(start[r0]), int(start[r1 - 1] + nph[r1 - 1])),
+                "nph": nph[r0:r1].copy(),
+                "phi0": phi0[r0:r1].copy(),
+                "L": int(L),
+                "belt": bool(belt),
+            }
+        )
+
+    # north cap: rings 0 .. nside-2, nph ascending; octave groups
+    r = 0
+    while r < nside - 1:
+        g = _next_pow2(int(nph[r]))
+        r1 = r
+        while r1 < nside - 1 and nph[r1] <= g:
+            r1 += 1
+        add_bucket(r, r1, belt=False)
+        r = r1
+    # belt: rings nside-1 .. 3*nside-1 inclusive
+    add_bucket(nside - 1, 3 * nside, belt=True)
+    # south cap: rings 3*nside .. 4*nside-2, nph descending; octave groups
+    r = 3 * nside
+    while r < nr:
+        g = _next_pow2(int(nph[r]))
+        r1 = r
+        while r1 < nr and nph[r1] <= g:
+            r1 += 1
+        add_bucket(r, r1, belt=False)
+        r = r1
+    return tuple(buckets)
+
+
+def _real_dtype(dtype):
+    return jnp.float64 if dtype in (jnp.float64, jnp.complex128) else jnp.float32
+
+
+def _complex_dtype(dtype):
+    return jnp.complex128 if dtype in (jnp.float64, jnp.complex128) else jnp.complex64
+
+
+def _chirp_from_index(q, nph, sign, rdt):
+    """exp(sign * 1j * pi * q^2 / nph), zero where q >= nph.
+
+    q^2 is reduced mod 2*nph in integer arithmetic so large q lose no
+    precision in the reduced angle.
+    """
+    qm = jnp.where(q < nph, q, 0)
+    ang = jnp.pi * (qm * qm % (2 * nph)).astype(rdt) / nph.astype(rdt)
+    w = jnp.exp(1j * sign * ang)
+    return jnp.where(q < nph, w, 0.0)
+
+
+def _bluestein_dft(vals, nph, L, *, sign):
+    """Per-row DFT at each row's own length ``nph`` via Bluestein.
+
+    vals: (..., R, L) complex, rows zero-padded beyond their nph.
+    nph:  (R,) int32.  Returns (..., R, L) complex where entry k < nph[r]
+    holds sum_p vals[r, p] * exp(sign * 2j*pi*k*p/nph[r]).
+    """
+    rdt = _real_dtype(vals.dtype)
+    nphc = nph[:, None]
+    p = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pd = jnp.minimum(p, L - p)
+    # e^{sigma 2pi i kp/n} = w_k w_p b_{k-p} with w_x = e^{sigma i pi x^2/n},
+    # b_j = e^{-sigma i pi j^2/n}; circular conv valid since L >= 2*nph.
+    w = _chirp_from_index(p, nphc, sign, rdt)
+    b = _chirp_from_index(pd, nphc, -sign, rdt)
+    conv = jnp.fft.ifft(
+        jnp.fft.fft(vals * w, axis=-1) * jnp.fft.fft(b, axis=-1), axis=-1
+    )
+    return conv * w
+
+
+def _gather_rows(maps, pix0, nph_np, L):
+    """Extract the rings of a bucket from the flat pixel axis, padded to L."""
+    nph = jnp.asarray(nph_np, dtype=jnp.int32)
+    starts = jnp.asarray(
+        pix0 + np.concatenate([[0], np.cumsum(nph_np)[:-1]]), dtype=jnp.int32
+    )
+    p = jnp.arange(L, dtype=jnp.int32)[None, :]
+    idx = starts[:, None] + jnp.minimum(p, nph[:, None] - 1)
+    rows = jnp.take(maps, idx, axis=-1)
+    return jnp.where(p < nph[:, None], rows, 0)
+
+
+def ring_analysis(maps, nside, nm, *, plan=None):
+    """Per-ring Fourier coefficients F[..., r, m] = sum_p v_p e^{-i m phi_p}.
+
+    ``maps``: (..., npix) real or complex, RING ordering.
+    Returns ``(F, Fneg)`` complex arrays of shape (..., nrings, nm); for
+    real input ``Fneg`` is None (F_{-m} = conj(F_m)).
+    """
+    if plan is None:
+        plan = ring_plan(nside)
+    complex_in = jnp.iscomplexobj(maps)
+    cdt = _complex_dtype(maps.dtype)
+    rdt = _real_dtype(maps.dtype)
+    m = jnp.arange(nm, dtype=jnp.int32)[None, :]
+    out_pos = []
+    out_neg = []
+    for b in plan:
+        nph = jnp.asarray(b["nph"], dtype=jnp.int32)
+        L = b["L"]
+        rows = _gather_rows(maps, b["pix"][0], b["nph"], L).astype(cdt)
+        if b["belt"]:
+            C = jnp.fft.fft(rows, axis=-1)
+        else:
+            C = _bluestein_dft(rows, nph, L, sign=-1)
+        # alias gather: F_m = C[m mod nph] * e^{-i m phi0}
+        k = m % nph[:, None]
+        kb = jnp.broadcast_to(k, C.shape[:-2] + k.shape)
+        phase = jnp.exp(
+            -1j * m.astype(rdt) * jnp.asarray(b["phi0"], rdt)[:, None]
+        )
+        out_pos.append(jnp.take_along_axis(C, kb, axis=-1) * phase)
+        if complex_in:
+            kneg = (-m) % nph[:, None]
+            knb = jnp.broadcast_to(kneg, C.shape[:-2] + kneg.shape)
+            out_neg.append(jnp.take_along_axis(C, knb, axis=-1) * jnp.conj(phase))
+    F = jnp.concatenate(out_pos, axis=-2)
+    if complex_in:
+        return F, jnp.concatenate(out_neg, axis=-2)
+    return F, None
+
+
+def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
+    """Inverse of :func:`ring_analysis`: evaluate per-ring Fourier series.
+
+    v_p = sum_{m=0}^{nm-1} h_pos[..., r, m] e^{+i m phi_p}
+        + sum_{m=1}^{nm-1} h_neg[..., r, m] e^{-i m phi_p}
+
+    For real output pass ``h_neg=None`` (implies h_neg = conj(h_pos)).
+    Returns (..., npix) maps (real if ``real_output``).
+    """
+    if plan is None:
+        plan = ring_plan(nside)
+    nm = h_pos.shape[-1]
+    rdt = _real_dtype(h_pos.dtype)
+    m = jnp.arange(nm, dtype=jnp.int32)[None, :]
+    pieces = []
+    r0 = 0
+    for b in plan:
+        nr_b = b["rings"][1] - b["rings"][0]
+        nph = jnp.asarray(b["nph"], dtype=jnp.int32)[:, None]
+        phi0 = jnp.asarray(b["phi0"], rdt)[:, None]
+        L = b["L"]
+        phase = jnp.exp(1j * m.astype(rdt) * phi0)
+        hp = h_pos[..., r0 : r0 + nr_b, :] * phase
+        if h_neg is None:
+            hn = jnp.conj(hp)
+        else:
+            hn = h_neg[..., r0 : r0 + nr_b, :] * jnp.conj(phase)
+        hn = hn.at[..., 0].set(0.0)  # m=0 enters once
+        k = jnp.broadcast_to(m % nph, (nr_b, nm))
+        kneg = jnp.broadcast_to((-m) % nph, (nr_b, nm))
+        rows = jnp.arange(nr_b, dtype=jnp.int32)[:, None]
+        d = jnp.zeros(hp.shape[:-1] + (L,), dtype=hp.dtype)
+        d = d.at[..., rows, k].add(hp)
+        d = d.at[..., rows, kneg].add(hn)
+        if b["belt"]:
+            v = jnp.fft.ifft(d, axis=-1) * L
+        else:
+            v = _bluestein_dft(d, jnp.asarray(b["nph"], jnp.int32), L, sign=+1)
+        if real_output:
+            v = v.real
+        # flatten padded rows back onto the ragged contiguous pixel axis
+        valid = np.arange(L)[None, :] < b["nph"][:, None]
+        flat_idx = jnp.asarray(
+            (np.arange(len(b["nph"]))[:, None] * L + np.arange(L)[None, :])[valid],
+            dtype=jnp.int32,
+        )
+        pieces.append(
+            jnp.take(v.reshape(v.shape[:-2] + (nr_b * L,)), flat_idx, axis=-1)
+        )
+        r0 += nr_b
+    out = jnp.concatenate(pieces, axis=-1)
+    assert out.shape[-1] == nside2npix(nside)
+    return out

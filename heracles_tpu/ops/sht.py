@@ -1,0 +1,389 @@
+"""Spherical harmonic transforms on HEALPix maps, TPU-native.
+
+Replaces the reference's use of ``healpy.map2alm`` / ``hp.alm2map`` /
+``hp.pixwin`` (``/root/reference/heracles/healpy.py:162-209``,
+``twopoint.py:154-165``) with a pure JAX implementation:
+
+* phase 1 (azimuth): batched ring FFTs (:mod:`.ringfft`);
+* phase 2 (colatitude): fused scaled Wigner-d scans (:mod:`.wigner`);
+* quadrature: ring weights solved once per (nside, lmax) on the host so
+  that the analysis of band-limited maps is exact, playing the role of
+  healpy's iterative pixel weights (reference healpy.py:183-189).
+
+Conventions (matching HEALPix/healpy):
+
+* alms are stored healpy-packed at the API boundary
+  (index = m*(2*lmax+1-m)//2 + l) and rectangular (lmax+1, mmax+1) complex
+  internally;
+* spin-2: a_{E} = -(a_{+2}+a_{-2})/2, a_B = i(a_{+2}-a_{-2})/2 with
+  (Q+iU) = sum a_{+2,lm} {}_2Y_{lm}.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..healpix import nside2npix, npix2nside, nside2pixarea, ring_geometry
+from . import ringfft, wigner
+
+__all__ = [
+    "alm_size",
+    "pack_alm",
+    "unpack_alm",
+    "map2alm",
+    "alm2map",
+    "ring_weights",
+    "pixel_window",
+    "resolve_lmax",
+]
+
+DEFAULT_M_CHUNK = 128
+
+
+def resolve_lmax(nside, lmax=None):
+    """Default band limit, matching the reference mapper (healpy.py:87)."""
+    return 3 * nside // 2 if lmax is None else int(lmax)
+
+
+def alm_size(lmax, mmax=None):
+    """Packed alm length: sum over m = 0..mmax of (lmax - m + 1)."""
+    mmax = lmax if mmax is None else mmax
+    return (mmax + 1) * (lmax + 1) - mmax * (mmax + 1) // 2
+
+
+@functools.lru_cache(maxsize=64)
+def _pack_index(lmax, mmax):
+    """(l_idx, m_idx) arrays giving rect coords of each packed entry."""
+    ls = np.concatenate([np.arange(m, lmax + 1) for m in range(mmax + 1)])
+    ms = np.concatenate([np.full(lmax + 1 - m, m) for m in range(mmax + 1)])
+    return ls, ms
+
+
+def pack_alm(alm_rect, lmax=None, mmax=None):
+    """Rectangular (..., lmax+1, mmax+1) -> healpy-packed (..., nlm)."""
+    if lmax is None:
+        lmax = alm_rect.shape[-2] - 1
+    if mmax is None:
+        mmax = alm_rect.shape[-1] - 1
+    ls, ms = _pack_index(lmax, mmax)
+    return alm_rect[..., ls, ms]
+
+
+def unpack_alm(alm_packed, lmax, mmax=None):
+    """healpy-packed (..., nlm) -> rectangular (..., lmax+1, mmax+1)."""
+    mmax = lmax if mmax is None else mmax
+    ls, ms = _pack_index(lmax, mmax)
+    xp = jnp if isinstance(alm_packed, jax.Array) else np
+    out = xp.zeros(alm_packed.shape[:-1] + (lmax + 1, mmax + 1), alm_packed.dtype)
+    if xp is jnp:
+        return out.at[..., ls, ms].set(alm_packed)
+    out[..., ls, ms] = alm_packed
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _geom_arrays(nside, dtype_str):
+    """Per-ring cos(theta), log cos/sin(theta/2) (host constants, f64 math).
+
+    Returned as numpy so the cache never holds traced/device values; jit
+    embeds them as constants at the use site.
+    """
+    g = ring_geometry(nside)
+    z = g["z"]
+    logch = 0.5 * np.log((1.0 + z) / 2.0)
+    logsh = 0.5 * np.log((1.0 - z) / 2.0)
+    dt = np.dtype(dtype_str)
+    return z.astype(dt), logch.astype(dt), logsh.astype(dt)
+
+
+@functools.lru_cache(maxsize=32)
+def ring_weights(nside, lmax_w=None):
+    """Quadrature weights per pixel of each ring (numpy, float64).
+
+    Solved on the host as the minimum-norm correction to the uniform
+    pixel-area weights such that sum_p w_p P_l(z_p) = 4*pi*delta_{l0} for
+    all even l <= lmax_w (odd l vanish by N/S symmetry).  This plays the
+    role of healpy's ring/pixel weight files (reference healpy.py:183-189
+    uses use_pixel_weights=True): analysis of band-limited maps becomes
+    (near-)exact instead of O(pixel area) accurate.
+    """
+    nside = int(nside)
+    if lmax_w is None:
+        lmax_w = 3 * nside
+    g = ring_geometry(nside)
+    z = g["z"]
+    nph = g["npix"].astype(np.float64)
+    nr = z.size
+    nhalf = 2 * nside  # rings 0..2*nside-1 cover z > 0 plus the equator
+    zs = z[:nhalf]
+    fold = np.where(np.arange(nhalf) == nhalf - 1, 1.0, 2.0)  # equator unpaired
+    # even-l Legendre values by recurrence, accumulate design matrix rows
+    nev = lmax_w // 2 + 1
+    A = np.empty((nev, nhalf))
+    pm1 = np.ones_like(zs)
+    p = zs.copy()
+    A[0] = nph[:nhalf] * fold
+    for ell in range(2, lmax_w + 1):
+        pnext = ((2 * ell - 1) * zs * p - (ell - 1) * pm1) / ell
+        pm1, p = p, pnext
+        if ell % 2 == 0:
+            A[ell // 2] = nph[:nhalf] * fold * p
+    b = np.zeros(nev)
+    b[0] = 4.0 * np.pi
+    w0 = np.full(nhalf, nside2pixarea(nside))
+    delta, *_ = np.linalg.lstsq(A, b - A @ w0, rcond=None)
+    w_half = w0 + delta
+    w = np.concatenate([w_half, w_half[:-1][::-1]])
+    assert w.size == nr
+    return w
+
+
+def _mmax_pad(mmax, m_chunk):
+    return ((mmax + 1 + m_chunk - 1) // m_chunk) * m_chunk
+
+
+def _run_chunks(nm_pad, m_chunk, fn):
+    """lax.map over m-chunks; fn(ms) -> per-chunk output stacked on axis 0."""
+    nchunks = nm_pad // m_chunk
+    starts = jnp.arange(nchunks, dtype=jnp.int32) * m_chunk
+    return jax.lax.map(fn, starts)
+
+
+def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
+    """Run the Wigner analysis scan over m-chunks.
+
+    ``Fw``: tuple of (..., nr, nm_pad) complex arrays, one per spin column n
+    in ``ns``.  Returns tuple of (..., lmax+1, nm_pad) rectangular alms.
+    """
+    nm_pad = Fw[0].shape[-1]
+    nspin = len(ns)
+
+    def chunk(start):
+        ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
+        ms_l = jnp.tile(ms, nspin)
+        ns_l = jnp.repeat(jnp.asarray(ns, jnp.int32), m_chunk)
+        Fw_l = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(f, start, m_chunk, axis=-1) for f in Fw],
+            axis=-1,
+        )
+        out = wigner.lambda_analysis_scan(ms_l, ns_l, x, logch, logsh, lmax, Fw_l)
+        return out  # (..., lmax+1, nspin*m_chunk)
+
+    ys = _run_chunks(nm_pad, m_chunk, chunk)
+    # ys: (nchunks, ..., lmax+1, nspin*m_chunk) -> per-spin (..., lmax+1, nm_pad)
+    outs = []
+    for i in range(nspin):
+        part = ys[..., i * m_chunk : (i + 1) * m_chunk]
+        part = jnp.moveaxis(part, 0, -2)  # (..., lmax+1, nchunks, m_chunk)
+        outs.append(part.reshape(part.shape[:-2] + (nm_pad,)))
+    return tuple(outs)
+
+
+def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk):
+    """Inverse: tuple of rectangular alms (..., lmax+1, nm_pad) -> ring G.
+
+    Returns tuple of (..., nr, nm_pad) complex per spin column.
+    """
+    nm_pad = alms[0].shape[-1]
+    nspin = len(ns)
+
+    def chunk(start):
+        ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
+        ms_l = jnp.tile(ms, nspin)
+        ns_l = jnp.repeat(jnp.asarray(ns, jnp.int32), m_chunk)
+        alm_l = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(a, start, m_chunk, axis=-1) for a in alms],
+            axis=-1,
+        )
+        return wigner.lambda_synthesis_scan(ms_l, ns_l, x, logch, logsh, lmax, alm_l)
+
+    ys = _run_chunks(nm_pad, m_chunk, chunk)
+    outs = []
+    for i in range(nspin):
+        part = ys[..., i * m_chunk : (i + 1) * m_chunk]
+        part = jnp.moveaxis(part, 0, -2)  # (..., nr, nchunks, m_chunk)
+        outs.append(part.reshape(part.shape[:-2] + (nm_pad,)))
+    return tuple(outs)
+
+
+def _weights_arr(nside, weights, dtype):
+    if weights is None:
+        w = np.full(4 * nside - 1, nside2pixarea(nside))
+    elif isinstance(weights, str) and weights == "ring":
+        w = ring_weights(nside)
+    else:
+        return jnp.asarray(weights).astype(dtype)
+    return w.astype(np.dtype(dtype))
+
+
+def map2alm(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
+            iterations=0, m_chunk=DEFAULT_M_CHUNK, packed=True):
+    """Spin-0/2 spherical harmonic analysis of HEALPix RING maps.
+
+    ``maps``: (..., npix) real for spin 0; (..., 2, npix) [Q, U] for spin 2.
+    ``weights``: "ring" (quadrature weights, default — the analog of
+    healpy's use_pixel_weights=True), None (pixel area), or an array of
+    per-ring weights.
+    ``iterations``: Jacobi refinement steps alm += A(w*(f - S(alm))),
+    healpy's ``iter=`` analog; suppresses the HEALPix m-aliasing coupling
+    (m >= nph of polar rings), which is exponentially small for
+    lmax <= ~2*nside but visible at toy resolutions.
+    Returns packed alms (..., nlm) for spin 0, or (..., 2, nlm) (E, B) for
+    spin 2 (packed=False returns rectangular (..., lmax+1, mmax+1)).
+    """
+    out = _map2alm_once(maps, lmax, mmax, spin=spin, weights=weights,
+                        m_chunk=m_chunk, packed=False)
+    if iterations:
+        nside = npix2nside(jnp.shape(maps)[-1])
+        lmax_r = resolve_lmax(nside, lmax)
+        for _ in range(int(iterations)):
+            resid = jnp.asarray(maps) - alm2map(
+                out, nside, lmax=lmax_r, mmax=mmax, spin=spin,
+                m_chunk=m_chunk, packed=False,
+            )
+            out = out + _map2alm_once(
+                resid, lmax, mmax, spin=spin, weights=weights,
+                m_chunk=m_chunk, packed=False,
+            )
+    if packed:
+        lmax_r = resolve_lmax(npix2nside(jnp.shape(maps)[-1]), lmax)
+        mmax_r = lmax_r if mmax is None else int(mmax)
+        return pack_alm(out, lmax_r, mmax_r)
+    return out
+
+
+def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
+                  m_chunk=DEFAULT_M_CHUNK, packed=True):
+    """Single-pass analysis (no refinement)."""
+    maps = jnp.asarray(maps)
+    spin = abs(int(spin))
+    npix = maps.shape[-1]
+    nside = npix2nside(npix)
+    lmax = resolve_lmax(nside, lmax)
+    mmax = lmax if mmax is None else int(mmax)
+    fdt = "float64" if maps.dtype in (jnp.float64, jnp.complex128) else "float32"
+    x, logch, logsh = _geom_arrays(nside, fdt)
+    w = _weights_arr(nside, weights, fdt)[:, None]
+    nm_pad = _mmax_pad(mmax, m_chunk)
+
+    def pad_m(F):
+        return jnp.pad(F, [(0, 0)] * (F.ndim - 1) + [(0, nm_pad - (mmax + 1))])
+
+    if spin == 0:
+        F, _ = ringfft.ring_analysis(maps, nside, mmax + 1)
+        (alm,) = _analysis_rect(
+            (pad_m(F * w),), x, logch, logsh, lmax, mmax, (0,), m_chunk
+        )
+        alm = alm[..., : mmax + 1]
+        out = alm
+    else:
+        u = maps[..., 0, :] + 1j * maps[..., 1, :]
+        F, Fneg = ringfft.ring_analysis(u, nside, mmax + 1)
+        # a_{+s,lm} = sum_r w slm(l,m,+s) F_m(r): engine column ns=+s
+        # a_{-s,lm} = sum_r w slm(l,m,-s) conj(F_{-m}(r)): column ns=-s
+        a_p, a_m = _analysis_rect(
+            (pad_m(F * w), pad_m(jnp.conj(Fneg) * w)),
+            x, logch, logsh, lmax, mmax, (spin, -spin), m_chunk,
+        )
+        a_p = a_p[..., : mmax + 1]
+        a_m = a_m[..., : mmax + 1]
+        alm_e = -(a_p + a_m) / 2
+        alm_b = 1j * (a_p - a_m) / 2
+        out = jnp.stack([alm_e, alm_b], axis=-3)
+    if packed:
+        return pack_alm(out, lmax, mmax)
+    return out
+
+
+def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
+            m_chunk=DEFAULT_M_CHUNK, packed=True):
+    """Spin-0/2 spherical harmonic synthesis onto a HEALPix RING map.
+
+    ``alm``: packed (..., nlm) (spin 0) or (..., 2, nlm) (E, B) (spin 2);
+    rectangular when packed=False.  Returns (..., npix) or (..., 2, npix).
+    """
+    alm = jnp.asarray(alm)
+    spin = abs(int(spin))
+    if lmax is None:
+        if not packed:
+            lmax = alm.shape[-2] - 1
+        else:
+            # invert nlm = (mmax+1)(lmax+1) - mmax(mmax+1)/2 with mmax = lmax
+            nlm = alm.shape[-1]
+            lmax = int((np.sqrt(8 * nlm + 1) - 3) / 2 + 0.5)
+    mmax = lmax if mmax is None else int(mmax)
+    if packed:
+        alm = unpack_alm(alm, lmax, mmax)
+    fdt = "float64" if alm.dtype == jnp.complex128 else "float32"
+    x, logch, logsh = _geom_arrays(nside, fdt)
+    nm_pad = _mmax_pad(mmax, m_chunk)
+
+    def pad_m(a):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nm_pad - (mmax + 1))])
+
+    if spin == 0:
+        (G,) = _synthesis_rect(
+            (pad_m(alm),), x, logch, logsh, lmax, (0,), m_chunk
+        )
+        G = G[..., : mmax + 1]
+        return ringfft.ring_synthesis(G, None, nside)
+    alm_e = alm[..., 0, :, :]
+    alm_b = alm[..., 1, :, :]
+    a_p = -(alm_e + 1j * alm_b)  # a_{+spin}
+    a_m = -(alm_e - 1j * alm_b)  # a_{-spin}
+    # u = sum_{m>=0} G+_m e^{im phi} + sum_{m>0} G-_m e^{-im phi} with
+    # G+_m = sum_l a_{+s,lm} slm(l,m,+s) and
+    # G-_m = sum_l conj(a_{-s,lm}) slm-column(ns=-s) (reality relations)
+    Gp, Gm = _synthesis_rect(
+        (pad_m(a_p), pad_m(jnp.conj(a_m))),
+        x, logch, logsh, lmax, (spin, -spin), m_chunk,
+    )
+    Gp = Gp[..., : mmax + 1]
+    Gm = Gm[..., : mmax + 1]
+    u = ringfft.ring_synthesis(Gp, Gm, nside, real_output=False)
+    return jnp.stack([u.real, u.imag], axis=-2)
+
+
+map2alm_jit = jax.jit(
+    map2alm,
+    static_argnames=(
+        "lmax", "mmax", "spin", "weights", "iterations", "m_chunk", "packed"
+    ),
+)
+alm2map_jit = jax.jit(
+    alm2map,
+    static_argnames=("nside", "lmax", "mmax", "spin", "m_chunk", "packed"),
+)
+
+
+@functools.lru_cache(maxsize=32)
+def pixel_window(nside, lmax):
+    """Scalar pixel window function w(l), l = 0..lmax (numpy, float64).
+
+    Azimuthally-averaged top-hat approximation: the HEALPix pixel is
+    modelled as a spherical cap of equal area, whose window is
+    [P_{l-1}(c) - P_{l+1}(c)] / ((2l+1)(1-c)) with c = 1 - Omega_pix/2pi.
+    This is the same function healpy tabulates in its data files (used by
+    the reference at healpy.py:170-196 and twopoint.py:154-165) up to the
+    sub-percent azimuthal anisotropy of real HEALPix pixels; the framework
+    uses it consistently for both deconvolution and bias correction, so
+    internal round trips are exact.
+    """
+    c = 1.0 - nside2pixarea(nside) / (2.0 * np.pi)
+    ells = np.arange(lmax + 2)
+    # P_l(c) for l = 0..lmax+1
+    P = np.empty(lmax + 2)
+    P[0] = 1.0
+    if lmax + 1 >= 1:
+        P[1] = c
+    for ell in range(2, lmax + 2):
+        P[ell] = ((2 * ell - 1) * c * P[ell - 1] - (ell - 1) * P[ell - 2]) / ell
+    w = np.empty(lmax + 1)
+    w[0] = 1.0
+    ell = np.arange(1, lmax + 1)
+    w[1:] = (P[:lmax][0:] - P[2 : lmax + 2])[ell - 1] / ((2 * ell + 1) * (1.0 - c))
+    return w

@@ -1,0 +1,480 @@
+"""Angular power spectra and mask-coupling (mixing) matrices.
+
+Capability parity with ``/root/reference/heracles/twopoint.py``:
+
+* :func:`alm2cl` — (cross-)spectra of packed alms with broadcasting over
+  leading axes and lmax truncation (reference twopoint.py:63-101); here a
+  single masked contraction over the rectangular (l, m) layout instead of
+  the reference's per-m Python loop;
+* :func:`angular_power_spectra` — all auto/cross spectra over field x bin
+  combinations with pair dedup/canonical ordering, metadata merge with
+  ``_1``/``_2`` suffixes, noise bias from the mapped-field ingredients
+  ``bias = (1/2 if spin2 x spin2) * fsky * musq / dens``, optional debias
+  and binning (twopoint.py:173-299);
+* :func:`debias_cls` / ``_debias_cl`` — additive bias removal for
+  l >= max(|s1|, |s2|), EE/BB only for spin2 x spin2, divided by the
+  pixel window when the maps were deconvolved (twopoint.py:104-170);
+* :func:`mixing_matrices` / :func:`invert_mixing_matrix` /
+  :func:`apply_mixing_matrix` — MASTER coupling matrices from mask
+  spectra (twopoint.py:316-524).
+
+TPU-native mixing matrices: instead of per-(l1,l2) Wigner-3j recurrences
+(the reference's compiled ``convolvecl`` kernels), the 3j sums are
+evaluated in real space,
+
+    M[l1, l2] = (2 l2 + 1)/2 * Integral xi(x) d^{l1}_{-s1,-s2}(x)
+                                          d^{l2}_{s1,s2}(x) dx,
+
+where xi is the mask correlation function; the integral is exact on
+Gauss-Legendre nodes of degree (l1max+l2max+l3max)/2+1.  This turns the
+whole computation into two Wigner-d scans plus one large matmul on the
+MXU.  The parity-filtered EE/BB blocks come from the same integral with
+xi(-x) (node reversal).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import replace
+from datetime import timedelta
+from functools import partial
+from itertools import combinations_with_replacement, product
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import TocDict, toc_match, update_metadata
+from .ops import sht
+from .ops.wigner import wigner_table
+from .progress import NoProgress
+from .result import Result, binned, get_result_array
+
+__all__ = [
+    "alm2cl",
+    "alm2lmax",
+    "angular_power_spectra",
+    "debias_cls",
+    "mixing_matrices",
+    "invert_mixing_matrix",
+    "apply_mixing_matrix",
+    "mixmat",
+    "mixmat_eb",
+]
+
+logger = logging.getLogger(__name__)
+
+
+def alm2lmax(alm, mmax=None):
+    """lmax of a packed alm array (assumes mmax == lmax)."""
+    return (int((8 * np.shape(alm)[-1] + 1) ** 0.5 + 0.01) - 3) // 2
+
+
+@partial(jax.jit, static_argnames=("lmax1", "lmax2", "lout"))
+def _alm2cl_rect(alm1, alm2, lmax1, lmax2, lout):
+    """cl[..., l] = 1/(2l+1) sum_m (2 - delta_m0) Re(alm1 conj(alm2))."""
+    a1 = sht.unpack_alm(alm1, lmax1)[..., : lout + 1, : lout + 1]
+    a2 = sht.unpack_alm(alm2, lmax2)[..., : lout + 1, : lout + 1]
+    prod = a1.real * a2.real + a1.imag * a2.imag
+    m = jnp.arange(lout + 1)
+    eps = jnp.where(m == 0, 1.0, 2.0)
+    ells = jnp.arange(lout + 1, dtype=prod.dtype)
+    return (prod * eps).sum(axis=-1) / (2 * ells + 1)
+
+
+def alm2cl(alm, alm2=None, *, lmax=None):
+    """Angular (cross-)power spectrum of packed alms.
+
+    Broadcasts over leading axes as an outer product: alm (A..., nlm) and
+    alm2 (B..., nlm) give cl of shape (A..., B..., lout+1) with
+    lout = min(lmax, lmax(alm), lmax(alm2)).
+    """
+    if alm2 is None:
+        alm2 = alm
+    alm = np.asanyarray(alm)
+    alm2 = np.asanyarray(alm2)
+    lmax1, lmax2 = alm2lmax(alm), alm2lmax(alm2)
+    lout = min(lmax1, lmax2) if lmax is None else min(lmax, lmax1, lmax2)
+    if alm2.ndim > 1:
+        alm = alm.reshape(
+            *alm.shape[:-1], *((1,) * (alm2.ndim - 1)), alm.shape[-1]
+        )
+    # np.array: a writable host copy (jax buffers are read-only views)
+    return np.array(_alm2cl_rect(alm, alm2, lmax1, lmax2, lout))
+
+
+def _debias_cl(cl, bias=None, md=None, *, inplace=False):
+    """Subtract the additive noise bias (pixel-window aware)."""
+    if md is None:
+        md = cl.dtype.metadata or {}
+    if not inplace:
+        cl = cl.copy()
+        update_metadata(cl, **md)
+    if bias is None:
+        bias = md.get("bias")
+        if bias is None:
+            return cl
+
+    spin1, spin2 = md.get("spin_1", 0), md.get("spin_2", 0)
+    lmin = max(abs(spin1), abs(spin2))
+    lmax = cl.shape[-1] - 1
+
+    bl = np.zeros(cl.shape)
+    if spin1 != 0 and spin2 != 0:
+        # spin x spin: bias only in the EE and BB blocks
+        assert cl.shape[:2] == (2, 2)
+        bl[[0, 1], [0, 1], ..., lmin:] = bias
+    else:
+        bl[..., lmin:] = bias
+
+    # if the maps were pixel-window deconvolved, the shot noise in the
+    # spectrum was amplified by 1/pixwin^2... the reference divides the
+    # flat bias by the (healpix) window once per deconvolved side
+    for i, s in ((1, spin1), (2, spin2)):
+        if md.get(f"kernel_{i}") == "healpix":
+            nside = md.get(f"nside_{i}")
+            deconv = md.get(f"deconv_{i}", True)
+            if nside is not None and deconv:
+                if s in (0, 2):
+                    pw = sht.pixel_window(nside, lmax)
+                    bl[..., lmin:] /= pw[lmin:]
+
+    cl[:] -= bl
+    return cl
+
+
+def angular_power_spectra(
+    alms,
+    alms2=None,
+    *,
+    lmax=None,
+    debias=True,
+    bins=None,
+    weights=None,
+    include=None,
+    exclude=None,
+    out=None,
+):
+    """All auto/cross angular power spectra of a set of alms.
+
+    Keys of ``alms`` are (field, bin); results are keyed
+    (field1, field2, bin1, bin2) with symmetric-pair dedup and canonical
+    field ordering (reference twopoint.py:199-239).
+    """
+    logger.info(
+        "computing cls for %d%s alm(s)",
+        len(alms),
+        f"x{len(alms2)}" if alms2 is not None else "",
+    )
+    t = time.monotonic()
+
+    if alms2 is None:
+        pairs = combinations_with_replacement(alms, 2)
+        alms2 = alms
+    else:
+        pairs = product(alms, alms2)
+
+    twopoint_names = set()
+    cls = TocDict() if out is None else out
+
+    for (k1, i1), (k2, i2) in pairs:
+        if (k1, k2, i1, i2) in cls or (k2, k1, i2, i1) in cls:
+            continue
+        if (k1, k2) not in twopoint_names and (k2, k1) in twopoint_names:
+            i1, i2 = i2, i1
+            k1, k2 = k2, k1
+            swapped = True
+        else:
+            swapped = False
+        if not toc_match((k1, k2, i1, i2), include, exclude):
+            continue
+
+        if swapped:
+            alm1, alm2 = alms2[k1, i1], alms[k2, i2]
+        else:
+            alm1, alm2 = alms[k1, i1], alms2[k2, i2]
+
+        cl = alm2cl(alm1, alm2, lmax=lmax)
+
+        md1 = alm1.dtype.metadata or {}
+        md2 = alm2.dtype.metadata or {}
+        s1, s2 = md1.get("spin"), md2.get("spin")
+        if s1 is None or s2 is None:
+            raise ValueError(f"missing spin metadata for {k1} or {k2}")
+        md = {}
+        for key, value in md1.items():
+            md[f"{key}_1"] = value
+        for key, value in md2.items():
+            md[f"{key}_2"] = value
+        bias = None
+        if k1 == k2 and i1 == i2:
+            fsky = md1.get("fsky")
+            musq = md1.get("musq")
+            dens = md1.get("dens")
+            if fsky is not None and musq is not None and dens is not None:
+                factor = 0.5 if s1 == s2 == 2 else 1.0
+                bias = factor * fsky * musq / dens
+        if bias is not None:
+            md["bias"] = bias
+        if debias and bias is not None:
+            cl = np.ascontiguousarray(cl)
+            _debias_cl(cl, bias, md, inplace=True)
+        else:
+            cl = np.ascontiguousarray(cl)
+        update_metadata(cl, **md)
+
+        result = Result(cl, spin=(s1, s2), axis=-1)
+        if bins is not None:
+            result = binned(result, bins, weights)
+        cls[k1, k2, i1, i2] = result
+        twopoint_names.add((k1, k2))
+
+    logger.info(
+        "computed %d cl(s) in %s",
+        len(cls),
+        timedelta(seconds=(time.monotonic() - t)),
+    )
+    return cls
+
+
+def debias_cls(cls, bias=None, *, inplace=False):
+    """Remove (metadata or explicit) noise bias from every cl."""
+    out = cls if inplace else TocDict()
+    for key in cls:
+        out[key] = _debias_cl(cls[key], bias and bias.get(key), inplace=inplace)
+    return out
+
+
+# -- mixing matrices ------------------------------------------------------
+
+
+def _gl_nodes(npoints, dtype):
+    x, w = np.polynomial.legendre.leggauss(npoints)
+    x = jnp.asarray(x, dtype)
+    logch = jnp.asarray(0.5 * np.log((1.0 + np.asarray(x, np.float64)) / 2), dtype)
+    logsh = jnp.asarray(0.5 * np.log((1.0 - np.asarray(x, np.float64)) / 2), dtype)
+    return x, jnp.asarray(w, dtype), logch, logsh
+
+
+@partial(jax.jit, static_argnames=("l1max", "l2max", "s1", "s2", "eb"))
+def _mixmat_gl(cl3, l1max, l2max, s1, s2, eb):
+    """Real-space (GL-quadrature) evaluation of the MASTER coupling sums.
+
+    Returns (l1max+1, l2max+1) for eb=False, else the three blocks
+    (EE->EE, EE->BB, EB->EB) stacked on axis 0.
+    """
+    fdt = jnp.float64 if cl3.dtype == jnp.float64 else jnp.float32
+    cl3 = cl3.astype(fdt)
+    l3max = cl3.shape[-1] - 1
+    deg = l1max + l2max + l3max
+    npoints = deg // 2 + 1
+    x, w, logch, logsh = _gl_nodes(npoints, fdt)
+
+    # mask correlation at the nodes: xi = sum (2l+1)/4pi cl3 P_l(x)
+    P3 = wigner_table(0, 0, x, logch, logsh, l3max)  # (l3max+1, nx)
+    ells3 = jnp.arange(l3max + 1, dtype=fdt)
+    xi = ((2 * ells3 + 1) / (4 * jnp.pi) * cl3) @ P3  # (nx,)
+
+    # d tables: wigner_table(m, n, ...) = d^l_{-m,-n}
+    D1 = wigner_table(s1, s2, x, logch, logsh, l1max)  # d^{l1}_{-s1,-s2}
+    D2 = wigner_table(-s1, -s2, x, logch, logsh, l2max)  # d^{l2}_{s1,s2}
+
+    ells2 = jnp.arange(l2max + 1, dtype=fdt)
+    pref = 2 * jnp.pi * (2 * ells2 + 1) / (4 * jnp.pi)
+
+    def integral(xi_nodes):
+        return jnp.einsum(
+            "ax,x,bx->ab", D1, w * xi_nodes, D2,
+            preferred_element_type=fdt,
+        )
+
+    I_full = integral(xi) * pref[None, :]
+    if not eb:
+        return I_full
+    # parity-filtered blocks via xi(-x): GL nodes are symmetric, so
+    # xi(-x) is a node reversal
+    I_flip = integral(xi[::-1]) * pref[None, :]
+    ells1 = jnp.arange(l1max + 1, dtype=fdt)
+    par = jnp.where((ells1[:, None] + ells2[None, :]) % 2 == 0, 1.0, -1.0)
+    M_plus = (I_full + par * I_flip) / 2
+    M_minus = (I_full - par * I_flip) / 2
+    return jnp.stack([M_plus, M_minus, M_plus - M_minus], axis=0)
+
+
+def mixmat(cl, *, l1max=None, l2max=None, l3max=None, spin=(0, 0)):
+    """MASTER mixing matrix M[l1, l2] for a (possibly spin-weighted) pair.
+
+    Equivalent of ``convolvecl.mixmat`` (used at reference
+    twopoint.py:379-388): M = (2 l2+1)/4pi sum_l3 (2 l3+1) cl[l3]
+    (3j(l1,l2,l3; -s1,s1,0))(3j(l1,l2,l3; -s2,s2,0)).
+    """
+    cl = np.asanyarray(cl)
+    if l3max is not None:
+        cl = cl[..., : l3max + 1]
+    lmax_default = cl.shape[-1] - 1
+    l1max = lmax_default if l1max is None else int(l1max)
+    l2max = lmax_default if l2max is None else int(l2max)
+    s1, s2 = spin
+    out = _mixmat_gl(jnp.asarray(cl), l1max, l2max, abs(s1), abs(s2), False)
+    return np.asarray(out)
+
+
+def mixmat_eb(cl, *, l1max=None, l2max=None, l3max=None, spin=(2, 2)):
+    """E/B mixing-matrix blocks (EE<->EE, EE<->BB, EB<->EB) for spin pairs.
+
+    Equivalent of ``convolvecl.mixmat_eb``; the EB block equals
+    M_plus - M_minus, consistent with the reference's block-diagonal
+    inversion (twopoint.py:443-458).
+    """
+    cl = np.asanyarray(cl)
+    if l3max is not None:
+        cl = cl[..., : l3max + 1]
+    lmax_default = cl.shape[-1] - 1
+    l1max = lmax_default if l1max is None else int(l1max)
+    l2max = lmax_default if l2max is None else int(l2max)
+    s1, s2 = spin
+    out = _mixmat_gl(jnp.asarray(cl), l1max, l2max, abs(s1), abs(s2), True)
+    return np.asarray(out)
+
+
+def mixing_matrices(
+    fields,
+    cls,
+    *,
+    l1max=None,
+    l2max=None,
+    l3max=None,
+    bins=None,
+    weights=None,
+    out=None,
+    progress=None,
+):
+    """Mixing matrices for all field pairs covered by the given mask cls.
+
+    ``cls`` are mask (cross-)spectra keyed (mask1, mask2, bin1, bin2);
+    fields are matched through their ``mask`` attribute (reference
+    twopoint.py:316-401).  The result is keyed (field1, field2, bin1,
+    bin2) and wrapped as a Result with the *output* ell on axis -2.
+    """
+    if out is None:
+        out = TocDict()
+    if progress is None:
+        progress = NoProgress()
+
+    masks = {}
+    for key, field in fields.items():
+        if field.mask is not None:
+            masks.setdefault(field.mask, {})[key] = field
+
+    done = set()
+    current, total = 0, len(cls)
+    for (k1, k2, i1, i2), cl in cls.items():
+        current += 1
+        progress.update(current, total)
+        try:
+            fields1 = masks[k1]
+            fields2 = masks[k2]
+        except KeyError:
+            continue
+        for f1, f2 in product(fields1, fields2):
+            if (f1, f2, i1, i2) in done or (f2, f1, i2, i1) in done:
+                continue
+            done.add((f1, f2, i1, i2))
+            with progress.task(f"({f1}, {f2}, {i1}, {i2})"):
+                spin1, spin2 = fields1[f1].spin, fields2[f2].spin
+                compute = mixmat if spin1 == 0 or spin2 == 0 else mixmat_eb
+                mm = compute(
+                    np.asarray(getattr(cl, "array", cl)),
+                    l1max=l1max,
+                    l2max=l2max,
+                    l3max=l3max,
+                    spin=(spin1, spin2),
+                )
+                ell = np.arange(mm.shape[-2])
+                result = Result(mm, spin=(spin1, spin2), ell=ell, axis=-2)
+                if bins is not None:
+                    result = binned(result, bins, weights)
+                out[f1, f2, i1, i2] = result
+                del mm
+    return out
+
+
+def invert_mixing_matrix(M, rcond=1e-5, progress=None):
+    """Pseudo-inverses of mixing matrices.
+
+    For spin2 x spin2, the (EE, BB) sector is block-diagonalised by the
+    M+ = M_EE + M_BB / M- = M_EE - M_BB transformation before pinv and
+    recombined; EB inverts independently (reference twopoint.py:404-481).
+    """
+    from collections.abc import Mapping as _Mapping
+
+    if progress is None:
+        progress = NoProgress()
+
+    inv = {}
+    current, total = 0, len(M)
+    for key, value in M.items():
+        current += 1
+        progress.update(current, total)
+        arr = value.array
+        s1, s2 = value.spin
+        *_, n, m = arr.shape
+        if isinstance(rcond, _Mapping):
+            if key not in rcond:
+                raise KeyError(f"Missing rcond value for wm key: {key}")
+            rc = rcond[key]
+        else:
+            rc = rcond
+        with progress.task(f"invert {key}"):
+            if s1 != 0 and s2 != 0:
+                inv_p = np.linalg.pinv(arr[0] + arr[1], rcond=rc)
+                inv_m = np.linalg.pinv(arr[0] - arr[1], rcond=rc)
+                inv_ee = (inv_p + inv_m) / 2
+                inv_bb = (inv_p - inv_m) / 2
+                inv_eb = np.linalg.pinv(arr[2], rcond=rc)
+                arr_inv = np.array([inv_ee, inv_bb, inv_eb])
+            else:
+                arr_inv = np.linalg.pinv(arr, rcond=rc)
+            if n != m:
+                # pinv swaps input/output ell axes; rebuild angular arrays
+                axis = value.axis[0]
+                out_size = arr_inv.shape[axis]
+                inv[key] = replace(
+                    value,
+                    array=arr_inv,
+                    ell=np.arange(out_size),
+                    lower=np.arange(out_size),
+                    upper=np.arange(1, out_size + 1),
+                    weight=np.ones(out_size),
+                )
+            else:
+                inv[key] = replace(value, array=arr_inv)
+    return inv
+
+
+def apply_mixing_matrix(d, M):
+    """Apply mixing matrices to data cls (block E/B handling for spin-2)."""
+    out = {}
+    for key in d.keys():
+        dtype = d[key].array.dtype
+        s1, s2 = d[key].spin
+        data = np.atleast_2d(d[key].array)
+        mat = M[key].array
+        ell = get_result_array(M[key], "ell")[0]
+        lower = get_result_array(M[key], "lower")[0]
+        upper = get_result_array(M[key], "upper")[0]
+        weight = get_result_array(M[key], "weight")[0]
+        if s1 != 0 and s2 != 0:
+            ee = mat[0] @ data[0, 0] + mat[1] @ data[1, 1]
+            bb = mat[1] @ data[0, 0] + mat[0] @ data[1, 1]
+            eb = mat[2] @ data[0, 1]
+            be = mat[2] @ data[1, 0]
+            mixed = np.array([[ee, eb], [be, bb]])
+        else:
+            mixed = np.squeeze(np.array([mat @ cl for cl in data]))
+        mixed = np.asarray(mixed, dtype=dtype)
+        out[key] = replace(
+            d[key], array=mixed, ell=ell, lower=lower, upper=upper, weight=weight
+        )
+    return out

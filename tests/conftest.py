@@ -9,7 +9,9 @@ multi-chip sharding tests run without TPU hardware.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel,
+# which lacks float64/complex128 and pays a remote compile round trip per op
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,4 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# the environment's jax is patched to prepend the "axon" TPU-tunnel platform
+# regardless of JAX_PLATFORMS, so pin the platform list explicitly
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
