@@ -158,10 +158,12 @@ def _gather_rows(maps, pix0, nph_np, L):
     return jnp.where(p < nph[:, None], rows, 0)
 
 
-def ring_analysis(maps, nside, nm, *, plan=None):
+def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
     """Per-ring Fourier coefficients F[..., r, m] = sum_p v_p e^{-i m phi_p}.
 
-    ``maps``: (..., npix) real or complex, RING ordering.
+    ``maps``: (..., npix) real or complex, RING ordering.  The ``nm``
+    orders start at ``m0`` (may be a traced value — used by the m-sharded
+    SHT, where each device owns a contiguous block of orders).
     Returns ``(F, Fneg)`` complex arrays of shape (..., nrings, nm); for
     real input ``Fneg`` is None (F_{-m} = conj(F_m)).
     """
@@ -170,7 +172,7 @@ def ring_analysis(maps, nside, nm, *, plan=None):
     complex_in = jnp.iscomplexobj(maps)
     cdt = _complex_dtype(maps.dtype)
     rdt = _real_dtype(maps.dtype)
-    m = jnp.arange(nm, dtype=jnp.int32)[None, :]
+    m = (jnp.asarray(m0, jnp.int32) + jnp.arange(nm, dtype=jnp.int32))[None, :]
     out_pos = []
     out_neg = []
     for b in plan:

@@ -135,11 +135,12 @@ def _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, carry_extra, fdt, xs_e
     msign = jnp.where(jnp.asarray(ms, jnp.int32) % 2 == 0, 1.0, -1.0).astype(fdt)
     seed_mant, seed_k = _seed_scaled(sign * msign, logval)
 
-    nlanes = mp.shape[0]
-    nr = x.shape[0]
-    d_prev = jnp.zeros((nlanes, nr), fdt)
-    d_curr = jnp.zeros((nlanes, nr), fdt)
-    k = jnp.full((nlanes, nr), -(2**30), jnp.int32)
+    # derive the initial carry from the seeds so its sharding "vma" type
+    # (varying over shard_map axes, e.g. the m-sharded SHT) matches the
+    # per-step values
+    d_prev = jnp.zeros_like(seed_mant)
+    d_curr = jnp.zeros_like(seed_mant)
+    k = jnp.full_like(seed_k, -(2**30))
 
     def step(carry, scan_xs):
         ell, xs = scan_xs

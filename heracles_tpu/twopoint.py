@@ -250,11 +250,12 @@ def debias_cls(cls, bias=None, *, inplace=False):
 
 
 def _gl_nodes(npoints, dtype):
+    """Gauss-Legendre nodes/weights + half-angle logs (host numpy consts)."""
     x, w = np.polynomial.legendre.leggauss(npoints)
-    x = jnp.asarray(x, dtype)
-    logch = jnp.asarray(0.5 * np.log((1.0 + np.asarray(x, np.float64)) / 2), dtype)
-    logsh = jnp.asarray(0.5 * np.log((1.0 - np.asarray(x, np.float64)) / 2), dtype)
-    return x, jnp.asarray(w, dtype), logch, logsh
+    logch = 0.5 * np.log((1.0 + x) / 2)
+    logsh = 0.5 * np.log((1.0 - x) / 2)
+    dt = np.dtype(str(np.dtype(dtype)))
+    return x.astype(dt), w.astype(dt), logch.astype(dt), logsh.astype(dt)
 
 
 @partial(jax.jit, static_argnames=("l1max", "l2max", "s1", "s2", "eb"))
