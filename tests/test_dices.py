@@ -1,0 +1,188 @@
+"""DICES: jackknife identities, covariance oracles, shrinkage."""
+
+import numpy as np
+import pytest
+
+import heracles_tpu as h
+import heracles_tpu.dices as dices
+from heracles_tpu import healpix as hpx
+from heracles_tpu.core import update_metadata
+from heracles_tpu.result import Result
+from heracles_tpu.utils import flatten, get_cl
+
+NSIDE = 8
+LMAX = 8
+NJK = 3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(42)
+    npix = hpx.nside2npix(NSIDE)
+    mapper = h.HealpixMapper(NSIDE, LMAX, deconvolve=False)
+    fields = {
+        "POS": h.Positions(mapper, "RA", "DEC", mask="VIS"),
+        "VIS": h.Visibility(mapper),
+    }
+    data = mapper.create(spin=0)
+    data[:] = rng.normal(size=npix)
+    update_metadata(data, fsky=1.0, musq=1.0, dens=100.0)
+    vis = mapper.create(spin=0)
+    vis[:] = 1.0
+    update_metadata(vis, fsky=1.0)
+    jk = np.zeros(npix)
+    edges = np.linspace(0, npix, NJK + 1).astype(int)
+    for k in range(NJK):
+        jk[edges[k] : edges[k + 1]] = k + 1
+    return fields, {("POS", 0): data}, {("VIS", 0): vis}, jk
+
+
+def test_alm_subtraction_equals_map_masking(setup, tmp_path):
+    """full alms - region alms == alms of the masked map (SHT linearity)."""
+    from heracles_tpu.dices.jackknife import _get_region_maps
+    from heracles_tpu.mapping import transform
+
+    fields, data_maps, vis_maps, jk = setup
+    full = transform(fields, data_maps)
+    region1 = transform(fields, _get_region_maps(data_maps, jk, 1))
+    rest = {k: jk_masked for k, jk_masked in data_maps.items()}
+    masked = {
+        key: m * (jk != 1).astype(int) * (jk > 0).astype(int)
+        for key, m in data_maps.items()
+    }
+    # re-attach metadata lost by arithmetic
+    for key, m in masked.items():
+        update_metadata(m, **(data_maps[key].dtype.metadata or {}))
+    direct = transform(fields, masked)
+    np.testing.assert_allclose(
+        full["POS", 0] - region1["POS", 0], direct["POS", 0], atol=1e-12
+    )
+
+
+def test_jackknife_cls_and_covariance(setup, tmp_path):
+    fields, data_maps, vis_maps, jk = setup
+    d = str(tmp_path / "dices")
+    cls0 = dices.jackknife_cls(data_maps, vis_maps, jk, fields, nd=0, dir=d)[()]
+    cls1 = dices.jackknife_cls(data_maps, vis_maps, jk, fields, nd=1, dir=d)
+    assert set(cls1.keys()) == {(1,), (2,), (3,)}
+    cov = dices.jackknife_covariance(cls1, nd=1)
+    key = ("POS", "POS", "POS", "POS", 0, 0, 0, 0)
+    assert key in cov
+    r = cov[key]
+    assert r.shape == (LMAX + 1, LMAX + 1)
+    assert r.spin == (0, 0, 0, 0)
+    # oracle: prefactored np.cov of the sample matrix
+    samples = np.stack([np.asarray(c["POS", "POS", 0, 0]) for c in cls1.values()])
+    want = np.cov(samples.T, bias=False) * (NJK - 1) ** 2 / NJK
+    np.testing.assert_allclose(np.asarray(r), want, rtol=1e-10)
+
+
+def test_delete2_correction_is_diagonal(setup, tmp_path):
+    fields, data_maps, vis_maps, jk = setup
+    d = str(tmp_path / "dices2")
+    cls0 = dices.jackknife_cls(data_maps, vis_maps, jk, fields, nd=0, dir=d)[()]
+    cls1 = dices.jackknife_cls(data_maps, vis_maps, jk, fields, nd=1, dir=d)
+    cls2 = dices.jackknife_cls(data_maps, vis_maps, jk, fields, nd=2, dir=d)
+    assert set(cls2.keys()) == {(1, 2), (1, 3), (2, 3)}
+    Q = dices.delete2_correction(cls0, cls1, cls2)
+    key = ("POS", "POS", "POS", "POS", 0, 0, 0, 0)
+    q = np.asarray(Q[key])
+    off = q - np.diag(np.diag(q))
+    np.testing.assert_allclose(off, 0.0)
+    cov = dices.jackknife_covariance(cls1, nd=1)
+    deb = dices.debias_covariance(cov, cls0, cls1, cls2)
+    np.testing.assert_allclose(
+        np.asarray(deb[key]), np.asarray(cov[key]) - q, atol=1e-14
+    )
+
+
+def test_full_mask_correction_matches_fast(setup, tmp_path):
+    """With a uniform footprint, Fast and Full corrections must agree."""
+    fields, data_maps, vis_maps, jk = setup
+    d1 = str(tmp_path / "fast")
+    d2 = str(tmp_path / "full")
+    fast = dices.jackknife_cls(
+        data_maps, vis_maps, jk, fields, mask_correction="Fast", nd=1, dir=d1
+    )
+    full = dices.jackknife_cls(
+        data_maps, vis_maps, jk, fields, mask_correction="Full", nd=1, dir=d2
+    )
+    a = np.asarray(fast[(1,)]["POS", "POS", 0, 0])
+    b = np.asarray(full[(1,)]["POS", "POS", 0, 0])
+    # the two corrections agree on the broad amplitude (they differ in
+    # the ell-dependence of the mask deconvolution)
+    assert np.mean(b[2:]) == pytest.approx(np.mean(a[2:]), rel=0.5)
+
+
+def test_gaussian_covariance_unit_cls():
+    # Knox formula: diag == 2 for unit cls of a single spin-0 auto
+    lmax = 6
+    cl = Result(np.ones(lmax + 1), spin=(0, 0))
+    cov = dices.gaussian_covariance({("A", "A", 0, 0): cl})
+    g = np.asarray(cov["A", "A", "A", "A", 0, 0, 0, 0])
+    np.testing.assert_allclose(np.diag(g), 2.0)
+    np.testing.assert_allclose(g - np.diag(np.diag(g)), 0.0)
+
+
+def test_flatten_roundtrip_structure():
+    lmax = 4
+    rng = np.random.default_rng(0)
+    cls = {
+        ("A", "A", 0, 0): Result(rng.normal(size=lmax + 1), spin=(0, 0)),
+        ("A", "B", 0, 0): Result(rng.normal(size=(2, lmax + 1)), spin=(0, 2)),
+    }
+    v = flatten(cls)
+    assert v.shape == ((lmax + 1) + 2 * (lmax + 1),)
+    np.testing.assert_array_equal(v[: lmax + 1], np.asarray(cls["A", "A", 0, 0]))
+
+
+def test_flatten_covariance_with_transpose_blocks():
+    n = 3
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(n, n))
+    b = rng.normal(size=(n, n))
+    c = rng.normal(size=(n, n))
+    cov = {
+        ("A", "A", "A", "A", 0, 0, 0, 0): Result(
+            a, spin=(0, 0, 0, 0), axis=(-2, -1)
+        ),
+        ("A", "A", "B", "B", 0, 0, 0, 0): Result(
+            b, spin=(0, 0, 0, 0), axis=(-2, -1)
+        ),
+        ("B", "B", "B", "B", 0, 0, 0, 0): Result(
+            c, spin=(0, 0, 0, 0), axis=(-2, -1)
+        ),
+    }
+    m = flatten(cov, order=[("A", "A", 0, 0), ("B", "B", 0, 0)])
+    assert m.shape == (2 * n, 2 * n)
+    np.testing.assert_array_equal(m[:n, :n], a)
+    np.testing.assert_array_equal(m[:n, n:], b)
+    np.testing.assert_array_equal(m[n:, :n], b.T)  # transpose-filled
+    np.testing.assert_array_equal(m[n:, n:], c)
+
+
+def test_get_cl_symmetric_lookup():
+    lmax = 4
+    arr = np.arange((lmax + 1) * 4.0).reshape(2, 2, lmax + 1)
+    cls = {("S", "P", 0, 1): Result(arr, spin=(2, 2))}
+    sym = get_cl(("P", "S", 1, 0), cls)
+    np.testing.assert_array_equal(np.asarray(sym), arr.transpose(1, 0, 2))
+    assert sym.spin == (2, 2)
+
+
+def test_shrinkage(setup, tmp_path):
+    fields, data_maps, vis_maps, jk = setup
+    d = str(tmp_path / "shr")
+    cls0 = dices.jackknife_cls(data_maps, vis_maps, jk, fields, nd=0, dir=d)[()]
+    cls1 = dices.jackknife_cls(data_maps, vis_maps, jk, fields, nd=1, dir=d)
+    cov = dices.jackknife_covariance(cls1, nd=1)
+    target = dices.gaussian_covariance(cls0)
+    lam = dices.shrinkage_factor(cls1, target)
+    assert np.isfinite(lam)
+    shrunk = dices.shrink(cov, target, 1.0)
+    key = next(iter(cov))
+    # full shrinkage imposes the target correlation: diagonal equals cov's
+    np.testing.assert_allclose(
+        np.diag(np.asarray(shrunk[key])), np.diag(np.asarray(cov[key])),
+        rtol=1e-10,
+    )
