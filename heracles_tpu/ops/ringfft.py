@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -172,23 +173,51 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
     complex_in = jnp.iscomplexobj(maps)
     cdt = _complex_dtype(maps.dtype)
     rdt = _real_dtype(maps.dtype)
+    static_m0 = isinstance(m0, int)
     m = (jnp.asarray(m0, jnp.int32) + jnp.arange(nm, dtype=jnp.int32))[None, :]
     out_pos = []
     out_neg = []
     for b in plan:
         nph = jnp.asarray(b["nph"], dtype=jnp.int32)
         L = b["L"]
-        rows = _gather_rows(maps, b["pix"][0], b["nph"], L).astype(cdt)
+        nph_min = int(b["nph"].min())
         if b["belt"]:
-            C = jnp.fft.fft(rows, axis=-1)
+            # the belt is contiguous with constant row length: a reshape,
+            # not a gather
+            p0, p1 = b["pix"]
+            nr_b = b["rings"][1] - b["rings"][0]
+            rows = maps[..., p0:p1].reshape(maps.shape[:-1] + (nr_b, L))
+            C = jnp.fft.fft(rows.astype(cdt), axis=-1)
         else:
+            rows = _gather_rows(maps, b["pix"][0], b["nph"], L).astype(cdt)
             C = _bluestein_dft(rows, nph, L, sign=-1)
-        # alias gather: F_m = C[m mod nph] * e^{-i m phi0}
-        k = m % nph[:, None]
-        kb = jnp.broadcast_to(k, C.shape[:-2] + k.shape)
         phase = jnp.exp(
             -1j * m.astype(rdt) * jnp.asarray(b["phi0"], rdt)[:, None]
         )
+        if static_m0 and m0 + nm <= nph_min:
+            # no aliasing in range: the "gather" is a slice
+            Cm = jax.lax.slice_in_dim(C, m0, m0 + nm, axis=-1)
+            out_pos.append(Cm * phase)
+            if complex_in:
+                # F_{-m} = C[(-m) mod nph]; for the belt all rows share nph
+                if b["belt"] and m0 == 0:
+                    Cneg = jnp.flip(
+                        jax.lax.slice_in_dim(C, L - nm + 1, L, axis=-1), axis=-1
+                    )
+                    Cneg = jnp.concatenate(
+                        [jax.lax.slice_in_dim(C, 0, 1, axis=-1), Cneg], axis=-1
+                    )
+                    out_neg.append(Cneg * jnp.conj(phase))
+                else:
+                    kneg = (-m) % nph[:, None]
+                    knb = jnp.broadcast_to(kneg, C.shape[:-2] + kneg.shape)
+                    out_neg.append(
+                        jnp.take_along_axis(C, knb, axis=-1) * jnp.conj(phase)
+                    )
+            continue
+        # alias gather: F_m = C[m mod nph] * e^{-i m phi0}
+        k = m % nph[:, None]
+        kb = jnp.broadcast_to(k, C.shape[:-2] + k.shape)
         out_pos.append(jnp.take_along_axis(C, kb, axis=-1) * phase)
         if complex_in:
             kneg = (-m) % nph[:, None]
@@ -221,6 +250,7 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
         nph = jnp.asarray(b["nph"], dtype=jnp.int32)[:, None]
         phi0 = jnp.asarray(b["phi0"], rdt)[:, None]
         L = b["L"]
+        nph_min = int(b["nph"].min())
         phase = jnp.exp(1j * m.astype(rdt) * phi0)
         hp = h_pos[..., r0 : r0 + nr_b, :] * phase
         if h_neg is None:
@@ -228,27 +258,41 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
         else:
             hn = h_neg[..., r0 : r0 + nr_b, :] * jnp.conj(phase)
         hn = hn.at[..., 0].set(0.0)  # m=0 enters once
-        k = jnp.broadcast_to(m % nph, (nr_b, nm))
-        kneg = jnp.broadcast_to((-m) % nph, (nr_b, nm))
-        rows = jnp.arange(nr_b, dtype=jnp.int32)[:, None]
-        d = jnp.zeros(hp.shape[:-1] + (L,), dtype=hp.dtype)
-        d = d.at[..., rows, k].add(hp)
-        d = d.at[..., rows, kneg].add(hn)
+        if b["belt"] and 2 * nm - 1 <= L:
+            # no aliasing and constant row length: build the frequency
+            # rows by concatenation instead of a scatter
+            zeros = jnp.zeros(hp.shape[:-1] + (L - 2 * nm + 1,), hp.dtype)
+            d = jnp.concatenate(
+                [hp, zeros, jnp.flip(hn[..., 1:], axis=-1)], axis=-1
+            )
+        else:
+            k = jnp.broadcast_to(m % nph, (nr_b, nm))
+            kneg = jnp.broadcast_to((-m) % nph, (nr_b, nm))
+            rows = jnp.arange(nr_b, dtype=jnp.int32)[:, None]
+            d = jnp.zeros(hp.shape[:-1] + (L,), dtype=hp.dtype)
+            d = d.at[..., rows, k].add(hp)
+            d = d.at[..., rows, kneg].add(hn)
         if b["belt"]:
             v = jnp.fft.ifft(d, axis=-1) * L
         else:
             v = _bluestein_dft(d, jnp.asarray(b["nph"], jnp.int32), L, sign=+1)
         if real_output:
             v = v.real
-        # flatten padded rows back onto the ragged contiguous pixel axis
-        valid = np.arange(L)[None, :] < b["nph"][:, None]
-        flat_idx = jnp.asarray(
-            (np.arange(len(b["nph"]))[:, None] * L + np.arange(L)[None, :])[valid],
-            dtype=jnp.int32,
-        )
-        pieces.append(
-            jnp.take(v.reshape(v.shape[:-2] + (nr_b * L,)), flat_idx, axis=-1)
-        )
+        if b["belt"]:
+            # constant row length == nph: plain reshape, no gather
+            pieces.append(v.reshape(v.shape[:-2] + (nr_b * L,)))
+        else:
+            # flatten padded rows back onto the ragged contiguous pixel axis
+            valid = np.arange(L)[None, :] < b["nph"][:, None]
+            flat_idx = jnp.asarray(
+                (np.arange(len(b["nph"]))[:, None] * L + np.arange(L)[None, :])[
+                    valid
+                ],
+                dtype=jnp.int32,
+            )
+            pieces.append(
+                jnp.take(v.reshape(v.shape[:-2] + (nr_b * L,)), flat_idx, axis=-1)
+            )
         r0 += nr_b
     out = jnp.concatenate(pieces, axis=-1)
     assert out.shape[-1] == nside2npix(nside)

@@ -153,11 +153,78 @@ def _run_chunks(nm_pad, m_chunk, fn):
     return jax.lax.map(fn, starts)
 
 
-def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
-    """Run the Wigner analysis scan over m-chunks.
+def _fold_rings(F, nside):
+    """Split full-ring arrays (..., nr, nm) into (north, south-mirrored).
 
-    ``Fw``: tuple of (..., nr, nm_pad) complex arrays, one per spin column n
-    in ``ns``.  Returns tuple of (..., lmax+1, nm_pad) rectangular alms.
+    North covers rings 0..2*nside-1 (incl. the equator); the south part
+    is mirrored onto the same rows with a zero equator row (the equator
+    is its own mirror and must enter once).
+    """
+    nhalf = 2 * nside
+    FN = F[..., :nhalf, :]
+    FS = jnp.flip(F[..., nhalf:, :], axis=-2)
+    FS = jnp.pad(FS, [(0, 0)] * (F.ndim - 2) + [(0, 1), (0, 0)])
+    return FN, FS
+
+
+def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
+    """Run the ring-pair-folded Wigner analysis scan over m-chunks.
+
+    ``Fw``: tuple of (..., nr, nm_pad) complex arrays over *full* rings,
+    one per spin column n in ``ns``; ``x``/``logch``/``logsh`` cover the
+    northern half (incl. equator).  N/S mirror symmetry pairs column +n
+    with column -n, so each branch's even/odd inputs combine its own
+    northern rows with its partner branch's southern rows.
+    Returns tuple of (..., lmax+1, nm_pad) rectangular alms.
+    """
+    nm_pad = Fw[0].shape[-1]
+    nspin = len(ns)
+    nside = (Fw[0].shape[-2] + 1) // 4
+    cross = nspin == 2
+
+    # mirror symmetry: lam^{(n)}(pi-t) = (-1)^{l+m} lam^{(-n)}(t), so the
+    # southern rows pair with the partner (-n) branch and carry a (-1)^m
+    # per-order sign; the l-parity is handled inside the folded scan
+    msign = jnp.where(jnp.arange(nm_pad) % 2 == 0, 1.0, -1.0)
+    folded = [_fold_rings(f, nside) for f in Fw]
+    FN = [fn for fn, _ in folded]
+    FS = []
+    for b in range(nspin):
+        partner = folded[nspin - 1 - b] if cross else folded[b]
+        FS.append(partner[1] * msign)
+
+    def chunk(start):
+        ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
+        ms_l = jnp.tile(ms, nspin)
+        ns_l = jnp.repeat(jnp.asarray(ns, jnp.int32), m_chunk)
+
+        def slice_cat(fs):
+            return jnp.concatenate(
+                [jax.lax.dynamic_slice_in_dim(f, start, m_chunk, axis=-1)
+                 for f in fs],
+                axis=-1,
+            )
+
+        return wigner.lambda_analysis_scan_folded(
+            ms_l, ns_l, x, logch, logsh, lmax,
+            slice_cat(FN), slice_cat(FS), cross=cross,
+        )
+
+    ys = _run_chunks(nm_pad, m_chunk, chunk)
+    # ys: (nchunks, ..., lmax+1, nspin*m_chunk) -> per-spin (..., lmax+1, nm_pad)
+    outs = []
+    for i in range(nspin):
+        part = ys[..., i * m_chunk : (i + 1) * m_chunk]
+        part = jnp.moveaxis(part, 0, -2)  # (..., lmax+1, nchunks, m_chunk)
+        outs.append(part.reshape(part.shape[:-2] + (nm_pad,)))
+    return tuple(outs)
+
+
+def _analysis_rect_points(Fw, x, logch, logsh, lmax, ns, m_chunk):
+    """Unfolded analysis over arbitrary points (no ring-pair symmetry).
+
+    Used by the discrete (pixel-free) mapper, where the "rings" are
+    individual catalogue points at arbitrary colatitudes.
     """
     nm_pad = Fw[0].shape[-1]
     nspin = len(ns)
@@ -170,26 +237,27 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
             [jax.lax.dynamic_slice_in_dim(f, start, m_chunk, axis=-1) for f in Fw],
             axis=-1,
         )
-        out = wigner.lambda_analysis_scan(ms_l, ns_l, x, logch, logsh, lmax, Fw_l)
-        return out  # (..., lmax+1, nspin*m_chunk)
+        return wigner.lambda_analysis_scan(ms_l, ns_l, x, logch, logsh, lmax, Fw_l)
 
     ys = _run_chunks(nm_pad, m_chunk, chunk)
-    # ys: (nchunks, ..., lmax+1, nspin*m_chunk) -> per-spin (..., lmax+1, nm_pad)
     outs = []
     for i in range(nspin):
         part = ys[..., i * m_chunk : (i + 1) * m_chunk]
-        part = jnp.moveaxis(part, 0, -2)  # (..., lmax+1, nchunks, m_chunk)
+        part = jnp.moveaxis(part, 0, -2)
         outs.append(part.reshape(part.shape[:-2] + (nm_pad,)))
     return tuple(outs)
 
 
-def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk):
+def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside):
     """Inverse: tuple of rectangular alms (..., lmax+1, nm_pad) -> ring G.
 
-    Returns tuple of (..., nr, nm_pad) complex per spin column.
+    Ring-pair folded: each branch's full-ring G is reassembled from the
+    even/odd partial sums, with the southern rows coming from the partner
+    (-n) branch.  Returns tuple of (..., nr, nm_pad) complex per column.
     """
     nm_pad = alms[0].shape[-1]
     nspin = len(ns)
+    cross = nspin == 2
 
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
@@ -199,14 +267,24 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk):
             [jax.lax.dynamic_slice_in_dim(a, start, m_chunk, axis=-1) for a in alms],
             axis=-1,
         )
-        return wigner.lambda_synthesis_scan(ms_l, ns_l, x, logch, logsh, lmax, alm_l)
+        return wigner.lambda_synthesis_scan_folded(
+            ms_l, ns_l, x, logch, logsh, lmax, alm_l, cross=cross
+        )
 
-    ys = _run_chunks(nm_pad, m_chunk, chunk)
+    GN, GS = _run_chunks(nm_pad, m_chunk, chunk)
+
+    def unchunk(part):
+        part = jnp.moveaxis(part, 0, -2)  # (..., nhalf, nchunks, m_chunk)
+        return part.reshape(part.shape[:-2] + (nm_pad,))
+
     outs = []
     for i in range(nspin):
-        part = ys[..., i * m_chunk : (i + 1) * m_chunk]
-        part = jnp.moveaxis(part, 0, -2)  # (..., nr, nchunks, m_chunk)
-        outs.append(part.reshape(part.shape[:-2] + (nm_pad,)))
+        sl = slice(i * m_chunk, (i + 1) * m_chunk)
+        north = unchunk(GN[..., sl])
+        # full rings: north rows as-is; south rows are the mirrored GS
+        # without its equator row (the equator is its own mirror)
+        south = jnp.flip(unchunk(GS[..., sl])[..., :-1, :], axis=-2)
+        outs.append(jnp.concatenate([north, south], axis=-2))
     return tuple(outs)
 
 
@@ -267,6 +345,8 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
     mmax = lmax if mmax is None else int(mmax)
     fdt = "float64" if maps.dtype in (jnp.float64, jnp.complex128) else "float32"
     x, logch, logsh = _geom_arrays(nside, fdt)
+    nhalf = 2 * nside
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
     w = _weights_arr(nside, weights, fdt)[:, None]
     nm_pad = _mmax_pad(mmax, m_chunk)
 
@@ -320,6 +400,8 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
         alm = unpack_alm(alm, lmax, mmax)
     fdt = "float64" if alm.dtype == jnp.complex128 else "float32"
     x, logch, logsh = _geom_arrays(nside, fdt)
+    nhalf = 2 * nside
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
     nm_pad = _mmax_pad(mmax, m_chunk)
 
     def pad_m(a):
@@ -327,7 +409,7 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
 
     if spin == 0:
         (G,) = _synthesis_rect(
-            (pad_m(alm),), x, logch, logsh, lmax, (0,), m_chunk
+            (pad_m(alm),), x, logch, logsh, lmax, (0,), m_chunk, nside
         )
         G = G[..., : mmax + 1]
         return ringfft.ring_synthesis(G, None, nside)
@@ -340,7 +422,7 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
     # G-_m = sum_l conj(a_{-s,lm}) slm-column(ns=-s) (reality relations)
     Gp, Gm = _synthesis_rect(
         (pad_m(a_p), pad_m(jnp.conj(a_m))),
-        x, logch, logsh, lmax, (spin, -spin), m_chunk,
+        x, logch, logsh, lmax, (spin, -spin), m_chunk, nside,
     )
     Gp = Gp[..., : mmax + 1]
     Gm = Gm[..., : mmax + 1]

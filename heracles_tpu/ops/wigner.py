@@ -171,6 +171,162 @@ def _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, carry_extra, fdt, xs_e
     return ys, extra
 
 
+def _prepare_scan(ms, ns, x, logch, logsh, fdt):
+    """Seeds and initial scaled state shared by all scan variants."""
+    mp = -jnp.asarray(ms, dtype=jnp.int32)
+    npar = -jnp.asarray(ns, dtype=jnp.int32)
+    j0, sign, logval = wigner_seed_log(mp, npar, logch, logsh)
+    msign = jnp.where(jnp.asarray(ms, jnp.int32) % 2 == 0, 1.0, -1.0).astype(fdt)
+    seed_mant, seed_k = _seed_scaled(sign * msign, logval)
+    d_prev = jnp.zeros_like(seed_mant)
+    d_curr = jnp.zeros_like(seed_mant)
+    k = jnp.full_like(seed_k, -(2**30))
+    return mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k
+
+
+def _advance(state, ell, mp, npar, j0, seed_mant, seed_k, x, fdt):
+    """One l-step of the scaled recurrence; returns (state', lam)."""
+    d_prev, d_curr, k = state
+    A1, A0, B = _recurrence_coeffs(ell, mp, npar, fdt)
+    cand = (A1[:, None] * x[None, :] + A0[:, None]) * d_curr - B[:, None] * d_prev
+    is_seed = (ell == j0)[:, None]
+    d_new = jnp.where(is_seed, seed_mant, jnp.where((ell > j0)[:, None], cand, 0.0))
+    k_new = jnp.where(is_seed, seed_k, k)
+    over = jnp.abs(d_new) > _SCALE
+    d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
+    d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
+    k_new = jnp.where(over, k_new + 1, k_new)
+    norm = jnp.sqrt((2.0 * ell.astype(fdt) + 1.0) / (4.0 * np.pi))
+    lam = d_new * _emit_factor(k_new) * norm
+    return (d_prev_new, d_new, k_new), lam
+
+
+def _swap_blocks(arr, axis=-1):
+    """Swap the two equal halves of ``arr`` along ``axis`` (the +-n blocks)."""
+    n = arr.shape[axis]
+    lo = jax.lax.slice_in_dim(arr, 0, n // 2, axis=axis)
+    hi = jax.lax.slice_in_dim(arr, n // 2, n, axis=axis)
+    return jnp.concatenate([hi, lo], axis=axis)
+
+
+def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
+                                cross=False):
+    """Ring-pair-folded analysis: half the rings, parity-split spectra.
+
+    The N/S mirror symmetry slm^{(n)}(pi-t) = (-1)^{l+m} slm^{(-n)}(t)
+    folds the contraction onto the northern rings (incl. equator).  The
+    caller passes FN (northern rows) and FS (mirrored southern rows
+    premultiplied by (-1)^m).  For single-column lane sets (n = 0,
+    ``cross=False``) the south term self-pairs, so FN +- FS precombine
+    into one einsum per l; for +-n lane-pairs (``cross=True``) the south
+    term of each column belongs to the *partner* column's output, so each
+    step runs two einsums and swaps the lane blocks of the south result.
+    Two l-steps run per scan iteration so the (-1)^l parity is static.
+
+    ``x``/``logch``/``logsh``: (nhalf,) northern-ring geometry;
+    ``FN``/``FS``: (..., nhalf, lanes) complex.
+    Returns (..., lmax+1, lanes) complex.
+    """
+    fdt = x.dtype
+    mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k = _prepare_scan(
+        ms, ns, x, logch, logsh, fdt
+    )
+    niter = (lmax + 2) // 2
+
+    if not cross:
+        Fe = FN + FS
+        Fo = FN - FS
+
+        def substep(state, ell, F):
+            state, lam = _advance(state, ell, mp, npar, j0, seed_mant,
+                                  seed_k, x, fdt)
+            return state, jnp.einsum("lr,...rl->...l", lam, F)
+
+        def step(carry, i):
+            state = carry
+            state, out0 = substep(state, 2 * i, Fe)
+            state, out1 = substep(state, 2 * i + 1, Fo)
+            return state, (out0, out1)
+
+    else:
+
+        def substep(state, ell, sign):
+            state, lam = _advance(state, ell, mp, npar, j0, seed_mant,
+                                  seed_k, x, fdt)
+            north = jnp.einsum("lr,...rl->...l", lam, FN)
+            south = jnp.einsum("lr,...rl->...l", lam, FS)
+            return state, north + sign * _swap_blocks(south)
+
+        def step(carry, i):
+            state = carry
+            state, out0 = substep(state, 2 * i, 1.0)
+            state, out1 = substep(state, 2 * i + 1, -1.0)
+            return state, (out0, out1)
+
+    _, (ys0, ys1) = jax.lax.scan(
+        step, (d_prev, d_curr, k), jnp.arange(niter, dtype=jnp.int32)
+    )
+    # interleave even/odd rows -> (2*niter, ..., lanes), trim to lmax+1
+    ys = jnp.stack([ys0, ys1], axis=1)
+    ys = ys.reshape((2 * niter,) + ys0.shape[1:])[: lmax + 1]
+    return jnp.moveaxis(ys, 0, -2)
+
+
+def lambda_synthesis_scan_folded(ms, ns, x, logch, logsh, lmax, alm,
+                                 cross=False):
+    """Ring-pair-folded synthesis.
+
+    Returns (GN, GS) of shape (..., nhalf, lanes): the ring spectra on
+    the northern rings and on their (mirrored) southern partners,
+    G(pi-t)[L] = (-1)^{m_L} sum_l (-1)^l a[l, P(L)] lam[l, L] routed back
+    to column L via the block swap (P is the +-n block swap when
+    ``cross``, identity otherwise).
+    """
+    fdt = x.dtype
+    mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k = _prepare_scan(
+        ms, ns, x, logch, logsh, fdt
+    )
+    niter = (lmax + 2) // 2
+    nlanes = mp.shape[0]
+    nr = x.shape[0]
+    batch = alm.shape[:-2]
+    GN0 = jnp.zeros(batch + (nlanes, nr), dtype=alm.dtype)
+    S0 = jnp.zeros_like(GN0)
+    # per-iteration alm rows (pad odd tail)
+    alm_t = jnp.moveaxis(alm, -2, 0)
+    pad = 2 * niter - (lmax + 1)
+    alm_t = jnp.concatenate(
+        [alm_t, jnp.zeros((pad,) + alm_t.shape[1:], alm_t.dtype)], axis=0
+    )
+    almP_t = _swap_blocks(alm_t) if cross else alm_t
+    alm_t = alm_t.reshape((niter, 2) + alm_t.shape[1:])
+    almP_t = almP_t.reshape((niter, 2) + almP_t.shape[1:])
+
+    def step(carry, xs):
+        state, GN, S = carry
+        i, a2, aP2 = xs
+        state, lam0 = _advance(state, 2 * i, mp, npar, j0, seed_mant,
+                               seed_k, x, fdt)
+        GN = GN + a2[0][..., :, None] * lam0
+        S = S + aP2[0][..., :, None] * lam0
+        state, lam1 = _advance(state, 2 * i + 1, mp, npar, j0, seed_mant,
+                               seed_k, x, fdt)
+        GN = GN + a2[1][..., :, None] * lam1
+        S = S - aP2[1][..., :, None] * lam1
+        return (state, GN, S), None
+
+    (_, GN, S), _ = jax.lax.scan(
+        step,
+        ((d_prev, d_curr, k), GN0, S0),
+        (jnp.arange(niter, dtype=jnp.int32), alm_t, almP_t),
+    )
+    # route south back to its own column and apply the (-1)^m order sign
+    GS = _swap_blocks(S, axis=-2) if cross else S
+    msign = jnp.where(jnp.asarray(ms) % 2 == 0, 1.0, -1.0)[:, None]
+    GS = GS * msign
+    return jnp.swapaxes(GN, -1, -2), jnp.swapaxes(GS, -1, -2)
+
+
 def lambda_analysis_scan(ms, ns, x, logch, logsh, lmax, Fw):
     """alm[l, lane] = sum_r slm(l, m_lane; theta_r) * Fw[..., r, lane].
 
