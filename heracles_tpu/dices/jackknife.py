@@ -91,17 +91,81 @@ def jackknife_cls(
 
 
 def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
-                    progress=None):
-    """Compute and cache the alms of every jackknife region (and the full sky)."""
+                    progress=None, region_batch=8):
+    """Compute and cache the alms of every jackknife region (and the full sky).
+
+    TPU-native fast path: regions are processed in batches of
+    ``region_batch`` — the region-masked maps stack on a leading batch
+    axis and one batched SHT transforms them all at once, instead of the
+    reference's one-SHT-per-region loop (reference jackknife.py:93-153).
+    The per-region FITS cache layout is unchanged, so runs stay
+    restartable and interoperable.  ``region_batch=1`` reproduces the
+    sequential behaviour.
+    """
     if progress is None:
         progress = NoProgress()
     os.makedirs(dir, exist_ok=True)
     njk = _n_regions(jk_map)
     progress.update(0, njk + 1)
-    for k in range(njk + 1):
-        with progress.task(f"ALMs {k}"):
-            _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir)
-        progress.update(k + 1, njk + 1)
+    if region_batch <= 1:
+        for k in range(njk + 1):
+            with progress.task(f"ALMs {k}"):
+                _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir)
+            progress.update(k + 1, njk + 1)
+        return
+    # full-footprint alms (k = 0)
+    with progress.task("ALMs 0"):
+        _compute_single_jk_alm(0, data_maps, vis_maps, jk_map, fields, dir)
+    progress.update(1, njk + 1)
+    pending = [
+        k
+        for k in range(1, njk + 1)
+        if not (
+            os.path.exists(os.path.join(dir, f"data_alms_{k}.fits"))
+            and os.path.exists(os.path.join(dir, f"vis_alms_{k}.fits"))
+        )
+    ]
+    done = njk - len(pending)
+    progress.update(1 + done, njk + 1)
+    for start in range(0, len(pending), region_batch):
+        ks = pending[start : start + region_batch]
+        with progress.task(f"ALMs {ks[0]}..{ks[-1]}"):
+            _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir)
+        done += len(ks)
+        progress.update(1 + done, njk + 1)
+
+
+def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir):
+    """One batched SHT over a group of region-masked map sets."""
+    masks = np.stack(
+        [(np.asarray(jk_map) == float(k)).astype(float) for k in ks]
+    )
+
+    def batched_transform(maps):
+        out_per_key = {}
+        for key, m in maps.items():
+            md = dict(m.dtype.metadata or {})
+            arr = np.asarray(m)
+            stacked = arr[None, ...] * masks.reshape(
+                (len(ks),) + (1,) * (arr.ndim - 1) + (masks.shape[-1],)
+            )
+            update_metadata(stacked, **md)
+            field = fields[key[0]]
+            spin = field.spin
+            out_per_key[key] = field.mapper_or_error.transform(stacked, spin=spin)
+        return out_per_key
+
+    data_batched = batched_transform(data_maps)
+    vis_batched = batched_transform(vis_maps)
+    for i, k in enumerate(ks):
+        for batched, name in ((data_batched, "data"), (vis_batched, "vis")):
+            alms = {}
+            for key, stack_alm in batched.items():
+                alm = np.ascontiguousarray(stack_alm[i])
+                update_metadata(alm, **dict(stack_alm.dtype.metadata or {}))
+                alms[key] = alm
+            write_alms(os.path.join(dir, f"{name}_alms_{k}.fits"), alms,
+                       clobber=True)
 
 
 def _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir):

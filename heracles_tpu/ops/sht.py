@@ -22,6 +22,7 @@ Conventions (matching HEALPix/healpy):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +115,17 @@ def ring_weights(nside, lmax_w=None):
     nside = int(nside)
     if lmax_w is None:
         lmax_w = 3 * nside
+    # disk cache: the host lstsq takes minutes at nside >= 4096
+    cache_dir = os.environ.get("HERACLES_TPU_CACHE", "/tmp/heracles_tpu_cache")
+    cache = None
+    if nside >= 256:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            cache = os.path.join(cache_dir, f"ringweights_{nside}_{lmax_w}.npy")
+            if os.path.exists(cache):
+                return np.load(cache)
+        except OSError:
+            cache = None
     g = ring_geometry(nside)
     z = g["z"]
     nph = g["npix"].astype(np.float64)
@@ -139,6 +151,11 @@ def ring_weights(nside, lmax_w=None):
     w_half = w0 + delta
     w = np.concatenate([w_half, w_half[:-1][::-1]])
     assert w.size == nr
+    if cache:
+        try:
+            np.save(cache, w)
+        except OSError:
+            pass
     return w
 
 

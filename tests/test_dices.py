@@ -186,3 +186,23 @@ def test_shrinkage(setup, tmp_path):
         np.diag(np.asarray(shrunk[key])), np.diag(np.asarray(cov[key])),
         rtol=1e-10,
     )
+
+
+def test_batched_region_alms_match_sequential(setup, tmp_path):
+    """region_batch > 1 (one batched SHT) must equal the per-region loop."""
+    from heracles_tpu.io import read_alms
+
+    fields, data_maps, vis_maps, jk = setup
+    d1 = str(tmp_path / "seq")
+    d2 = str(tmp_path / "bat")
+    dices.compute_jk_alms(data_maps, vis_maps, jk, fields, dir=d1,
+                          region_batch=1)
+    dices.compute_jk_alms(data_maps, vis_maps, jk, fields, dir=d2,
+                          region_batch=2)
+    import os
+
+    for k in range(NJK + 1):
+        a = read_alms(os.path.join(d1, f"data_alms_{k}.fits"))
+        b = read_alms(os.path.join(d2, f"data_alms_{k}.fits"))
+        for key in a:
+            np.testing.assert_allclose(b[key], a[key], atol=1e-12)
