@@ -1,0 +1,179 @@
+"""Pallas TPU kernel for the folded spin-0 Wigner analysis scan.
+
+The jnp `lax.scan` implementation re-reads the (nhalf x m_chunk) ring
+spectra from HBM on every one of the lmax+1 steps (~3 GB of HBM traffic
+per m-chunk at production scale).  This kernel keeps everything resident
+in VMEM: each (m-chunk, ring-block) grid step loads its Fe/Fo block once,
+runs the full scaled three-term recurrence over l in registers/VMEM, and
+accumulates the partial alm rows into a revisited output block.
+
+Only the spin-0 path is lowered to Pallas (the headline catalogue->Cl
+benchmark); spin pairs use the jnp scan.  Numerics are identical to
+:func:`heracles_tpu.ops.wigner.lambda_analysis_scan_folded` with ns = 0:
+the libsharp-style 2^60 block scaling, parity-split Fe/Fo contraction and
+(2l+1)/4pi normalisation are reproduced exactly (validated in
+tests/test_pallas.py against the jnp path, interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["analysis_spin0_folded"]
+
+_SCALE_LOG2 = 60
+_SCALE = float(2.0**_SCALE_LOG2)
+_INV_SCALE = float(2.0**-_SCALE_LOG2)
+_LN2 = float(np.log(2.0))
+
+
+def _kernel(x_ref, logchsh_ref, logc_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
+            m_chunk, ring_block):
+    """Grid: (n_mchunks, n_ringblocks); ring blocks accumulate into out."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    # per-lane m values (rows: rings, cols: m)
+    mi = i * m_chunk + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1)
+    m = mi.astype(jnp.float32)
+    x = x_ref[...]  # (ring_block, 1) cos(theta)
+    logsum = logchsh_ref[...]  # (ring_block, 1) log(cos t/2) + log(sin t/2)
+
+    # seed: slm includes a (-1)^m factor on the positive Wigner seed
+    # d^m_{-m,0} = C (cos sin)^m (t/2); log C precomputed on the host
+    # (lgamma has no Pallas TPU lowering)
+    msign = jnp.where(mi % 2 == 0, 1.0, -1.0)
+    logval = logc_ref[...] + m * logsum
+    ls = logval / (_LN2 * _SCALE_LOG2)
+    k0 = jnp.floor(ls)
+    seed_mant = msign * jnp.exp2((ls - k0) * _SCALE_LOG2)
+
+    Fe_re = Fe_ref[0]
+    Fe_im = Fe_ref[1]
+    Fo_re = Fo_ref[0]
+    Fo_im = Fo_ref[1]
+
+    inv4pi = 1.0 / (4.0 * np.pi)
+
+    def advance(carry, ell):
+        d_prev, d_curr, k = carry
+        # coefficients of the l-recurrence for n = 0 (the general
+        # a(l) = sqrt((l^2-m^2)(l^2-n^2))/l reduces to sqrt(l^2-m^2)):
+        # d_l = (2l-1)/a(l) x d_{l-1} - a(l-1)/a(l) d_{l-2}
+        l_f = ell.astype(jnp.float32)
+        lm1 = l_f - 1.0
+        a_l = jnp.sqrt(jnp.maximum(l_f * l_f - m * m, 0.0))
+        a_lm1 = jnp.sqrt(jnp.maximum(lm1 * lm1 - m * m, 0.0))
+        inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
+        cand = ((2.0 * l_f - 1.0) * inv) * x * d_curr - (a_lm1 * inv) * d_prev
+        is_seed = l_f == m
+        d_new = jnp.where(is_seed, seed_mant,
+                          jnp.where(l_f > m, cand, 0.0))
+        k_new = jnp.where(is_seed, k0, k)
+        over = jnp.abs(d_new) > _SCALE
+        d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
+        d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
+        k_new = jnp.where(over, k_new + 1.0, k_new)
+        emit = jnp.where(k_new == 0.0, 1.0,
+                         jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
+        norm = jnp.sqrt((2.0 * l_f + 1.0) * inv4pi)
+        lam = d_new * emit * norm
+        return (d_prev_new, d_new, k_new), lam
+
+    # 8 l-steps per iteration: one aligned (8, m_chunk) store per plane
+    def body(blk, carry):
+        rows_re = []
+        rows_im = []
+        for t in range(8):
+            carry, lam = advance(carry, 8 * blk + t)
+            Fr, Fi = (Fe_re, Fe_im) if t % 2 == 0 else (Fo_re, Fo_im)
+            rows_re.append(jnp.sum(lam * Fr, axis=0, keepdims=True))
+            rows_im.append(jnp.sum(lam * Fi, axis=0, keepdims=True))
+        sl = pl.ds(8 * blk, 8)
+        out_ref[0, sl, :] += jnp.concatenate(rows_re, axis=0)
+        out_ref[1, sl, :] += jnp.concatenate(rows_im, axis=0)
+        return carry
+
+    nblocks = (lmax + 8) // 8
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    jax.lax.fori_loop(0, nblocks, body, (zeros, zeros, kinit))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lmax", "m_chunk", "ring_block", "interpret"),
+)
+def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
+                          ring_block=None, interpret=False):
+    """alm[l, m] = sum_r lam_{lm}(x_r) * F(e/o by l parity)[r, m].
+
+    ``Fe``/``Fo``: (nhalf, nm_pad) complex64/128 parity-combined ring
+    spectra (northern rings); ``x``/``logch``/``logsh``: (nhalf,) ring
+    geometry.  Returns (lmax+1, nm_pad) complex64.
+    """
+    nhalf, nm_pad = Fe.shape
+    if ring_block is None:
+        ring_block = min(nhalf, 1024)
+    # pad rings to a multiple of the block (zero rows contribute nothing:
+    # their F is zero; lam of x=0 rows is finite)
+    nr_pad = -(-nhalf // ring_block) * ring_block
+    pad = nr_pad - nhalf
+
+    def prep(F):
+        planes = jnp.stack([F.real, F.imag]).astype(jnp.float32)
+        return jnp.pad(planes, ((0, 0), (0, pad), (0, 0)))
+
+    Fe2 = prep(Fe)
+    Fo2 = prep(Fo)
+    mm = jnp.arange(nm_pad, dtype=jnp.float32)
+    logc = (
+        0.5 * (jax.lax.lgamma(2.0 * mm + 1.0) - 2.0 * jax.lax.lgamma(mm + 1.0))
+    ).astype(jnp.float32)[None, :]
+    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+    logchsh = (logch + logsh).astype(jnp.float32)
+    # padded rows: benign geometry (theta = pi/2 -> log terms 0? no:
+    # keep the true pad value very negative so seeds underflow to 0)
+    logchsh = jnp.pad(logchsh, (0, pad), constant_values=-1e4)[:, None]
+
+    lpad = -(-(lmax + 1) // 8) * 8
+    n_mchunks = nm_pad // m_chunk
+    n_rblocks = nr_pad // ring_block
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block
+        ),
+        grid=(n_mchunks, n_rblocks),
+        in_specs=[
+            pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_chunk), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ring_block, m_chunk), lambda i, j: (0, j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ring_block, m_chunk), lambda i, j: (0, j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, lpad, m_chunk), lambda i, j: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, lpad, nm_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, logchsh, logc, Fe2, Fo2)
+
+    return (out[0, : lmax + 1] + 1j * out[1, : lmax + 1]).astype(jnp.complex64)

@@ -83,26 +83,30 @@ def ring_plan(nside):
             }
         )
 
-    # north cap: rings 0 .. nside-2, nph ascending; octave groups
+    # cap grouping: rings whose nph fits within a factor `stride` share a
+    # bucket (fewer, larger batched FFTs; padding waste is bounded by the
+    # smallest rings, which hold few pixels)
+    stride = 4
+
+    # north cap: rings 0 .. nside-2, nph ascending
     r = 0
     while r < nside - 1:
-        g = _next_pow2(int(nph[r]))
+        g = _next_pow2(int(nph[r])) * (stride // 2)
         r1 = r
         while r1 < nside - 1 and nph[r1] <= g:
             r1 += 1
         add_bucket(r, r1, belt=False)
         r = r1
+    n_north = len(buckets)
     # belt: rings nside-1 .. 3*nside-1 inclusive
     add_bucket(nside - 1, 3 * nside, belt=True)
-    # south cap: rings 3*nside .. 4*nside-2, nph descending; octave groups
-    r = 3 * nside
-    while r < nr:
-        g = _next_pow2(int(nph[r]))
-        r1 = r
-        while r1 < nr and nph[r1] <= g:
-            r1 += 1
-        add_bucket(r, r1, belt=False)
-        r = r1
+    # south cap: mirror the north buckets exactly (so N/S pairs align)
+    for i in range(n_north - 1, -1, -1):
+        nr0, nr1 = buckets[i]["rings"]
+        add_bucket(nr - nr1, nr - nr0, belt=False)
+    # record the mirror pairing: north bucket i <-> bucket len-1-i
+    for i, b in enumerate(buckets):
+        b["pair"] = len(buckets) - 1 - i
     return tuple(buckets)
 
 
@@ -148,14 +152,26 @@ def _bluestein_dft(vals, nph, L, *, sign):
 
 
 def _gather_rows(maps, pix0, nph_np, L):
-    """Extract the rings of a bucket from the flat pixel axis, padded to L."""
+    """Extract the rings of a bucket from the flat pixel axis, padded to L.
+
+    Rings are contiguous runs in the pixel array, so each padded row is a
+    dynamic slice (fast, contiguous) rather than an elementwise gather
+    (slow on TPU); the loop over rings is a `lax.scan` of static-size
+    slices.
+    """
     nph = jnp.asarray(nph_np, dtype=jnp.int32)
     starts = jnp.asarray(
         pix0 + np.concatenate([[0], np.cumsum(nph_np)[:-1]]), dtype=jnp.int32
     )
     p = jnp.arange(L, dtype=jnp.int32)[None, :]
-    idx = starts[:, None] + jnp.minimum(p, nph[:, None] - 1)
-    rows = jnp.take(maps, idx, axis=-1)
+    # pad so every row's slice stays in bounds (masked below anyway)
+    maps_pad = jnp.pad(maps, [(0, 0)] * (maps.ndim - 1) + [(0, L)])
+
+    def row(_, s):
+        return None, jax.lax.dynamic_slice_in_dim(maps_pad, s, L, axis=-1)
+
+    _, rows = jax.lax.scan(row, None, starts)
+    rows = jnp.moveaxis(rows, 0, -2)  # (R, ..., L) -> (..., R, L)
     return jnp.where(p < nph[:, None], rows, 0)
 
 
@@ -175,12 +191,12 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
     rdt = _real_dtype(maps.dtype)
     static_m0 = isinstance(m0, int)
     m = (jnp.asarray(m0, jnp.int32) + jnp.arange(nm, dtype=jnp.int32))[None, :]
+
     out_pos = []
     out_neg = []
     for b in plan:
         nph = jnp.asarray(b["nph"], dtype=jnp.int32)
         L = b["L"]
-        nph_min = int(b["nph"].min())
         if b["belt"]:
             # the belt is contiguous with constant row length: a reshape,
             # not a gather
@@ -194,13 +210,47 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
         phase = jnp.exp(
             -1j * m.astype(rdt) * jnp.asarray(b["phi0"], rdt)[:, None]
         )
-        if static_m0 and m0 + nm <= nph_min:
-            # no aliasing in range: the "gather" is a slice
-            Cm = jax.lax.slice_in_dim(C, m0, m0 + nm, axis=-1)
-            out_pos.append(Cm * phase)
-            if complex_in:
-                # F_{-m} = C[(-m) mod nph]; for the belt all rows share nph
-                if b["belt"] and m0 == 0:
+
+        # positive orders: rows with nph >= m0+nm have no aliasing in
+        # range, so their "gather" is a slice; nph is monotonic within a
+        # bucket, so the split is two static row ranges
+        if static_m0:
+            need = m0 + nm
+            alias_rows = np.flatnonzero(b["nph"] < need)
+            plain_rows = np.flatnonzero(b["nph"] >= need)
+        else:
+            alias_rows = np.arange(len(b["nph"]))
+            plain_rows = np.array([], dtype=int)
+
+        def part(r0, r1, aliased):
+            Cb = C[..., r0:r1, :]
+            if aliased:
+                k = m % nph[r0:r1, None]
+                kb = jnp.broadcast_to(k, Cb.shape[:-2] + k.shape)
+                Cm = jnp.take_along_axis(Cb, kb, axis=-1)
+            else:
+                Cm = jax.lax.slice_in_dim(Cb, m0, m0 + nm, axis=-1)
+            return Cm * phase[..., r0:r1, :]
+
+        segments = []
+        if alias_rows.size and plain_rows.size and alias_rows[0] < plain_rows[0]:
+            segments = [(0, alias_rows.size, True),
+                        (alias_rows.size, len(b["nph"]), False)]
+        elif alias_rows.size and plain_rows.size:
+            segments = [(0, plain_rows.size, False),
+                        (plain_rows.size, len(b["nph"]), True)]
+        elif alias_rows.size:
+            segments = [(0, len(b["nph"]), True)]
+        else:
+            segments = [(0, len(b["nph"]), False)]
+        out_pos.extend(part(r0, r1, al) for r0, r1, al in segments)
+
+        if complex_in:
+            # negative orders F_{-m} = C[(-m) mod nph]
+            if static_m0 and m0 == 0 and int(b["nph"].min()) >= nm:
+                # constant-length rows only for the belt; per-row nph
+                # otherwise forces a gather
+                if b["belt"]:
                     Cneg = jnp.flip(
                         jax.lax.slice_in_dim(C, L - nm + 1, L, axis=-1), axis=-1
                     )
@@ -208,21 +258,11 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
                         [jax.lax.slice_in_dim(C, 0, 1, axis=-1), Cneg], axis=-1
                     )
                     out_neg.append(Cneg * jnp.conj(phase))
-                else:
-                    kneg = (-m) % nph[:, None]
-                    knb = jnp.broadcast_to(kneg, C.shape[:-2] + kneg.shape)
-                    out_neg.append(
-                        jnp.take_along_axis(C, knb, axis=-1) * jnp.conj(phase)
-                    )
-            continue
-        # alias gather: F_m = C[m mod nph] * e^{-i m phi0}
-        k = m % nph[:, None]
-        kb = jnp.broadcast_to(k, C.shape[:-2] + k.shape)
-        out_pos.append(jnp.take_along_axis(C, kb, axis=-1) * phase)
-        if complex_in:
+                    continue
             kneg = (-m) % nph[:, None]
             knb = jnp.broadcast_to(kneg, C.shape[:-2] + kneg.shape)
             out_neg.append(jnp.take_along_axis(C, knb, axis=-1) * jnp.conj(phase))
+
     F = jnp.concatenate(out_pos, axis=-2)
     if complex_in:
         return F, jnp.concatenate(out_neg, axis=-2)

@@ -204,6 +204,24 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
     # per-order sign; the l-parity is handled inside the folded scan
     msign = jnp.where(jnp.arange(nm_pad) % 2 == 0, 1.0, -1.0)
     folded = [_fold_rings(f, nside) for f in Fw]
+
+    # TPU fast path: the fused Pallas kernel (spin 0, unbatched, f32)
+    if (
+        not cross
+        and abs(int(ns[0])) == 0
+        and Fw[0].ndim == 2
+        and Fw[0].dtype == jnp.complex64
+        and jax.default_backend() == "tpu"
+    ):
+        from . import pallas_sht
+
+        FN0, FS0raw = folded[0]
+        FS0 = FS0raw * msign
+        alm = pallas_sht.analysis_spin0_folded(
+            FN0 + FS0, FN0 - FS0, x, logch, logsh, lmax, m_chunk=m_chunk
+        )
+        return (alm,)
+
     FN = [fn for fn, _ in folded]
     FS = []
     for b in range(nspin):

@@ -1,0 +1,67 @@
+"""Pallas analysis kernel vs the jnp folded scan (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from heracles_tpu.ops import sht, wigner
+from heracles_tpu.ops.pallas_sht import analysis_spin0_folded
+
+
+def test_pallas_matches_jnp_folded():
+    nside, lmax = 16, 24
+    rng = np.random.default_rng(0)
+    nhalf = 2 * nside
+    nm_pad = 128
+    Fe = (rng.normal(size=(nhalf, nm_pad))
+          + 1j * rng.normal(size=(nhalf, nm_pad))).astype(np.complex64)
+    Fo = (rng.normal(size=(nhalf, nm_pad))
+          + 1j * rng.normal(size=(nhalf, nm_pad))).astype(np.complex64)
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+
+    got = np.asarray(
+        analysis_spin0_folded(
+            jnp.asarray(Fe), jnp.asarray(Fo), jnp.asarray(x),
+            jnp.asarray(logch), jnp.asarray(logsh), lmax,
+            ring_block=16, interpret=True,
+        )
+    )
+
+    ms = jnp.arange(nm_pad, dtype=jnp.int32)
+    ns = jnp.zeros(nm_pad, jnp.int32)
+    # the jnp scan takes (FN, FS) and forms Fe/Fo = FN +- FS internally;
+    # the kernel takes Fe/Fo directly
+    FN = (Fe + Fo) / 2
+    FS = (Fe - Fo) / 2
+    want = np.asarray(
+        wigner.lambda_analysis_scan_folded(
+            ms, ns, jnp.asarray(x), jnp.asarray(logch), jnp.asarray(logsh),
+            lmax, jnp.asarray(FN), jnp.asarray(FS), cross=False,
+        )
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=2e-4)
+
+
+def test_pallas_high_m_scaling():
+    """Scaled seeds: high m at small theta must not underflow."""
+    nside, lmax = 32, 48
+    rng = np.random.default_rng(1)
+    nhalf = 2 * nside
+    nm_pad = 128
+    Fe = (rng.normal(size=(nhalf, nm_pad))).astype(np.complex64)
+    Fo = np.zeros_like(Fe)
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+    got = np.asarray(
+        analysis_spin0_folded(
+            jnp.asarray(Fe), jnp.asarray(Fo), jnp.asarray(x),
+            jnp.asarray(logch), jnp.asarray(logsh), lmax,
+            ring_block=32, interpret=True,
+        )
+    )
+    assert np.all(np.isfinite(got))
+    # orders beyond lmax contribute nothing (lam = 0 for l < m)
+    np.testing.assert_allclose(got[:, lmax + 1 :], 0.0, atol=1e-6)
