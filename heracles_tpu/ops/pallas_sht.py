@@ -124,7 +124,9 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
     """
     nhalf, nm_pad = Fe.shape
     if ring_block is None:
-        ring_block = min(nhalf, 1024)
+        # keep the VMEM working set (double-buffered Fe/Fo blocks + the
+        # revisited (2, lmax+1, m_chunk) output block + carry) under 16MB
+        ring_block = min(nhalf, 512 if lmax > 2048 else 1024)
     # pad rings to a multiple of the block (zero rows contribute nothing:
     # their F is zero; lam of x=0 rows is finite)
     nr_pad = -(-nhalf // ring_block) * ring_block

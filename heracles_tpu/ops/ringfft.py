@@ -269,6 +269,29 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
     return F, None
 
 
+def _write_rows(v, nph_np, L):
+    """Flatten padded rows (..., R, L) onto the ragged contiguous pixel axis.
+
+    Rows are written in ascending order with full-L dynamic-update-slices
+    into a padded buffer: each row's padding tail is overwritten by the
+    next row's valid data, so no elementwise gather/scatter is needed.
+    """
+    starts = np.concatenate([[0], np.cumsum(nph_np)[:-1]])
+    seg_len = int(starts[-1] + nph_np[-1])
+    batch = v.shape[:-2]
+    buf = jnp.zeros(batch + (seg_len + L,), v.dtype)
+    v_rows = jnp.moveaxis(v, -2, 0)  # (R, ..., L)
+
+    def write(buf, xs):
+        row, s = xs
+        return jax.lax.dynamic_update_slice_in_dim(buf, row, s, axis=-1), None
+
+    buf, _ = jax.lax.scan(
+        write, buf, (v_rows, jnp.asarray(starts, jnp.int32))
+    )
+    return buf[..., :seg_len]
+
+
 def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
     """Inverse of :func:`ring_analysis`: evaluate per-ring Fourier series.
 
@@ -298,6 +321,10 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
         else:
             hn = h_neg[..., r0 : r0 + nr_b, :] * jnp.conj(phase)
         hn = hn.at[..., 0].set(0.0)  # m=0 enters once
+
+        def pad_L(a):
+            return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, L - nm)])
+
         if b["belt"] and 2 * nm - 1 <= L:
             # no aliasing and constant row length: build the frequency
             # rows by concatenation instead of a scatter
@@ -305,6 +332,25 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
             d = jnp.concatenate(
                 [hp, zeros, jnp.flip(hn[..., 1:], axis=-1)], axis=-1
             )
+            v = jnp.fft.ifft(d, axis=-1) * L
+        elif not b["belt"] and nm <= nph_min:
+            # no aliasing: evaluate the +m and -m series directly with
+            # chirp transforms (the chirp masks k >= nph, so the entries
+            # sit at their true k = m positions; no scatter needed)
+            nph32 = jnp.asarray(b["nph"], jnp.int32)
+            if h_neg is None:
+                # hn = conj(hp) (m > 0):
+                # v = hp_0 + 2 Re(B_+(hp with m=0 zeroed))
+                hp_mask = hp.at[..., 0].set(0.0)
+                v = 2.0 * _bluestein_dft(pad_L(hp_mask), nph32, L, sign=+1)
+                v = v.real + hp[..., :1].real if real_output else (
+                    v.real + hp[..., :1]
+                )
+            else:
+                v = (
+                    _bluestein_dft(pad_L(hp), nph32, L, sign=+1)
+                    + _bluestein_dft(pad_L(hn), nph32, L, sign=-1)
+                )
         else:
             k = jnp.broadcast_to(m % nph, (nr_b, nm))
             kneg = jnp.broadcast_to((-m) % nph, (nr_b, nm))
@@ -312,27 +358,18 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
             d = jnp.zeros(hp.shape[:-1] + (L,), dtype=hp.dtype)
             d = d.at[..., rows, k].add(hp)
             d = d.at[..., rows, kneg].add(hn)
-        if b["belt"]:
-            v = jnp.fft.ifft(d, axis=-1) * L
-        else:
-            v = _bluestein_dft(d, jnp.asarray(b["nph"], jnp.int32), L, sign=+1)
+            if b["belt"]:
+                v = jnp.fft.ifft(d, axis=-1) * L
+            else:
+                v = _bluestein_dft(d, jnp.asarray(b["nph"], jnp.int32), L,
+                                   sign=+1)
         if real_output:
             v = v.real
         if b["belt"]:
             # constant row length == nph: plain reshape, no gather
             pieces.append(v.reshape(v.shape[:-2] + (nr_b * L,)))
         else:
-            # flatten padded rows back onto the ragged contiguous pixel axis
-            valid = np.arange(L)[None, :] < b["nph"][:, None]
-            flat_idx = jnp.asarray(
-                (np.arange(len(b["nph"]))[:, None] * L + np.arange(L)[None, :])[
-                    valid
-                ],
-                dtype=jnp.int32,
-            )
-            pieces.append(
-                jnp.take(v.reshape(v.shape[:-2] + (nr_b * L,)), flat_idx, axis=-1)
-            )
+            pieces.append(_write_rows(v, b["nph"], L))
         r0 += nr_b
     out = jnp.concatenate(pieces, axis=-1)
     assert out.shape[-1] == nside2npix(nside)
