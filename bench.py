@@ -41,15 +41,19 @@ def main():
     maps = jax.device_put(rng.normal(size=npix).astype(np.float32))
     maps.block_until_ready()
 
+    import jax.numpy as jnp
+
+    # a fused scalar reduction forces real execution on every call (some
+    # remote-execution transports make block_until_ready a no-op)
+    fn = jax.jit(lambda m: jnp.sum(jnp.abs(sht.map2alm(m, lmax=LMAX))))
+
     # compile + warm up
-    alm = sht.map2alm_jit(maps, lmax=LMAX)
-    alm.block_until_ready()
+    float(fn(maps))
 
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        alm = sht.map2alm_jit(maps, lmax=LMAX)
-        alm.block_until_ready()
+        checksum = float(fn(maps))
     dt = (time.perf_counter() - t0) / reps
 
     baseline = _baseline_seconds(NSIDE, LMAX)
