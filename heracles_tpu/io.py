@@ -304,7 +304,7 @@ def read_vmap(filename, nside=None, field=0, *, transform=False, lmax=None):
         nside_map = npix2nside(vmap.size)
         if lmax is None:
             lmax = sht.resolve_lmax(nside_map)
-        alm = np.asarray(sht.map2alm_jit(vmap, lmax=lmax, weights="ring"))
+        alm = sht.map2alm_host(vmap, lmax=lmax, weights="ring")
         pw = sht.pixel_window(nside_map, lmax)
         ls, _ = sht._pack_index(lmax, lmax)
         vmap = np.ascontiguousarray(alm / pw[ls])

@@ -136,9 +136,8 @@ class HealpixMapper:
         """
         md = dict(getattr(data.dtype, "metadata", None) or {})
         arr = np.asarray(data)
-        alm = np.asarray(
-            sht.map2alm_jit(arr, lmax=self._lmax, spin=spin, weights="ring")
-        )
+        alm = sht.map2alm_host(arr, lmax=self._lmax, spin=spin,
+                               weights="ring")
         if self._deconv:
             pw = sht.pixel_window(self._nside, self._lmax)
             fl = np.ones(self._lmax + 1)
@@ -152,10 +151,8 @@ class HealpixMapper:
 
     def synthesize(self, alm, spin=0):
         """Inverse transform (alm -> map); the TPU build's alm2map."""
-        out = np.asarray(
-            sht.alm2map_jit(np.ascontiguousarray(alm), self._nside,
-                            lmax=self._lmax, spin=spin)
-        )
+        out = sht.alm2map_host(alm, self._nside, lmax=self._lmax,
+                               spin=spin)
         m = out.astype(self._dtype)
         update_metadata(m, **self._metadata(spin))
         return m
@@ -235,11 +232,12 @@ class DiscreteMapper:
                 v = values[:, start : start + B].astype(fdt)
                 if pad:
                     v = np.pad(v, ((0, 0), (0, pad)))
-                out += np.asarray(
+                planes = np.asarray(
                     _adjoint_spin0(jnp.asarray(th.astype(fdt)),
                                    jnp.asarray(ph.astype(fdt)),
                                    jnp.asarray(v), lmax)
                 )
+                out += planes[0] + 1j * planes[1]
             else:
                 u = (values[:-1:2, start : start + B]
                      + 1j * values[1::2, start : start + B])
@@ -250,11 +248,14 @@ class DiscreteMapper:
                 )[None]
                 if pad:
                     u = np.pad(u, ((0, 0), (0, pad)))
-                eb = np.asarray(
+                planes = np.asarray(
                     _adjoint_spin(jnp.asarray(th.astype(fdt)),
                                   jnp.asarray(ph.astype(fdt)),
-                                  jnp.asarray(u), lmax, spin)
+                                  jnp.asarray(np.ascontiguousarray(u.real)),
+                                  jnp.asarray(np.ascontiguousarray(u.imag)),
+                                  lmax, spin)
                 )
+                eb = planes[0] + 1j * planes[1]
                 out += eb.reshape(out.shape)
         return out.astype(self._dtype)
 
@@ -281,7 +282,11 @@ class DiscreteMapper:
 
 @functools.partial(jax.jit, static_argnames=("lmax",))
 def _adjoint_spin0(theta, phi, values, lmax):
-    """a_lm = sum_p v_p conj(Ylm(p)) for real spin-0 point values."""
+    """a_lm = sum_p v_p conj(Ylm(p)) for real spin-0 point values.
+
+    Returns stacked (2, ..., nlm) real/imag planes (complex arrays cannot
+    cross jit boundaries on some TPU transports).
+    """
     x = jnp.cos(theta)
     logch = jnp.log(jnp.cos(theta / 2))
     logsh = jnp.log(jnp.sin(theta / 2))
@@ -293,12 +298,18 @@ def _adjoint_spin0(theta, phi, values, lmax):
     (alm,) = sht._analysis_rect_points(
         (F,), x, logch, logsh, lmax, (0,), sht.DEFAULT_M_CHUNK
     )
-    return sht.pack_alm(alm[..., :nm], lmax, lmax)
+    packed = sht.pack_alm(alm[..., :nm], lmax, lmax)
+    return jnp.stack([packed.real, packed.imag])
 
 
 @functools.partial(jax.jit, static_argnames=("lmax", "spin"))
-def _adjoint_spin(theta, phi, u, lmax, spin):
-    """(E, B) alms from complex spin-s point values u = v1 + i v2."""
+def _adjoint_spin(theta, phi, u_re, u_im, lmax, spin):
+    """(E, B) alms from complex spin-s point values u = v1 + i v2.
+
+    Takes/returns real planes (complex arrays cannot cross jit boundaries
+    on some TPU transports).
+    """
+    u = u_re + 1j * u_im
     x = jnp.cos(theta)
     logch = jnp.log(jnp.cos(theta / 2))
     logsh = jnp.log(jnp.sin(theta / 2))
@@ -314,4 +325,5 @@ def _adjoint_spin(theta, phi, u, lmax, spin):
     )
     alm_e = -(a_p[..., :nm] + a_m[..., :nm]) / 2
     alm_b = 1j * (a_p[..., :nm] - a_m[..., :nm]) / 2
-    return sht.pack_alm(jnp.stack([alm_e, alm_b], axis=-3), lmax, lmax)
+    packed = sht.pack_alm(jnp.stack([alm_e, alm_b], axis=-3), lmax, lmax)
+    return jnp.stack([packed.real, packed.imag])

@@ -110,6 +110,214 @@ def _kernel(x_ref, logchsh_ref, logc_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     jax.lax.fori_loop(0, nblocks, body, (zeros, zeros, kinit))
 
 
+def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
+                 FNm_ref, Sm_ref, out_ref, *, lmax, spin, m_chunk, ring_block):
+    """Spin-pair (cross) analysis: columns n = +s and n = -s together.
+
+    Grid (n_mchunks, n_ringblocks).  The two Wigner columns share the
+    recurrence coefficients up to the sign of the m*n term; the mirror
+    (southern) term of each column contributes to the *partner* column's
+    output with an alternating (-1)^l sign:
+        a_p[l] = sum lam_p FN_p + (-1)^l sum lam_m S_p
+        a_m[l] = sum lam_m FN_m + (-1)^l sum lam_p S_m
+    (S_* are the partner-paired, (-1)^m-signed southern rows built by the
+    caller, exactly as in the jnp cross path.)
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    x = x_ref[...]  # (ring_block, 1)
+    logch = logch_ref[...]
+    logsh = logsh_ref[...]
+    # seed_ref: (6, 1, m_chunk): [logc_p, sign_p, logc_m, sign_m, j0, m]
+    m = seed_ref[5]
+    j0 = seed_ref[4]
+    s2 = float(spin * spin)
+    # recurrence middle term uses m'*n' = (-m)(-n) = m*n; branch p (the
+    # a_{+s} column) has n = +s, branch m has n = -s
+    ms = {"p": +float(spin), "m": -float(spin)}
+
+    def seed_vals(logc, sign, pc, ps):
+        logval = logc + pc * logch + ps * logsh
+        ls = logval / (_LN2 * _SCALE_LOG2)
+        k0 = jnp.floor(ls)
+        return sign * jnp.exp2((ls - k0) * _SCALE_LOG2), k0
+
+    # exponent pairs: (m', n') = (-m, -n) with pc = |m'+n'|, ps = |m'-n'|;
+    # branch p: n = +s -> pc = m+s, ps = |m-s|; branch m mirrored
+    pc_p = m + float(spin)
+    ps_p = jnp.abs(m - float(spin))
+    pc_m = jnp.abs(m - float(spin))
+    ps_m = m + float(spin)
+    seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], pc_p, ps_p)
+    seed_m, k0_m = seed_vals(seed_ref[2], seed_ref[3], pc_m, ps_m)
+
+    def advance(carry, ell, mn, seed_mant, seed_k):
+        d_prev, d_curr, k = carry
+        l_f = ell.astype(jnp.float32)
+        lm1 = l_f - 1.0
+
+        def a_of(l):
+            return jnp.sqrt(
+                jnp.maximum((l * l - m * m) * (l * l - s2), 0.0)
+            ) / jnp.maximum(l, 1.0)
+
+        a_l = a_of(l_f)
+        a_lm1 = a_of(lm1)
+        inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
+        mid = (2.0 * l_f - 1.0) * (
+            x - (m * mn) / jnp.maximum(lm1 * l_f, 1.0)
+        )
+        cand = mid * inv * d_curr - (a_lm1 * inv) * d_prev
+        is_seed = l_f == j0
+        d_new = jnp.where(is_seed, seed_mant, jnp.where(l_f > j0, cand, 0.0))
+        k_new = jnp.where(is_seed, seed_k, k)
+        over = jnp.abs(d_new) > _SCALE
+        d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
+        d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
+        k_new = jnp.where(over, k_new + 1.0, k_new)
+        emit = jnp.where(k_new == 0.0, 1.0,
+                         jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
+        norm = jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
+        return (d_prev_new, d_new, k_new), d_new * emit * norm
+
+    FNp = (FNp_ref[0], FNp_ref[1])
+    Sp = (Sp_ref[0], Sp_ref[1])
+    FNm = (FNm_ref[0], FNm_ref[1])
+    Sm = (Sm_ref[0], Sm_ref[1])
+
+    def body(blk, carry):
+        carry_p, carry_m = carry
+        rows = [[], [], [], []]  # p_re, p_im, m_re, m_im
+        for t in range(8):
+            ell = 8 * blk + t
+            sgn = 1.0 if t % 2 == 0 else -1.0
+            carry_p, lam_p = advance(carry_p, ell, ms["p"], seed_p, k0_p)
+            carry_m, lam_m = advance(carry_m, ell, ms["m"], seed_m, k0_m)
+            for c in range(2):
+                rows[0 + c].append(jnp.sum(
+                    lam_p * FNp[c] + sgn * lam_m * Sp[c], axis=0, keepdims=True
+                ))
+                rows[2 + c].append(jnp.sum(
+                    lam_m * FNm[c] + sgn * lam_p * Sm[c], axis=0, keepdims=True
+                ))
+        sl = pl.ds(8 * blk, 8)
+        for plane in range(4):
+            out_ref[plane, sl, :] += jnp.concatenate(rows[plane], axis=0)
+        return carry_p, carry_m
+
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    init = ((zeros, zeros, kinit), (zeros, zeros, kinit))
+    jax.lax.fori_loop(0, (lmax + 8) // 8, body, init)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lmax", "spin", "m_chunk", "ring_block", "interpret"),
+)
+def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
+                         m_chunk=128, ring_block=None, interpret=False):
+    """Folded spin-pair analysis on the Pallas kernel.
+
+    Inputs as built by the jnp cross path: FN* northern rows per branch,
+    S* the partner-paired (-1)^m-signed southern rows.  Returns
+    (alm_p, alm_m) rectangular (lmax+1, nm_pad) complex64.
+    """
+    nhalf, nm_pad = FNp.shape
+    if ring_block is None:
+        # 4 double-buffered F blocks + 6 carries + the (4, lmax+1, m)
+        # output block must fit the 16MB scoped-VMEM budget
+        ring_block = min(nhalf, 128 if lmax > 2048 else 256)
+    nr_pad = -(-nhalf // ring_block) * ring_block
+    pad = nr_pad - nhalf
+
+    def prep(F):
+        planes = jnp.stack([F.real, F.imag]).astype(jnp.float32)
+        return jnp.pad(planes, ((0, 0), (0, pad), (0, 0)))
+
+    # host-side seed constants per (m, branch): the Wigner-d seed
+    # coefficient and sign at j0 = max(m, s) (lgamma-free in the kernel);
+    # branch p (a_{+s}) needs d^{j0}_{-m,-s}, branch m needs d^{j0}_{-m,+s}
+    mm = np.arange(nm_pad)
+    _, sgp, logcp = _seed_consts(mm, spin)
+    _, sgm, logcm = _seed_consts(mm, -spin)
+    msign = np.where(mm % 2 == 0, 1.0, -1.0)
+    seed = np.stack([
+        logcp,
+        sgp * msign,
+        logcm,
+        sgm * msign,
+        np.maximum(mm, abs(spin)).astype(np.float64),
+        mm.astype(np.float64),
+    ]).astype(np.float32)[:, None, :]
+
+    lpad = -(-(lmax + 1) // 8) * 8
+    n_mchunks = nm_pad // m_chunk
+    n_rblocks = nr_pad // ring_block
+
+    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+    logchp = jnp.pad(logch.astype(jnp.float32), (0, pad),
+                     constant_values=-1e4)[:, None]
+    logshp = jnp.pad(logsh.astype(jnp.float32), (0, pad),
+                     constant_values=-1e4)[:, None]
+
+    vec_spec = pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
+    F_spec = pl.BlockSpec((2, ring_block, m_chunk), lambda i, j: (0, j, i),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _pair_kernel, lmax=lmax, spin=abs(int(spin)), m_chunk=m_chunk,
+            ring_block=ring_block,
+        ),
+        grid=(n_mchunks, n_rblocks),
+        in_specs=[
+            vec_spec, vec_spec, vec_spec,
+            pl.BlockSpec((6, 1, m_chunk), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            F_spec, F_spec, F_spec, F_spec,
+        ],
+        out_specs=pl.BlockSpec((4, lpad, m_chunk), lambda i, j: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, lpad, nm_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, logchp, logshp, jnp.asarray(seed), prep(FNp), prep(Sp),
+      prep(FNm), prep(Sm))
+
+    alm_p = (out[0, : lmax + 1] + 1j * out[1, : lmax + 1]).astype(jnp.complex64)
+    alm_m = (out[2, : lmax + 1] + 1j * out[3, : lmax + 1]).astype(jnp.complex64)
+    return alm_p, alm_m
+
+
+def _seed_consts(mm, n):
+    """(j0, sign, logC) of the Wigner seed d^{j0}_{-m, -n} (host numpy)."""
+    from scipy.special import gammaln
+
+    mp = -mm.astype(np.int64)
+    npar = int(-n)
+    a = np.abs(mp)
+    b = abs(npar)
+    j0 = np.maximum(a, b)
+    c = np.where(a >= b, npar, mp)
+    logC = 0.5 * (
+        gammaln(2 * j0 + 1) - gammaln(j0 + c + 1) - gammaln(j0 - c + 1)
+    )
+    k0 = np.where(
+        a >= b,
+        np.where(mp >= 0, mp - npar, 0),
+        np.where(npar > 0, 0, mp + b),
+    )
+    sign = np.where(k0 % 2 == 0, 1.0, -1.0)
+    return j0, sign, logC
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "m_chunk", "ring_block", "interpret"),

@@ -355,9 +355,21 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
             k = jnp.broadcast_to(m % nph, (nr_b, nm))
             kneg = jnp.broadcast_to((-m) % nph, (nr_b, nm))
             rows = jnp.arange(nr_b, dtype=jnp.int32)[:, None]
-            d = jnp.zeros(hp.shape[:-1] + (L,), dtype=hp.dtype)
-            d = d.at[..., rows, k].add(hp)
-            d = d.at[..., rows, kneg].add(hn)
+
+            # complex scatter-add is unimplemented on TPU: scatter the
+            # real/imag planes separately
+            def scatter(vals):
+                rdt_l = vals.real.dtype
+                re = jnp.zeros(vals.shape[:-1] + (L,), rdt_l)
+                im = jnp.zeros_like(re)
+                re = re.at[..., rows, k].add(vals.real)
+                im = im.at[..., rows, k].add(vals.imag)
+                return re, im
+
+            re_p, im_p = scatter(hp)
+            re_n = re_p.at[..., rows, kneg].add(hn.real)
+            im_n = im_p.at[..., rows, kneg].add(hn.imag)
+            d = re_n + 1j * im_n
             if b["belt"]:
                 v = jnp.fft.ifft(d, axis=-1) * L
             else:

@@ -228,6 +228,21 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
         partner = folded[nspin - 1 - b] if cross else folded[b]
         FS.append(partner[1] * msign)
 
+    # TPU fast path for spin pairs: the fused cross-mode Pallas kernel
+    if (
+        cross
+        and Fw[0].ndim == 2
+        and Fw[0].dtype == jnp.complex64
+        and jax.default_backend() == "tpu"
+    ):
+        from . import pallas_sht
+
+        alm_p, alm_m = pallas_sht.analysis_pair_folded(
+            FN[0], FS[1], FN[1], FS[0], x, logch, logsh, lmax,
+            abs(int(ns[0])), m_chunk=m_chunk,
+        )
+        return (alm_p, alm_m)
+
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
         ms_l = jnp.tile(ms, nspin)
@@ -475,6 +490,41 @@ alm2map_jit = jax.jit(
     alm2map,
     static_argnames=("nside", "lmax", "mmax", "spin", "m_chunk", "packed"),
 )
+
+
+# -- host-boundary wrappers ---------------------------------------------------
+#
+# Complex arrays cannot cross jit/transfer boundaries on some TPU
+# transports (observed on this build machine's tunnel), so the host-facing
+# wrappers split alms into real/imag planes *inside* the jit.
+
+_map2alm_planes = jax.jit(
+    lambda maps, **kw: (lambda a: jnp.stack([a.real, a.imag]))(
+        map2alm(maps, **kw)
+    ),
+    static_argnames=(
+        "lmax", "mmax", "spin", "weights", "iterations", "m_chunk", "packed"
+    ),
+)
+
+_alm2map_planes = jax.jit(
+    lambda re, im, nside, **kw: alm2map(re + 1j * im, nside, **kw),
+    static_argnames=("nside", "lmax", "mmax", "spin", "m_chunk", "packed"),
+)
+
+
+def map2alm_host(maps, lmax=None, **kw):
+    """map2alm for host (numpy) callers; returns numpy complex alms."""
+    planes = np.asarray(_map2alm_planes(np.asarray(maps), lmax=lmax, **kw))
+    return np.ascontiguousarray(planes[0] + 1j * planes[1])
+
+
+def alm2map_host(alm, nside, lmax=None, **kw):
+    """alm2map for host (numpy) callers; input numpy complex alms."""
+    alm = np.asarray(alm)
+    re = np.ascontiguousarray(alm.real)
+    im = np.ascontiguousarray(alm.imag)
+    return np.asarray(_alm2map_planes(re, im, nside, lmax=lmax, **kw))
 
 
 @functools.lru_cache(maxsize=32)

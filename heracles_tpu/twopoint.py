@@ -72,8 +72,14 @@ def alm2lmax(alm, mmax=None):
 
 
 @partial(jax.jit, static_argnames=("lmax1", "lmax2", "lout"))
-def _alm2cl_rect(alm1, alm2, lmax1, lmax2, lout):
-    """cl[..., l] = 1/(2l+1) sum_m (2 - delta_m0) Re(alm1 conj(alm2))."""
+def _alm2cl_rect(re1, im1, re2, im2, lmax1, lmax2, lout):
+    """cl[..., l] = 1/(2l+1) sum_m (2 - delta_m0) Re(alm1 conj(alm2)).
+
+    Takes real/imag planes (complex arrays cannot cross jit boundaries on
+    some TPU transports).
+    """
+    alm1 = re1 + 1j * im1
+    alm2 = re2 + 1j * im2
     a1 = sht.unpack_alm(alm1, lmax1)[..., : lout + 1, : lout + 1]
     a2 = sht.unpack_alm(alm2, lmax2)[..., : lout + 1, : lout + 1]
     prod = a1.real * a2.real + a1.imag * a2.imag
@@ -101,7 +107,13 @@ def alm2cl(alm, alm2=None, *, lmax=None):
             *alm.shape[:-1], *((1,) * (alm2.ndim - 1)), alm.shape[-1]
         )
     # np.array: a writable host copy (jax buffers are read-only views)
-    return np.array(_alm2cl_rect(alm, alm2, lmax1, lmax2, lout))
+    return np.array(
+        _alm2cl_rect(
+            np.ascontiguousarray(alm.real), np.ascontiguousarray(alm.imag),
+            np.ascontiguousarray(alm2.real), np.ascontiguousarray(alm2.imag),
+            lmax1, lmax2, lout,
+        )
+    )
 
 
 def _debias_cl(cl, bias=None, md=None, *, inplace=False):

@@ -65,3 +65,47 @@ def test_pallas_high_m_scaling():
     assert np.all(np.isfinite(got))
     # orders beyond lmax contribute nothing (lam = 0 for l < m)
     np.testing.assert_allclose(got[:, lmax + 1 :], 0.0, atol=1e-6)
+
+
+def test_pallas_pair_matches_jnp_cross():
+    """The cross-mode (spin-pair) kernel vs the jnp cross scan."""
+    from heracles_tpu.ops.pallas_sht import analysis_pair_folded
+
+    nside, lmax, spin = 16, 24, 2
+    rng = np.random.default_rng(3)
+    nhalf = 2 * nside
+    nm_pad = 128
+
+    def rand():
+        return (rng.normal(size=(nhalf, nm_pad))
+                + 1j * rng.normal(size=(nhalf, nm_pad))).astype(np.complex64)
+
+    FNp, Sp, FNm, Sm = rand(), rand(), rand(), rand()
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+
+    ap, am = analysis_pair_folded(
+        jnp.asarray(FNp), jnp.asarray(Sp), jnp.asarray(FNm), jnp.asarray(Sm),
+        jnp.asarray(x), jnp.asarray(logch), jnp.asarray(logsh), lmax, spin,
+        ring_block=16, interpret=True,
+    )
+
+    # jnp reference: cross scan with lanes [ns=+s block | ns=-s block],
+    # FN = [FNp, FNm], FS such that FS[1] = Sp, FS[0] = Sm
+    ms = jnp.tile(jnp.arange(nm_pad, dtype=jnp.int32), 2)
+    nsv = jnp.repeat(jnp.asarray([spin, -spin], jnp.int32), nm_pad)
+    FN_l = jnp.concatenate([jnp.asarray(FNp), jnp.asarray(FNm)], axis=-1)
+    FS_l = jnp.concatenate([jnp.asarray(Sm), jnp.asarray(Sp)], axis=-1)
+    want = np.asarray(
+        wigner.lambda_analysis_scan_folded(
+            ms, nsv, jnp.asarray(x), jnp.asarray(logch), jnp.asarray(logsh),
+            lmax, FN_l, FS_l, cross=True,
+        )
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(
+        np.asarray(ap), want[:, :nm_pad], atol=3e-5 * scale, rtol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(am), want[:, nm_pad:], atol=3e-5 * scale, rtol=3e-4
+    )
