@@ -107,3 +107,75 @@ def test_defaults_section_applies():
     )
     fields = fields_from_config(config)
     assert fields["POS"].mapper.nside == 16
+
+
+def test_cli_pipeline_end_to_end(tmp_path):
+    """All four CLI stages over a synthetic catalogue (in-process)."""
+    import logging
+    import os
+
+    import heracles_tpu.cli as cli
+    from heracles_tpu import healpix as hpx
+    from heracles_tpu.fits import FitsFile
+    from heracles_tpu.io import _write_map, read, read_alms, read_maps
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    cat = str(tmp_path / "catalog.fits")
+    f = FitsFile(cat, mode="rw", clobber=True)
+    f.write_table(
+        {
+            "RA": rng.uniform(0, 360, n),
+            "DEC": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+            "W": rng.uniform(0.5, 1.5, n),
+            "G1": rng.normal(0, 0.1, n),
+            "G2": rng.normal(0, 0.1, n),
+            "ZBIN": rng.integers(0, 2, n).astype(np.int32),
+        },
+        extname="CATALOG",
+    )
+    vmap = str(tmp_path / "vmap.fits")
+    vf = FitsFile(vmap, mode="rw", clobber=True)
+    _write_map(vf, "VMAP", np.ones(hpx.nside2npix(8)))
+
+    cfg = str(tmp_path / "heracles.cfg")
+    with open(cfg, "w") as fp:
+        fp.write(
+            "[defaults]\nnside = 8\nlmax = 12\n"
+            "[fields:POS]\ntype = positions\ncolumns = RA\n\tDEC\nmask = VIS\n"
+            "[fields:SHE]\ntype = shears\n"
+            "columns = RA\n\tDEC\n\tG1\n\t-G2\n\tW\nmask = WHT\n"
+            "[fields:VIS]\ntype = visibility\n"
+            "[fields:WHT]\ntype = weights\ncolumns = RA\n\tDEC\n\tW\n"
+            f"[catalogs:cat]\nsource = {cat}\nvisibility = {vmap}\n"
+            "selections = 0 = ZBIN == 0\n\t1 = ZBIN == 1\n"
+            "[spectra:full]\nlmax = 12\nl2max = 12\nl3max = 12\n"
+            "bins = 3 log\nlmin = 2\n"
+        )
+
+    logger = logging.getLogger("test_cli")
+    maps_fits = str(tmp_path / "maps.fits")
+    alms_fits = str(tmp_path / "alms.fits")
+    cls_fits = str(tmp_path / "cls.fits")
+    mms_fits = str(tmp_path / "mms.fits")
+
+    cli.maps(maps_fits, files=[cfg], logger=logger, progress=False)
+    assert len(read_maps(maps_fits)) == 8  # 4 fields x 2 selections
+
+    cli.alms(alms_fits, files=[cfg], maps=[maps_fits], logger=logger,
+             progress=False)
+    alms = read_alms(alms_fits)
+    assert len(alms) == 8
+    assert alms["SHE", 0].shape[0] == 2  # E/B
+
+    cli.spectra(cls_fits, files=[cfg], alms=[alms_fits], logger=logger,
+                progress=False)
+    cls = read(cls_fits)
+    assert ("POS", "SHE", 0, 1) in cls
+    assert cls["POS", "POS", 0, 0].shape == (3,)  # binned
+
+    cli.mixmats(mms_fits, files=[cfg], alms=[alms_fits], logger=logger,
+                progress=False)
+    mms = read(mms_fits)
+    assert ("SHE", "SHE", 0, 0) in mms
+    assert mms["SHE", "SHE", 0, 0].shape == (3, 3, 13)  # EB blocks, binned
