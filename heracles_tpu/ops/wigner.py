@@ -37,8 +37,11 @@ import numpy as np
 
 __all__ = [
     "wigner_seed_log",
+    "wigner_table",
     "lambda_analysis_scan",
     "lambda_synthesis_scan",
+    "lambda_analysis_scan_folded",
+    "lambda_synthesis_scan_folded",
 ]
 
 _SCALE_LOG2 = 60
