@@ -296,6 +296,143 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     return alm_p, alm_m
 
 
+def _synth_kernel(x_ref, logchsh_ref, logc_ref, alm_ref, out_ref, *, lmax,
+                  m_chunk, ring_block):
+    """Folded spin-0 synthesis: G accumulates in VMEM, written once.
+
+    Grid (n_mchunks, n_ringblocks); outputs 4 planes [GN_re, GN_im,
+    GS_re, GS_im] per (ring-block, m-chunk) tile, with the (-1)^m order
+    sign already applied to GS (spin 0: the lane-block swap is trivial).
+    """
+    mi = (pl.program_id(0) * m_chunk
+          + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1))
+    m = mi.astype(jnp.float32)
+    x = x_ref[...]
+    logsum = logchsh_ref[...]
+    msign = jnp.where(mi % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+
+    logval = logc_ref[...] + m * logsum
+    ls = logval / (_LN2 * _SCALE_LOG2)
+    k0 = jnp.floor(ls)
+    seed_mant = msign * jnp.exp2((ls - k0) * _SCALE_LOG2)
+
+    inv4pi = 1.0 / (4.0 * np.pi)
+
+    def advance(carry, ell):
+        d_prev, d_curr, k = carry
+        l_f = ell.astype(jnp.float32)
+        lm1 = l_f - 1.0
+        a_l = jnp.sqrt(jnp.maximum(l_f * l_f - m * m, 0.0))
+        a_lm1 = jnp.sqrt(jnp.maximum(lm1 * lm1 - m * m, 0.0))
+        inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
+        cand = ((2.0 * l_f - 1.0) * inv) * x * d_curr - (a_lm1 * inv) * d_prev
+        is_seed = l_f == m
+        d_new = jnp.where(is_seed, seed_mant, jnp.where(l_f > m, cand, 0.0))
+        k_new = jnp.where(is_seed, k0, k)
+        over = jnp.abs(d_new) > _SCALE
+        d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
+        d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
+        k_new = jnp.where(over, k_new + 1.0, k_new)
+        emit = jnp.where(k_new == 0.0, 1.0,
+                         jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
+        norm = jnp.sqrt((2.0 * l_f + 1.0) * inv4pi)
+        return (d_prev_new, d_new, k_new), d_new * emit * norm
+
+    def body(blk, carry):
+        state, GNr, GNi, Sr, Si = carry
+        rows = alm_ref[:, pl.ds(8 * blk, 8), :]  # (2, 8, m_chunk)
+        for t in range(8):
+            state, lam = advance(state, 8 * blk + t)
+            a_re = rows[0, t, :][None, :]
+            a_im = rows[1, t, :][None, :]
+            GNr = GNr + a_re * lam
+            GNi = GNi + a_im * lam
+            if t % 2 == 0:
+                Sr = Sr + a_re * lam
+                Si = Si + a_im * lam
+            else:
+                Sr = Sr - a_re * lam
+                Si = Si - a_im * lam
+        return state, GNr, GNi, Sr, Si
+
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    _, GNr, GNi, Sr, Si = jax.lax.fori_loop(
+        0, (lmax + 8) // 8, body,
+        ((zeros, zeros, kinit), zeros, zeros, zeros, zeros),
+    )
+    out_ref[0] = GNr
+    out_ref[1] = GNi
+    out_ref[2] = Sr * msign
+    out_ref[3] = Si * msign
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lmax", "m_chunk", "ring_block", "interpret"),
+)
+def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
+                           ring_block=None, interpret=False):
+    """Folded spin-0 synthesis: rectangular alm -> (GN, GS) ring spectra.
+
+    ``alm``: (lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
+    shape (nhalf, nm_pad) where nhalf = len(x) (northern rings) and GS is
+    the mirrored-southern spectrum with the (-1)^m sign applied, matching
+    :func:`heracles_tpu.ops.wigner.lambda_synthesis_scan_folded`.
+    """
+    nhalf = x.shape[0]
+    nm_pad = alm.shape[-1]
+    if ring_block is None:
+        ring_block = min(nhalf, 512 if lmax > 2048 else 1024)
+    nr_pad = -(-nhalf // ring_block) * ring_block
+    pad = nr_pad - nhalf
+
+    lpad = -(-(lmax + 1) // 8) * 8 + 8  # one spare block for the 8-step tail
+    planes = jnp.stack([alm.real, alm.imag]).astype(jnp.float32)
+    planes = jnp.pad(planes, ((0, 0), (0, lpad - (lmax + 1)), (0, 0)))
+
+    mm = jnp.arange(nm_pad, dtype=jnp.float32)
+    logc = (
+        0.5 * (jax.lax.lgamma(2.0 * mm + 1.0) - 2.0 * jax.lax.lgamma(mm + 1.0))
+    ).astype(jnp.float32)[None, :]
+    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+    logchsh = jnp.pad((logch + logsh).astype(jnp.float32), (0, pad),
+                      constant_values=-1e4)[:, None]
+
+    n_mchunks = nm_pad // m_chunk
+    n_rblocks = nr_pad // ring_block
+
+    out = pl.pallas_call(
+        functools.partial(
+            _synth_kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block
+        ),
+        grid=(n_mchunks, n_rblocks),
+        in_specs=[
+            pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_chunk), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lpad, m_chunk), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, ring_block, m_chunk), lambda i, j: (0, j, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, nr_pad, nm_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, logchsh, logc, planes)
+
+    GN = (out[0, :nhalf] + 1j * out[1, :nhalf]).astype(jnp.complex64)
+    GS = (out[2, :nhalf] + 1j * out[3, :nhalf]).astype(jnp.complex64)
+    return GN, GS
+
+
 def _seed_consts(mm, n):
     """(j0, sign, logC) of the Wigner seed d^{j0}_{-m, -n} (host numpy)."""
     from scipy.special import gammaln

@@ -309,6 +309,22 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside):
     nspin = len(ns)
     cross = nspin == 2
 
+    # TPU fast path: fused Pallas synthesis (spin 0, unbatched, f32)
+    if (
+        not cross
+        and abs(int(ns[0])) == 0
+        and alms[0].ndim == 2
+        and alms[0].dtype == jnp.complex64
+        and jax.default_backend() == "tpu"
+    ):
+        from . import pallas_sht
+
+        GN, GS = pallas_sht.synthesis_spin0_folded(
+            alms[0], x, logch, logsh, lmax, m_chunk=m_chunk
+        )
+        south = jnp.flip(GS[..., :-1, :], axis=-2)
+        return (jnp.concatenate([GN, south], axis=-2),)
+
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
         ms_l = jnp.tile(ms, nspin)

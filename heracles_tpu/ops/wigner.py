@@ -88,7 +88,7 @@ def wigner_seed_log(mp, npar, logch, logsh):
 
 def _seed_scaled(sign, logval):
     """Split sign*exp(logval) into (mantissa, k) with value = mant * 2^(60k)."""
-    ls = logval / (np.log(2.0) * _SCALE_LOG2)
+    ls = logval * jnp.asarray(1.0 / (np.log(2.0) * _SCALE_LOG2), logval.dtype)
     k = jnp.floor(ls).astype(jnp.int32)
     mant = sign[:, None] * jnp.exp2((ls - k) * _SCALE_LOG2)
     return mant, k
@@ -158,7 +158,9 @@ def _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, carry_extra, fdt, xs_e
         d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
         d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
         k_new = jnp.where(over, k_new + 1, k_new)
-        norm = jnp.sqrt((2.0 * ell.astype(fdt) + 1.0) / (4.0 * np.pi))
+        norm = jnp.sqrt(
+            (2.0 * ell.astype(fdt) + 1.0) * jnp.asarray(0.25 / np.pi, fdt)
+        )
         lam = d_new * _emit_factor(k_new) * norm
         ys, extra = step_extra(ell, lam, xs, extra)
         return (d_prev_new, d_new, k_new, extra), ys
@@ -199,7 +201,9 @@ def _advance(state, ell, mp, npar, j0, seed_mant, seed_k, x, fdt):
     d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
     d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
     k_new = jnp.where(over, k_new + 1, k_new)
-    norm = jnp.sqrt((2.0 * ell.astype(fdt) + 1.0) / (4.0 * np.pi))
+    norm = jnp.sqrt(
+        (2.0 * ell.astype(fdt) + 1.0) * jnp.asarray(0.25 / np.pi, fdt)
+    )
     lam = d_new * _emit_factor(k_new) * norm
     return (d_prev_new, d_new, k_new), lam
 

@@ -109,3 +109,33 @@ def test_pallas_pair_matches_jnp_cross():
     np.testing.assert_allclose(
         np.asarray(am), want[:, nm_pad:], atol=3e-5 * scale, rtol=3e-4
     )
+
+
+def test_pallas_synthesis_matches_jnp():
+    from heracles_tpu.ops.pallas_sht import synthesis_spin0_folded
+
+    nside, lmax = 16, 24
+    rng = np.random.default_rng(9)
+    nm_pad = 128
+    alm = (rng.normal(size=(lmax + 1, nm_pad))
+           + 1j * rng.normal(size=(lmax + 1, nm_pad))).astype(np.complex64)
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    nhalf = 2 * nside
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+    GN, GS = synthesis_spin0_folded(
+        jnp.asarray(alm), jnp.asarray(x), jnp.asarray(logch),
+        jnp.asarray(logsh), lmax, ring_block=16, interpret=True,
+    )
+    ms = jnp.arange(nm_pad, dtype=jnp.int32)
+    nsv = jnp.zeros(nm_pad, jnp.int32)
+    wantN, wantS = wigner.lambda_synthesis_scan_folded(
+        ms, nsv, jnp.asarray(x), jnp.asarray(logch), jnp.asarray(logsh),
+        lmax, jnp.asarray(alm), cross=False,
+    )
+    scale = float(np.abs(np.asarray(wantN)).max())
+    np.testing.assert_allclose(
+        np.asarray(GN), np.asarray(wantN), atol=2e-5 * scale, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(GS), np.asarray(wantS), atol=2e-5 * scale, rtol=2e-4
+    )
