@@ -383,7 +383,9 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
     nhalf = x.shape[0]
     nm_pad = alm.shape[-1]
     if ring_block is None:
-        ring_block = min(nhalf, 512 if lmax > 2048 else 1024)
+        # double-buffered alm block + (4, ring_block, m_chunk) out tile +
+        # 7 carries must fit the 16MB scoped-VMEM budget
+        ring_block = min(nhalf, 256 if lmax > 2048 else 512)
     nr_pad = -(-nhalf // ring_block) * ring_block
     pad = nr_pad - nhalf
 

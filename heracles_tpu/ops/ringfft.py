@@ -119,30 +119,33 @@ def _complex_dtype(dtype):
 
 
 def _chirp_from_index(q, nph, sign, rdt):
-    """exp(sign * 1j * pi * q^2 / nph), zero where q >= nph.
+    """exp(sign * 1j * pi * q^2 / nph) for any q >= 0.
 
     q^2 is reduced mod 2*nph in integer arithmetic so large q lose no
-    precision in the reduced angle.
+    precision in the reduced angle.  No support mask: the chirp identity
+    holds for indices beyond the modulus too, which is what evaluates
+    aliased orders (m >= nph) directly.
     """
-    qm = jnp.where(q < nph, q, 0)
-    ang = jnp.pi * (qm * qm % (2 * nph)).astype(rdt) / nph.astype(rdt)
-    w = jnp.exp(1j * sign * ang)
-    return jnp.where(q < nph, w, 0.0)
+    ang = jnp.pi * (q * q % (2 * nph)).astype(rdt) / nph.astype(rdt)
+    return jnp.exp(1j * sign * ang)
 
 
 def _bluestein_dft(vals, nph, L, *, sign):
-    """Per-row DFT at each row's own length ``nph`` via Bluestein.
+    """Per-row chirp transform with per-row modulus ``nph``.
 
-    vals: (..., R, L) complex, rows zero-padded beyond their nph.
-    nph:  (R,) int32.  Returns (..., R, L) complex where entry k < nph[r]
-    holds sum_p vals[r, p] * exp(sign * 2j*pi*k*p/nph[r]).
+    vals: (..., R, L) complex, zero beyond each row's data extent.
+    nph:  (R,) int32 moduli.  Returns (..., R, L) complex where entry k
+    holds sum_p vals[r, p] * exp(sign * 2j*pi*k*p/nph[r]) — for ALL k < L
+    whose circular distance to every nonzero p is < L/2 (i.e. data extent
+    + output extent <= L).  Entries k >= nph[r] evaluate the aliased
+    series exactly (e^{2pi i kp/n} is periodic in k mod n).
     """
     rdt = _real_dtype(vals.dtype)
     nphc = nph[:, None]
     p = jnp.arange(L, dtype=jnp.int32)[None, :]
     pd = jnp.minimum(p, L - p)
     # e^{sigma 2pi i kp/n} = w_k w_p b_{k-p} with w_x = e^{sigma i pi x^2/n},
-    # b_j = e^{-sigma i pi j^2/n}; circular conv valid since L >= 2*nph.
+    # b_j = e^{-sigma i pi j^2/n} (b stored at circular distance |j|)
     w = _chirp_from_index(p, nphc, sign, rdt)
     b = _chirp_from_index(pd, nphc, -sign, rdt)
     conv = jnp.fft.ifft(
@@ -183,6 +186,10 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
     SHT, where each device owns a contiguous block of orders).
     Returns ``(F, Fneg)`` complex arrays of shape (..., nrings, nm); for
     real input ``Fneg`` is None (F_{-m} = conj(F_m)).
+
+    Aliased orders (m >= nph of the small polar rings) are produced
+    directly by the chirp transform (its modulus is the ring length, its
+    output extent the order range), so there are no gathers on this path.
     """
     if plan is None:
         plan = ring_plan(nside)
@@ -197,72 +204,78 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
     for b in plan:
         nph = jnp.asarray(b["nph"], dtype=jnp.int32)
         L = b["L"]
+        nph_min = int(b["nph"].min())
+        phase = jnp.exp(
+            -1j * m.astype(rdt) * jnp.asarray(b["phi0"], rdt)[:, None]
+        )
         if b["belt"]:
-            # the belt is contiguous with constant row length: a reshape,
-            # not a gather
+            # contiguous constant-length rows: reshape + one batched FFT
             p0, p1 = b["pix"]
             nr_b = b["rings"][1] - b["rings"][0]
             rows = maps[..., p0:p1].reshape(maps.shape[:-1] + (nr_b, L))
             C = jnp.fft.fft(rows.astype(cdt), axis=-1)
+            if static_m0 and m0 + nm <= nph_min:
+                Cm = jax.lax.slice_in_dim(C, m0, m0 + nm, axis=-1)
+                out_pos.append(Cm * phase)
+                if complex_in:
+                    if m0 == 0:
+                        Cneg = jnp.flip(
+                            jax.lax.slice_in_dim(C, L - nm + 1, L, axis=-1),
+                            axis=-1,
+                        )
+                        Cneg = jnp.concatenate(
+                            [jax.lax.slice_in_dim(C, 0, 1, axis=-1), Cneg],
+                            axis=-1,
+                        )
+                        out_neg.append(Cneg * jnp.conj(phase))
+                    else:
+                        kneg = (-m) % nph[:, None]
+                        knb = jnp.broadcast_to(
+                            kneg, C.shape[:-2] + kneg.shape
+                        )
+                        out_neg.append(
+                            jnp.take_along_axis(C, knb, axis=-1)
+                            * jnp.conj(phase)
+                        )
+            else:
+                # rare (lmax >= 2*nside or traced m0): alias gather
+                k = m % nph[:, None]
+                kb = jnp.broadcast_to(k, C.shape[:-2] + k.shape)
+                out_pos.append(jnp.take_along_axis(C, kb, axis=-1) * phase)
+                if complex_in:
+                    kneg = (-m) % nph[:, None]
+                    knb = jnp.broadcast_to(kneg, C.shape[:-2] + kneg.shape)
+                    out_neg.append(
+                        jnp.take_along_axis(C, knb, axis=-1) * jnp.conj(phase)
+                    )
+            continue
+        # cap buckets: direct chirp transform; the transform length must
+        # cover data extent + output extent
+        if static_m0:
+            L_eff = max(L, _next_pow2(2 * (m0 + nm)))
+            rows = _gather_rows(maps, b["pix"][0], b["nph"], L_eff).astype(cdt)
+            C = _bluestein_dft(rows, nph, L_eff, sign=-1)
+            out_pos.append(
+                jax.lax.slice_in_dim(C, m0, m0 + nm, axis=-1) * phase
+            )
+            if complex_in:
+                Cn = _bluestein_dft(rows, nph, L_eff, sign=+1)
+                out_neg.append(
+                    jax.lax.slice_in_dim(Cn, m0, m0 + nm, axis=-1)
+                    * jnp.conj(phase)
+                )
         else:
             rows = _gather_rows(maps, b["pix"][0], b["nph"], L).astype(cdt)
             C = _bluestein_dft(rows, nph, L, sign=-1)
-        phase = jnp.exp(
-            -1j * m.astype(rdt) * jnp.asarray(b["phi0"], rdt)[:, None]
-        )
-
-        # positive orders: rows with nph >= m0+nm have no aliasing in
-        # range, so their "gather" is a slice; nph is monotonic within a
-        # bucket, so the split is two static row ranges
-        if static_m0:
-            need = m0 + nm
-            alias_rows = np.flatnonzero(b["nph"] < need)
-            plain_rows = np.flatnonzero(b["nph"] >= need)
-        else:
-            alias_rows = np.arange(len(b["nph"]))
-            plain_rows = np.array([], dtype=int)
-
-        def part(r0, r1, aliased):
-            Cb = C[..., r0:r1, :]
-            if aliased:
-                k = m % nph[r0:r1, None]
-                kb = jnp.broadcast_to(k, Cb.shape[:-2] + k.shape)
-                Cm = jnp.take_along_axis(Cb, kb, axis=-1)
-            else:
-                Cm = jax.lax.slice_in_dim(Cb, m0, m0 + nm, axis=-1)
-            return Cm * phase[..., r0:r1, :]
-
-        segments = []
-        if alias_rows.size and plain_rows.size and alias_rows[0] < plain_rows[0]:
-            segments = [(0, alias_rows.size, True),
-                        (alias_rows.size, len(b["nph"]), False)]
-        elif alias_rows.size and plain_rows.size:
-            segments = [(0, plain_rows.size, False),
-                        (plain_rows.size, len(b["nph"]), True)]
-        elif alias_rows.size:
-            segments = [(0, len(b["nph"]), True)]
-        else:
-            segments = [(0, len(b["nph"]), False)]
-        out_pos.extend(part(r0, r1, al) for r0, r1, al in segments)
-
-        if complex_in:
-            # negative orders F_{-m} = C[(-m) mod nph]
-            if static_m0 and m0 == 0 and int(b["nph"].min()) >= nm:
-                # constant-length rows only for the belt; per-row nph
-                # otherwise forces a gather
-                if b["belt"]:
-                    Cneg = jnp.flip(
-                        jax.lax.slice_in_dim(C, L - nm + 1, L, axis=-1), axis=-1
-                    )
-                    Cneg = jnp.concatenate(
-                        [jax.lax.slice_in_dim(C, 0, 1, axis=-1), Cneg], axis=-1
-                    )
-                    out_neg.append(Cneg * jnp.conj(phase))
-                    continue
-            kneg = (-m) % nph[:, None]
-            knb = jnp.broadcast_to(kneg, C.shape[:-2] + kneg.shape)
-            out_neg.append(jnp.take_along_axis(C, knb, axis=-1) * jnp.conj(phase))
-
+            k = m % nph[:, None]
+            kb = jnp.broadcast_to(k, C.shape[:-2] + k.shape)
+            out_pos.append(jnp.take_along_axis(C, kb, axis=-1) * phase)
+            if complex_in:
+                kneg = (-m) % nph[:, None]
+                knb = jnp.broadcast_to(kneg, C.shape[:-2] + kneg.shape)
+                out_neg.append(
+                    jnp.take_along_axis(C, knb, axis=-1) * jnp.conj(phase)
+                )
     F = jnp.concatenate(out_pos, axis=-2)
     if complex_in:
         return F, jnp.concatenate(out_neg, axis=-2)
@@ -300,6 +313,10 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
 
     For real output pass ``h_neg=None`` (implies h_neg = conj(h_pos)).
     Returns (..., npix) maps (real if ``real_output``).
+
+    Cap rings evaluate the +-m series directly with chirp transforms
+    whose modulus is the ring length (orders m >= nph alias exactly), so
+    there are no scatters on this path.
     """
     if plan is None:
         plan = ring_plan(nside)
@@ -313,7 +330,6 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
         nph = jnp.asarray(b["nph"], dtype=jnp.int32)[:, None]
         phi0 = jnp.asarray(b["phi0"], rdt)[:, None]
         L = b["L"]
-        nph_min = int(b["nph"].min())
         phase = jnp.exp(1j * m.astype(rdt) * phi0)
         hp = h_pos[..., r0 : r0 + nr_b, :] * phase
         if h_neg is None:
@@ -322,66 +338,56 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
             hn = h_neg[..., r0 : r0 + nr_b, :] * jnp.conj(phase)
         hn = hn.at[..., 0].set(0.0)  # m=0 enters once
 
-        def pad_L(a):
-            return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, L - nm)])
-
         if b["belt"] and 2 * nm - 1 <= L:
             # no aliasing and constant row length: build the frequency
-            # rows by concatenation instead of a scatter
+            # rows by concatenation, one batched inverse FFT
             zeros = jnp.zeros(hp.shape[:-1] + (L - 2 * nm + 1,), hp.dtype)
             d = jnp.concatenate(
                 [hp, zeros, jnp.flip(hn[..., 1:], axis=-1)], axis=-1
             )
             v = jnp.fft.ifft(d, axis=-1) * L
-        elif not b["belt"] and nm <= nph_min:
-            # no aliasing: evaluate the +m and -m series directly with
-            # chirp transforms (the chirp masks k >= nph, so the entries
-            # sit at their true k = m positions; no scatter needed)
-            nph32 = jnp.asarray(b["nph"], jnp.int32)
-            if h_neg is None:
-                # hn = conj(hp) (m > 0):
-                # v = hp_0 + 2 Re(B_+(hp with m=0 zeroed))
-                hp_mask = hp.at[..., 0].set(0.0)
-                v = 2.0 * _bluestein_dft(pad_L(hp_mask), nph32, L, sign=+1)
-                v = v.real + hp[..., :1].real if real_output else (
-                    v.real + hp[..., :1]
-                )
-            else:
-                v = (
-                    _bluestein_dft(pad_L(hp), nph32, L, sign=+1)
-                    + _bluestein_dft(pad_L(hn), nph32, L, sign=-1)
-                )
-        else:
+        elif b["belt"]:
+            # rare (lmax >= 2*nside): scatter with real/imag planes
+            # (complex scatter-add is unimplemented on TPU)
             k = jnp.broadcast_to(m % nph, (nr_b, nm))
             kneg = jnp.broadcast_to((-m) % nph, (nr_b, nm))
             rows = jnp.arange(nr_b, dtype=jnp.int32)[:, None]
+            re = jnp.zeros(hp.shape[:-1] + (L,), hp.real.dtype)
+            im = jnp.zeros_like(re)
+            re = re.at[..., rows, k].add(hp.real)
+            im = im.at[..., rows, k].add(hp.imag)
+            re = re.at[..., rows, kneg].add(hn.real)
+            im = im.at[..., rows, kneg].add(hn.imag)
+            v = jnp.fft.ifft(re + 1j * im, axis=-1) * L
+        else:
+            # cap rings: direct chirp evaluation (modulus nph, data
+            # extent nm, output extent nph <= L)
+            L_eff = max(L, _next_pow2(2 * nm))
+            nph32 = jnp.asarray(b["nph"], jnp.int32)
 
-            # complex scatter-add is unimplemented on TPU: scatter the
-            # real/imag planes separately
-            def scatter(vals):
-                rdt_l = vals.real.dtype
-                re = jnp.zeros(vals.shape[:-1] + (L,), rdt_l)
-                im = jnp.zeros_like(re)
-                re = re.at[..., rows, k].add(vals.real)
-                im = im.at[..., rows, k].add(vals.imag)
-                return re, im
+            def pad_L(a, Le=L_eff):
+                return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, Le - nm)])
 
-            re_p, im_p = scatter(hp)
-            re_n = re_p.at[..., rows, kneg].add(hn.real)
-            im_n = im_p.at[..., rows, kneg].add(hn.imag)
-            d = re_n + 1j * im_n
-            if b["belt"]:
-                v = jnp.fft.ifft(d, axis=-1) * L
+            if h_neg is None:
+                # hn = conj(hp) (m > 0): v = hp_0 + 2 Re(B_+(hp, m>0))
+                hp_mask = hp.at[..., 0].set(0.0)
+                vb = 2.0 * _bluestein_dft(pad_L(hp_mask), nph32, L_eff,
+                                          sign=+1)
+                v = (vb.real + hp[..., :1].real) if real_output else (
+                    vb.real + hp[..., :1]
+                )
             else:
-                v = _bluestein_dft(d, jnp.asarray(b["nph"], jnp.int32), L,
-                                   sign=+1)
+                v = (
+                    _bluestein_dft(pad_L(hp), nph32, L_eff, sign=+1)
+                    + _bluestein_dft(pad_L(hn), nph32, L_eff, sign=-1)
+                )
         if real_output:
             v = v.real
         if b["belt"]:
             # constant row length == nph: plain reshape, no gather
             pieces.append(v.reshape(v.shape[:-2] + (nr_b * L,)))
         else:
-            pieces.append(_write_rows(v, b["nph"], L))
+            pieces.append(_write_rows(v, b["nph"], v.shape[-1]))
         r0 += nr_b
     out = jnp.concatenate(pieces, axis=-1)
     assert out.shape[-1] == nside2npix(nside)
