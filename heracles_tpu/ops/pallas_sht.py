@@ -1,18 +1,25 @@
-"""Pallas TPU kernel for the folded spin-0 Wigner analysis scan.
+"""Pallas TPU kernels for the folded Wigner-d scans (the SHT hot loop).
 
-The jnp `lax.scan` implementation re-reads the (nhalf x m_chunk) ring
-spectra from HBM on every one of the lmax+1 steps (~3 GB of HBM traffic
-per m-chunk at production scale).  This kernel keeps everything resident
-in VMEM: each (m-chunk, ring-block) grid step loads its Fe/Fo block once,
-runs the full scaled three-term recurrence over l in registers/VMEM, and
-accumulates the partial alm rows into a revisited output block.
+The jnp `lax.scan` implementations round-trip their large operands (the
+ring spectra, or the synthesis accumulator) through HBM on every one of
+the lmax+1 steps (~GBs of HBM traffic per m-chunk at production scale).
+These kernels keep everything resident in VMEM: each (m-chunk,
+ring-block) grid step loads its blocks once, runs the full scaled
+three-term recurrence over l on the VPU, and moves results in aligned
+8-row tiles.
 
-Only the spin-0 path is lowered to Pallas (the headline catalogue->Cl
-benchmark); spin pairs use the jnp scan.  Numerics are identical to
-:func:`heracles_tpu.ops.wigner.lambda_analysis_scan_folded` with ns = 0:
-the libsharp-style 2^60 block scaling, parity-split Fe/Fo contraction and
-(2l+1)/4pi normalisation are reproduced exactly (validated in
-tests/test_pallas.py against the jnp path, interpret mode on CPU).
+Three kernels are provided and auto-selected by :mod:`..ops.sht` on TPU:
+
+* :func:`analysis_spin0_folded` — spin-0 map2alm contraction;
+* :func:`analysis_pair_folded` — the +-s spin-pair (e.g. spin-2 E/B)
+  analysis, both Wigner columns in one program;
+* :func:`synthesis_spin0_folded` — spin-0 alm2map accumulation.
+
+Numerics are identical to the jnp scans in
+:mod:`heracles_tpu.ops.wigner` (libsharp-style 2^60 block scaling,
+parity-split even/odd contraction, (2l+1)/4pi normalisation), validated
+in tests/test_pallas.py in interpret mode.  `lgamma` has no Mosaic
+lowering, so seed coefficients are precomputed on the host.
 """
 
 from __future__ import annotations

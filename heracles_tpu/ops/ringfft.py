@@ -9,15 +9,20 @@ FFTs (a CPU pattern), we use a TPU-first decomposition:
 
 * the equatorial belt (2/3 of all pixels, every ring ``nph = 4*nside``) is
   one contiguous reshape + one batched complex FFT;
-* polar-cap rings are grouped into octave buckets (rings with similar
-  ``nph``) and each bucket is evaluated with a batched **Bluestein
-  chirp-z transform** at a common power-of-two length ``>= 2*max(nph)``,
-  so every DFT in a bucket has the same static shape regardless of the
-  ring's true ``nph``;
-* harmonic orders ``m >= nph`` are handled exactly through DFT aliasing,
-  ``F_m = C[m mod nph] * exp(-i*m*phi0)``, as a vectorised gather.
+* polar-cap rings are grouped into near-octave buckets (rings with
+  similar ``nph``) and each bucket is evaluated with a batched
+  **Bluestein chirp-z transform** at a common power-of-two length, so
+  every transform in a bucket has the same static shape regardless of
+  the ring's true ``nph``;
+* harmonic orders ``m >= nph`` are produced *directly* by the chirp
+  transform (its modulus is the ring length while its output extent is
+  the order range — ``e^{2 pi i m p / nph}`` is periodic in m), so the
+  aliasing costs neither gathers nor scatters.
 
-Everything here is shape-static and jit-friendly: bucket boundaries are
+TPU gathers/scatters are avoided throughout: ring extraction is a scan
+of contiguous dynamic slices, pixel write-back overwrites each row's
+padding with the next row's data, and the belt is pure reshapes.
+Everything is shape-static and jit-friendly: bucket boundaries are
 host-side constants derived from ``nside`` only.
 """
 
