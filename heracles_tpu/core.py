@@ -33,29 +33,27 @@ __all__ = [
 ]
 
 
-def toc_match(key, include=None, exclude=None):
-    """Return whether a tuple key matches the include/exclude patterns.
+def _head_match(pattern, key):
+    """Compare *pattern* elementwise against the head of *key*.
 
-    A pattern is a tuple whose entries are compared element-wise against
-    the key; ``...`` matches anything.  ``include=None`` admits every key,
-    otherwise at least one include pattern must match.  Any matching
-    exclude pattern rejects the key.  Mirrors reference core.py:34-48.
+    ``...`` entries match anything; comparison stops at the shorter of
+    the two tuples (a short pattern matches any continuation).
+    """
+    return all(p is ... or p == k for p, k in zip(pattern, key))
+
+
+def toc_match(key, include=None, exclude=None):
+    """Return whether a tuple key passes the include/exclude patterns.
+
+    ``include=None`` admits every key; otherwise at least one include
+    pattern must match.  Any matching exclude pattern rejects the key.
+    Contract: reference core.py:34-48.
     """
     if not isinstance(key, tuple):
         key = (key,)
-    if include is not None:
-        ok = False
-        for pattern in include:
-            if all(p is Ellipsis or p == k for p, k in zip(pattern, key)):
-                ok = True
-                break
-        if not ok:
-            return False
-    if exclude is not None:
-        for pattern in exclude:
-            if all(p is Ellipsis or p == k for p, k in zip(pattern, key)):
-                return False
-    return True
+    if any(_head_match(p, key) for p in exclude or ()):
+        return False
+    return include is None or any(_head_match(p, key) for p in include)
 
 
 def toc_filter(obj, include=None, exclude=None):
@@ -75,7 +73,13 @@ class TocDict(UserDict):
     Behaviour contract: reference core.py:63-99.
     """
 
+    @staticmethod
+    def _selects(pattern, key):
+        as_tuple = key if isinstance(key, tuple) else (key,)
+        return len(as_tuple) >= len(pattern) and _head_match(pattern, as_tuple)
+
     def __getitem__(self, pattern):
+        # exact entries win; unhashable patterns fall through to matching
         try:
             return self.data[pattern]
         except (KeyError, TypeError):
@@ -84,18 +88,12 @@ class TocDict(UserDict):
             pattern = (pattern,)
         if not pattern:
             return self.copy()
-        found = self.__class__()
-        for key, value in self.data.items():
-            if isinstance(key, tuple):
-                if len(key) < len(pattern):
-                    continue
-                if all(p == k for p, k in zip(pattern, key) if p is not ...):
-                    found[key] = value
-            elif pattern == (...,) or pattern == (key,):
-                found[key] = value
-        if not found:
+        selected = self.__class__(
+            {k: v for k, v in self.data.items() if self._selects(pattern, k)}
+        )
+        if not selected:
             raise KeyError(pattern)
-        return found
+        return selected
 
 
 def update_metadata(array, *sources, **metadata):
@@ -105,17 +103,15 @@ def update_metadata(array, *sources, **metadata):
     ``.metadata`` attribute of each *source*, then from keyword arguments.
     Contract: reference core.py:102-122.
     """
-    md = {}
-    if array.dtype.metadata is not None:
-        md.update(array.dtype.metadata)
+    merged = get_metadata(array)
     for source in sources:
-        md.update(source.metadata)
-    md.update(metadata)
-    base = array.dtype.fields if array.dtype.fields is not None else array.dtype.str
-    dt = np.dtype(base, metadata=md)
-    if not np.can_cast(dt, array.dtype, casting="no"):
-        raise ValueError("array with unsupported dtype")
-    array.dtype = dt
+        merged.update(source.metadata)
+    merged.update(metadata)
+    spec = array.dtype.fields or array.dtype.str
+    tagged = np.dtype(spec, metadata=merged)
+    if not np.can_cast(tagged, array.dtype, casting="no"):
+        raise ValueError(f"cannot attach metadata to dtype {array.dtype!r}")
+    array.dtype = tagged
 
 
 def get_metadata(array):

@@ -369,68 +369,79 @@ def correct_footprint_naturalspice(cls, cls_mm, mls0, fields, unmixed=False):
     return binned(cls, np.arange(0, lmax + 1))
 
 
+def _delete_count_prefactor(m, nd):
+    """Unbiased-covariance prefactor for a delete-``nd`` sample ensemble.
+
+    ``m`` is the ensemble size: njk samples for delete-1, njk-choose-2
+    for delete-2 (inverted via the quadratic formula).
+    """
+    if nd == 1:
+        return (m - 1) ** 2 / m
+    if nd == 2:
+        njk = (1 + np.sqrt(1 + 8 * m)) / 2
+        return (njk * (njk - 1) - 2) / (2 * njk * (njk + 1))
+    raise ValueError("number of deletions must be 1 or 2")
+
+
+def _stacked_covariance(stacks, template, nd):
+    """Jackknife covariance blocks from per-key sample stacks.
+
+    ``stacks`` maps each 4-tuple spectra key to an (m, ...) array of
+    samples; ``template`` supplies the per-key spin/axis/ell metadata.
+    Every key pair produces one covariance Result whose trailing axes are
+    the ell axes of both halves, in that order.
+    """
+    cov = {}
+    for key1, key2 in itertools.combinations_with_replacement(stacks, 2):
+        stack1, stack2 = stacks[key1], stacks[key2]
+        if len(stack1) <= 1:
+            continue
+        block = _delete_count_prefactor(len(stack1), nd) * sample_covariance(
+            stack1, stack2
+        )
+        r1, r2 = template[key1], template[key2]
+        src = r1.axis + tuple(r1.ndim + ax for ax in r2.axis)
+        dst = tuple(range(-len(src), 0))
+        cov[key1[0], key1[1], key2[0], key2[1],
+            key1[2], key1[3], key2[2], key2[3]] = Result(
+            np.moveaxis(block, src, dst),
+            axis=dst,
+            spin=(*r1.spin, *r2.spin),
+            ell=get_result_array(r1, "ell") + get_result_array(r2, "ell"),
+        )
+    return cov
+
+
 def jackknife_covariance(samples, nd=1):
     """Jackknife covariance of a dict of per-sample spectra dicts."""
     return _jackknife_covariance(samples.values(), nd=nd)
 
 
 def _jackknife_covariance(samples, nd=1):
-    cov = {}
-    first, *rest = samples
-    for key1, key2 in itertools.combinations_with_replacement(first, 2):
-        result1 = first[key1]
-        result2 = first[key2]
-        sa1, sb1 = result1.spin
-        sa2, sb2 = result2.spin
-        samples1 = np.stack([np.asarray(result1)]
-                            + [np.asarray(s[key1]) for s in rest])
-        samples2 = np.stack([np.asarray(result2)]
-                            + [np.asarray(s[key2]) for s in rest])
-        if (m := len(samples1)) > 1:
-            a = sample_covariance(samples1, samples2)
-            if nd == 1:
-                njk = m
-                a *= (njk - 1) ** 2 / njk
-            elif nd == 2:
-                njk = (1 + np.sqrt(1 + 8 * m)) / 2
-                a *= (njk * (njk - 1) - 2) / (2 * njk * (njk + 1))
-            else:
-                raise ValueError("number of deletions must be 0, 1, or 2")
-            ndim1 = result1.ndim
-            oldaxis = result1.axis + tuple(ndim1 + ax for ax in result2.axis)
-            axis = tuple(range(-len(oldaxis), 0))
-            a = np.moveaxis(a, oldaxis, axis)
-            ell = get_result_array(result1, "ell") + get_result_array(
-                result2, "ell"
-            )
-            a1, b1, i1, j1 = key1
-            a2, b2, i2, j2 = key2
-            cov[a1, b1, a2, b2, i1, j1, i2, j2] = Result(
-                a, axis=axis, spin=(sa1, sb1, sa2, sb2), ell=ell
-            )
-    return cov
+    samples = list(samples)
+    template = samples[0]
+    stacks = {
+        key: np.stack([np.asarray(s[key]) for s in samples])
+        for key in template
+    }
+    return _stacked_covariance(stacks, template, nd)
 
 
 def sample_covariance(samples, samples2=None):
-    """Streaming (online) sample covariance / cross-covariance."""
-    if samples2 is None:
-        samples2 = samples
-    n, *dim = samples.shape
-    n2, *dim2 = samples2.shape
-    if n2 != n:
+    """Sample covariance / cross-covariance over the leading axis.
+
+    One two-pass centred matmul over the flattened feature axes — the
+    result has the feature shape of ``samples`` followed by that of
+    ``samples2``.
+    """
+    x = np.asarray(samples)
+    y = x if samples2 is None else np.asarray(samples2)
+    n = len(x)
+    if len(y) != n:
         raise ValueError("different numbers of samples")
-    mu = np.zeros(tuple(dim))
-    mu2 = np.zeros(tuple(dim2))
-    cov = np.zeros(tuple(dim) + tuple(dim2))
-    for i in range(n):
-        x = samples[i]
-        y = samples2[i]
-        delta = x - mu
-        mu += delta / (i + 1)
-        mu2 += (y - mu2) / (i + 1)
-        cov += (np.multiply.outer(delta, y - mu2) - cov) / (i + 1)
-    cov *= n / (n - 1)
-    return cov
+    xc = (x - x.mean(axis=0)).reshape(n, -1)
+    yc = (y - y.mean(axis=0)).reshape(n, -1)
+    return (xc.T @ yc).reshape(x.shape[1:] + y.shape[1:]) / (n - 1)
 
 
 def delete2_correction(cls0, cls1, cls2):
@@ -438,40 +449,38 @@ def delete2_correction(cls0, cls1, cls2):
 
     Q ensemble members: njk*x0 - (njk-1)(x1_k + x1_k') + (njk-2)*x2_kk'
     over all delete-2 pairs; the correction is their (delete-2
-    prefactored) covariance with only the diagonal kept.
+    prefactored) covariance with only the diagonal kept.  The ensemble
+    is assembled as one broadcast expression per key over the stacked
+    delete-1/delete-2 samples.
     """
-    ensemble = []
     njk = len(cls1)
-    for pair in cls2:
-        k1, k2 = pair
-        member = {}
-        for key in cls2[pair]:
-            arr = njk * cls0[key].array
-            arr = arr - (njk - 1) * cls1[(k1,)][key].array
-            arr = arr - (njk - 1) * cls1[(k2,)][key].array
-            arr = arr + (njk - 2) * cls2[pair][key].array
-            member[key] = replace(cls0[key], array=arr)
-        ensemble.append(member)
-    Q = _jackknife_covariance(ensemble, nd=2)
-    for key in Q:
-        q = Q[key]
-        *_, length = q.shape
-        diag = np.diagonal(np.asarray(q), axis1=-2, axis2=-1)
-        expanded = np.zeros_like(np.asarray(q))
-        idx = np.arange(length)
-        expanded[..., idx, idx] = diag
-        Q[key] = replace(q, array=expanded)
-    return Q
+    pairs = list(cls2)
+    stacks = {}
+    for key, block in cls0.items():
+        x0 = np.asarray(block.array)
+        x1 = np.stack(
+            [
+                np.asarray(cls1[(k,)][key].array)
+                for pair in pairs
+                for k in pair
+            ]
+        ).reshape((len(pairs), 2) + x0.shape)
+        x2 = np.stack([np.asarray(cls2[pair][key].array) for pair in pairs])
+        stacks[key] = (
+            njk * x0 - (njk - 1) * x1.sum(axis=1) + (njk - 2) * x2
+        )
+    corr = _stacked_covariance(stacks, cls0, nd=2)
+    # keep only the ell-diagonal of each correction block
+    for key, block in corr.items():
+        q = np.asarray(block)
+        corr[key] = replace(block, array=q * np.eye(q.shape[-1]))
+    return corr
 
 
 def debias_covariance(cov_jk, cls0, cls1, cls2):
     """Subtract the delete-2 correction from the delete-1 covariance."""
-    Q = delete2_correction(cls0, cls1, cls2)
-    return _debias_covariance(cov_jk, Q)
-
-
-def _debias_covariance(cov_jk, Q):
+    correction = delete2_correction(cls0, cls1, cls2)
     return {
-        key: replace(value, array=value.array - Q[key].array)
-        for key, value in cov_jk.items()
+        key: replace(block, array=block.array - correction[key].array)
+        for key, block in cov_jk.items()
     }

@@ -194,13 +194,91 @@ class _Accumulator:
         return self._state
 
 
-class Positions(Field, spin=0):
+class _Moments:
+    """Streaming means of the weights (and squared values) over a catalogue.
+
+    Running-mean updates, one shot per page, so a catalogue of any length
+    accumulates in O(1) memory: count n, <w>, <w^2>, and <|v|^2> of the
+    already-weighted values.
+    """
+
+    __slots__ = ("count", "wmean", "w2mean", "vsqmean")
+
+    def __init__(self):
+        self.count = 0
+        self.wmean = 0.0
+        self.w2mean = 0.0
+        self.vsqmean = 0.0
+
+    def update(self, n, w, vsq=None):
+        self.count += n
+        self.wmean += np.sum(w - self.wmean) / self.count
+        self.w2mean += np.sum(w**2 - self.w2mean) / self.count
+        if vsq is not None:
+            self.vsqmean += np.sum(vsq - self.vsqmean) / self.count
+
+
+class _PagedField(Field):
+    """Template for fields that scatter catalogue pages into a map.
+
+    Subclasses provide three hooks: ``_shape`` (leading map dimensions),
+    ``_page_values(page, value_columns, w)`` returning the values to
+    scatter plus their squared magnitude for the variance estimate, and
+    ``_finalise(raw_map, moments, catalog, mapper)`` for normalisation
+    and metadata.  The paging loop itself — zero-weight row removal,
+    device-padded scatters, streaming moments — lives here once.
+    """
+
+    _shape = ()
+    _drop_zero_weight = True
+
+    def _page_values(self, page, value_columns, w):
+        return w, None
+
+    def _finalise(self, raw, mom, catalog, mapper):
+        raise NotImplementedError
+
+    async def __call__(self, catalog, *, progress=None):
+        mapper = self.mapper_or_error
+        lon_col, lat_col, *val_cols, wcol = self.columns_or_error
+        acc = _Accumulator(mapper, *self._shape, spin=self.spin)
+        mom = _Moments()
+
+        async for page in aiter_pages(catalog, progress):
+            if self._drop_zero_weight and wcol is not None:
+                page.delete(page[wcol] == 0)
+            if not page.size:
+                continue
+            lon, lat = page.get(lon_col, lat_col)
+            w = page.get(wcol) if wcol is not None else np.ones(page.size)
+            values, vsq = self._page_values(page, val_cols, w)
+            acc.add(lon, lat, values)
+            mom.update(page.size, w, vsq)
+            del page, lon, lat, w, values, vsq
+
+        return self._finalise(acc.result(), mom, catalog, mapper)
+
+    def _mean_weight_normalise(self, arr, mom, catalog, mapper, *, musq):
+        """Shared wbar normalisation + bias metadata of the value fields."""
+        fsky = catalog.fsky if catalog.fsky is not None else 1.0
+        density = mom.count / (4 * np.pi * fsky)
+        wbar = density * mom.wmean * mapper.area
+        arr /= wbar
+        dens = density * mom.wmean**2 / mom.w2mean
+        update_metadata(arr, catalog, wbar=wbar, musq=musq, dens=dens, fsky=fsky)
+        return arr
+
+
+class Positions(_PagedField, spin=0):
     """Field of galaxy positions: number counts or overdensity.
 
-    Normalisation and bias ingredients as in reference fields.py:235-315.
+    Normalisation and bias ingredients per reference fields.py:235-315.
     """
 
     uses = "longitude", "latitude", "[weight]"
+
+    # the reference keeps zero-weight objects in the counts map
+    _drop_zero_weight = False
 
     def __init__(self, mapper, *columns, overdensity=True, nbar=None, mask=None):
         super().__init__(mapper, *columns, mask=mask)
@@ -224,124 +302,69 @@ class Positions(Field, spin=0):
             raise ValueError(
                 "cannot compute density contrast: no visibility in catalog"
             )
-        mapper = self.mapper_or_error
-        *col, wcol = self.columns_or_error
-        acc = _Accumulator(mapper, spin=self.spin)
+        return await super().__call__(catalog, progress=progress)
 
-        ngal = 0
-        wmean = w2mean = 0.0
-        async for page in aiter_pages(catalog, progress):
-            if page.size:
-                lon, lat = page.get(*col)
-                w = page.get(wcol) if wcol is not None else np.ones(page.size)
-                acc.add(lon, lat, w)
-                ngal += page.size
-                wmean += (w - wmean).sum() / ngal
-                w2mean += (w**2 - w2mean).sum() / ngal
-                del page, lon, lat, w
-
-        pos = acc.result()
+    def _finalise(self, pos, mom, catalog, mapper):
         fsky = catalog.fsky if catalog.fsky is not None else 1.0
         npix = 4 * np.pi / mapper.area
-        nbar = ngal * wmean / fsky / npix
-        if (nbar_given := self._nbar) is not None:
-            sigma_nbar = (nbar_given / fsky / npix) ** 0.5
-            if abs(nbar - nbar_given) > 3 * sigma_nbar:
+        nbar = mom.count * mom.wmean / fsky / npix
+        if (given := self._nbar) is not None:
+            if abs(nbar - given) > 3 * (given / fsky / npix) ** 0.5:
                 warnings.warn(
-                    f"The provided mean density ({nbar_given:g}) differs from "
-                    f"the estimated mean density ({nbar:g}) by more than 3 sigma.",
+                    f"estimated mean density {nbar:g} is more than 3 sigma "
+                    f"away from the given nbar={given:g}; keeping the given "
+                    "value"
                 )
-            nbar = nbar_given
+            nbar = given
 
         pos /= nbar
         if self._overdensity:
             vis = catalog.visibility
             if vis is not None and vis.size != pos.size:
-                warnings.warn("positions and visibility have different size")
+                warnings.warn(
+                    "resampling visibility to the positions map resolution"
+                )
                 vis = mapper.resample(vis)
             pos -= vis
-            del vis
 
-        musq = 1.0
-        dens = (nbar / mapper.area) ** 2 / (ngal / (4 * np.pi * fsky)) / w2mean
-        update_metadata(pos, catalog, nbar=nbar, musq=musq, dens=dens, fsky=fsky)
+        dens = (nbar / mapper.area) ** 2 / (
+            mom.count / (4 * np.pi * fsky)
+        ) / mom.w2mean
+        update_metadata(pos, catalog, nbar=nbar, musq=1.0, dens=dens, fsky=fsky)
         return pos
 
 
-class ScalarField(Field, spin=0):
+class ScalarField(_PagedField, spin=0):
     """Weighted scalar values (e.g. magnification, convergence)."""
 
     uses = "longitude", "latitude", "value", "[weight]"
 
-    async def __call__(self, catalog, *, progress=None):
-        mapper = self.mapper_or_error
-        *col, wcol = self.columns_or_error
-        acc = _Accumulator(mapper, spin=self.spin)
+    def _page_values(self, page, value_columns, w):
+        wv = w * page.get(value_columns[0])
+        return wv, wv**2
 
-        ngal = 0
-        wmean = w2mean = var = 0.0
-        async for page in aiter_pages(catalog, progress):
-            if wcol is not None:
-                page.delete(page[wcol] == 0)
-            if page.size:
-                lon, lat, v = page.get(*col)
-                w = page.get(wcol) if wcol is not None else np.ones(page.size)
-                wv = v * w
-                acc.add(lon, lat, wv)
-                ngal += page.size
-                wmean += (w - wmean).sum() / ngal
-                w2mean += (w**2 - w2mean).sum() / ngal
-                var += (wv**2 - var).sum() / ngal
-                del lon, lat, v, w, wv
-            del page
-
-        val = acc.result()
-        fsky = catalog.fsky if catalog.fsky is not None else 1.0
-        wbar = ngal / (4 * np.pi * fsky) * wmean * mapper.area
-        val /= wbar
-        musq = var / w2mean
-        deff = w2mean / wmean**2
-        dens = ngal / (4 * np.pi * fsky) / deff
-        update_metadata(val, catalog, wbar=wbar, musq=musq, dens=dens, fsky=fsky)
-        return val
+    def _finalise(self, val, mom, catalog, mapper):
+        return self._mean_weight_normalise(
+            val, mom, catalog, mapper, musq=mom.vsqmean / mom.w2mean
+        )
 
 
-class ComplexField(Field, spin=0):
+class ComplexField(_PagedField, spin=0):
     """Two-component (complex) values; spin set by subclasses."""
 
     uses = "longitude", "latitude", "real", "imag", "[weight]"
 
-    async def __call__(self, catalog, *, progress=None):
-        mapper = self.mapper_or_error
-        *col, wcol = self.columns_or_error
-        acc = _Accumulator(mapper, 2, spin=self.spin)
+    _shape = (2,)
 
-        ngal = 0
-        wmean = w2mean = var = 0.0
-        async for page in aiter_pages(catalog, progress):
-            if wcol is not None:
-                page.delete(page[wcol] == 0)
-            if page.size:
-                lon, lat, re, im = page.get(*col)
-                w = page.get(wcol) if wcol is not None else np.ones(page.size)
-                re, im = w * re, w * im
-                acc.add(lon, lat, np.stack([re, im]))
-                ngal += page.size
-                wmean += (w - wmean).sum() / ngal
-                w2mean += (w**2 - w2mean).sum() / ngal
-                var += (re**2 + im**2 - var).sum() / ngal
-                del lon, lat, re, im, w
-            del page
+    def _page_values(self, page, value_columns, w):
+        re, im = page.get(*value_columns)
+        wv = np.stack([w * re, w * im])
+        return wv, np.sum(wv**2, axis=0)
 
-        val = acc.result()
-        fsky = catalog.fsky if catalog.fsky is not None else 1.0
-        wbar = ngal / (4 * np.pi * fsky) * wmean * mapper.area
-        val /= wbar
-        musq = var / w2mean
-        deff = w2mean / wmean**2
-        dens = ngal / (4 * np.pi * fsky) / deff
-        update_metadata(val, catalog, wbar=wbar, musq=musq, dens=dens, fsky=fsky)
-        return val
+    def _finalise(self, val, mom, catalog, mapper):
+        return self._mean_weight_normalise(
+            val, mom, catalog, mapper, musq=mom.vsqmean / mom.w2mean
+        )
 
 
 class Visibility(Field, spin=0):
@@ -354,7 +377,7 @@ class Visibility(Field, spin=0):
             raise ValueError("no visibility in catalog")
         out = mapper.create(spin=self.spin)
         if visibility.size != out.size:
-            warnings.warn("changing size of visibility map")
+            warnings.warn("resampling visibility to the mapper resolution")
             out[:] = mapper.resample(visibility)
         else:
             out[:] = visibility
@@ -362,40 +385,15 @@ class Visibility(Field, spin=0):
         return out
 
 
-class Weights(Field, spin=0):
+class Weights(_PagedField, spin=0):
     """Map of the weights themselves."""
 
     uses = "longitude", "latitude", "[weight]"
 
-    async def __call__(self, catalog, *, progress=None):
-        mapper = self.mapper_or_error
-        *col, wcol = self.columns_or_error
-        acc = _Accumulator(mapper, spin=self.spin)
-
-        ngal = 0
-        wmean = w2mean = 0.0
-        async for page in aiter_pages(catalog, progress):
-            if wcol is not None:
-                page.delete(page[wcol] == 0)
-            if page.size:
-                lon, lat = page.get(*col)
-                w = page.get(wcol) if wcol is not None else np.ones(page.size)
-                acc.add(lon, lat, w)
-                ngal += page.size
-                wmean += (w - wmean).sum() / ngal
-                w2mean += (w**2 - w2mean).sum() / ngal
-                del lon, lat, w
-            del page
-
-        wht = acc.result()
-        fsky = catalog.fsky if catalog.fsky is not None else 1.0
-        wbar = ngal / (4 * np.pi * fsky) * wmean * mapper.area
-        wht /= wbar
-        musq = 1.0
-        deff = w2mean / wmean**2
-        dens = ngal / (4 * np.pi * fsky) / deff
-        update_metadata(wht, catalog, wbar=wbar, musq=musq, dens=dens, fsky=fsky)
-        return wht
+    def _finalise(self, wht, mom, catalog, mapper):
+        return self._mean_weight_normalise(
+            wht, mom, catalog, mapper, musq=1.0
+        )
 
 
 class Spin2Field(ComplexField, spin=2):

@@ -86,23 +86,44 @@ _METADATA_COMMENTS = {
 }
 
 
+_INTEGER = re.compile(r"-?[0-9]+")
+
+
 def _string_from_key(key):
-    """Encode a (possibly nested tuple) key as a FITS EXTNAME string."""
+    """Encode a (possibly nested tuple) key as a FITS EXTNAME string.
+
+    Wire format (shared with the reference, io.py:74-107, so files stay
+    interchangeable): components joined by ``-``; literal ``\\`` and
+    ``-`` backslash-escaped; runs of non-printable-ASCII folded to ``~``.
+    """
     if isinstance(key, Sequence) and not isinstance(key, str):
         return "-".join(map(_string_from_key, key))
-    s = str(key)
-    s = s.replace("\\", "\\\\")
-    s = s.replace("-", "\\-")
-    return re.sub(r"[^ -~]+", "~", s, flags=re.ASCII)
+    out = []
+    for ch in str(key):
+        if ch in ("\\", "-"):
+            out.append("\\" + ch)
+        elif " " <= ch <= "~":
+            out.append(ch)
+        elif not (out and out[-1] == "~"):
+            out.append("~")
+    return "".join(out)
 
 
 def _key_from_string(s):
-    """Decode an EXTNAME string back into a key."""
-    parts = re.split(r"(?<!\\)-", s.replace("\\\\", "\0"))
-    if len(parts) > 1:
-        return tuple(map(_key_from_string, parts))
-    key = parts[0].replace("\\-", "-").replace("\0", "\\")
-    return int(key) if key.removeprefix("-").isdigit() else key
+    """Decode an EXTNAME string back into a key (scalar or flat tuple)."""
+    parts, buf = [], []
+    chars = iter(s)
+    for ch in chars:
+        if ch == "\\":
+            buf.append(next(chars, "\\"))
+        elif ch == "-":
+            parts.append("".join(buf))
+            buf.clear()
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    keys = [int(p) if _INTEGER.fullmatch(p) else p for p in parts]
+    return tuple(keys) if len(keys) > 1 else keys[0]
 
 
 def _metadata_header(metadata, extra=None):

@@ -239,8 +239,6 @@ class DiscreteMapper:
                 )
                 out += planes[0] + 1j * planes[1]
             else:
-                u = (values[:-1:2, start : start + B]
-                     + 1j * values[1::2, start : start + B])
                 # values rows are (2, npts): combine to complex
                 u = (values[0, start : start + B]
                      + 1j * values[1, start : start + B]).astype(

@@ -13,6 +13,12 @@ scales with `jax.sharding` over a two-axis mesh:
 
 This mirrors the sequence-parallel pattern of FFT-based attention: local
 heavy recurrences per shard, one small collective at the end.
+
+The local analysis uses the same ring-pair folded Wigner scans as the
+single-chip engine (N/S mirror symmetry halves the ring work), for both
+spin 0 and spin-2 pairs; the spectra contraction is the shared
+:func:`heracles_tpu.twopoint.rect_pair_grid`, evaluated on each device's
+m block and psum-reduced.
 """
 
 from __future__ import annotations
@@ -26,8 +32,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..healpix import nside2npix, npix2nside
 from ..ops import ringfft, sht, wigner
+from ..twopoint import rect_pair_grid
 
-__all__ = ["make_mesh", "example_batch", "pipeline_step", "map2alm_sharded"]
+__all__ = [
+    "make_mesh",
+    "example_batch",
+    "pipeline_step",
+    "map2alm_sharded",
+]
 
 
 def make_mesh(n_devices=None, *, m_axis=None):
@@ -41,14 +53,19 @@ def make_mesh(n_devices=None, *, m_axis=None):
     return Mesh(devices.reshape(n // m_axis, m_axis), ("batch", "m"))
 
 
-def example_batch(mesh, *, nside=16, lmax=24, seed=0):
-    """A batch of random maps sharded over the mesh's batch axis."""
+def example_batch(mesh, *, nside=16, lmax=24, seed=0, spin2=False):
+    """A batch of random maps sharded over the mesh's batch axis.
+
+    ``spin2=True`` additionally returns a (nbins, 2, npix) [Q, U] batch.
+    """
     nbins = 2 * mesh.shape["batch"]
-    maps = np.random.default_rng(seed).normal(
-        size=(nbins, nside2npix(nside))
-    ).astype(np.float32)
-    sharding = NamedSharding(mesh, P("batch", None))
-    return (jax.device_put(maps, sharding),)
+    rng = np.random.default_rng(seed)
+    maps = rng.normal(size=(nbins, nside2npix(nside))).astype(np.float32)
+    out = (jax.device_put(maps, NamedSharding(mesh, P("batch", None))),)
+    if spin2:
+        qu = rng.normal(size=(nbins, 2, nside2npix(nside))).astype(np.float32)
+        out += (jax.device_put(qu, NamedSharding(mesh, P("batch", None, None))),)
+    return out
 
 
 def _m_block(lmax, n_m):
@@ -59,79 +76,143 @@ def _m_block(lmax, n_m):
     return per
 
 
-def map2alm_sharded(mesh, maps, lmax, *, weights=None):
-    """Spin-0 analysis with bins sharded over "batch" and orders over "m".
+def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin):
+    """Folded Wigner analysis of this device's m block (inside shard_map).
 
-    ``maps``: (nbins, npix) sharded P("batch", None).  Returns the
-    rectangular alms (nbins, lmax+1, m_pad) sharded P("batch", None, "m");
-    orders beyond lmax+1 are zero padding.
+    ``x``/``logch``/``logsh`` cover the northern half (incl. equator);
+    ``w`` is the full per-ring quadrature weight vector.  For spin 0 the
+    input is (..., npix) real and the output (..., lmax+1, per); for a
+    spin pair the input is (..., 2, npix) [Q, U] and the output
+    (..., 2, lmax+1, per) [E, B].  Orders beyond lmax are zeroed.
     """
-    npix = maps.shape[-1]
-    nside = npix2nside(npix)
-    n_m = mesh.shape["m"]
-    per = _m_block(lmax, n_m)
-    fdt = "float64" if maps.dtype == jnp.float64 else "float32"
-    x, logch, logsh = sht._geom_arrays(nside, fdt)
-    w = sht._weights_arr(nside, weights, fdt)
+    m0 = jax.lax.axis_index("m") * per
+    ms = m0 + jnp.arange(per, dtype=jnp.int32)
+    msign = jnp.where(ms % 2 == 0, 1.0, -1.0).astype(w.dtype)
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P("batch", None),
-        out_specs=P("batch", None, "m"),
-    )
-    def local(maps_local):
-        m0 = jax.lax.axis_index("m") * per
+    if spin == 0:
         F, _ = ringfft.ring_analysis(maps_local, nside, per, m0=m0)
-        Fw = F * w[:, None]
-        ms = m0 + jnp.arange(per, dtype=jnp.int32)
-        ns = jnp.zeros(per, jnp.int32)
-        alm = wigner.lambda_analysis_scan(ms, ns, x, logch, logsh, lmax, Fw)
-        # zero out orders beyond the band limit
+        FN, FS = sht._fold_rings(F * w[:, None], nside)
+        alm = wigner.lambda_analysis_scan_folded(
+            ms, jnp.zeros(per, jnp.int32), x, logch, logsh, lmax,
+            FN, FS * msign, cross=False,
+        )
         return alm * (ms <= lmax)
+
+    # spin pair: a_{+s} from F with engine column ns=+s, a_{-s} from
+    # conj(F_{-m}) with ns=-s; N/S folding pairs each column with its
+    # partner (cross mode) — same composition as sht._map2alm_once
+    u = maps_local[..., 0, :] + 1j * maps_local[..., 1, :]
+    F, Fneg = ringfft.ring_analysis(u, nside, per, m0=m0)
+    fold_p = sht._fold_rings(F * w[:, None], nside)
+    fold_m = sht._fold_rings(jnp.conj(Fneg) * w[:, None], nside)
+    FN = jnp.concatenate([fold_p[0], fold_m[0]], axis=-1)
+    FS = jnp.concatenate([fold_m[1] * msign, fold_p[1] * msign], axis=-1)
+    ms_l = jnp.concatenate([ms, ms])
+    ns_l = jnp.concatenate(
+        [jnp.full(per, spin, jnp.int32), jnp.full(per, -spin, jnp.int32)]
+    )
+    alm = wigner.lambda_analysis_scan_folded(
+        ms_l, ns_l, x, logch, logsh, lmax, FN, FS, cross=True
+    )
+    a_p, a_m = alm[..., :per], alm[..., per:]
+    alm_e = -(a_p + a_m) / 2
+    alm_b = 1j * (a_p - a_m) / 2
+    return jnp.stack([alm_e, alm_b], axis=-3) * (ms <= lmax)
+
+
+def _engine_arrays(maps, nside, weights):
+    """Geometry + quadrature host constants for the sharded engine."""
+    fdt = "float64" if maps.dtype in (jnp.float64, jnp.complex128) else "float32"
+    x, logch, logsh = sht._geom_arrays(nside, fdt)
+    nhalf = 2 * nside
+    w = sht._weights_arr(nside, weights, fdt)
+    return x[:nhalf], logch[:nhalf], logsh[:nhalf], w
+
+
+def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0):
+    """Sharded analysis: bins over "batch", harmonic orders over "m".
+
+    ``maps``: (nbins, npix) sharded P("batch", None) for spin 0, or
+    (nbins, 2, npix) [Q, U] sharded P("batch", None, None) for a spin
+    pair.  Returns rectangular alms (nbins[, 2], lmax+1, m_pad) sharded
+    with the trailing axis over "m"; orders beyond lmax are zero padding.
+    ``weights`` defaults to the band-limit-exact ring quadrature weights,
+    matching the single-chip ``sht.map2alm`` default (a host-side
+    per-ring constant, so sharding is unaffected).
+    """
+    nside = npix2nside(maps.shape[-1])
+    per = _m_block(lmax, mesh.shape["m"])
+    x, logch, logsh, w = _engine_arrays(maps, nside, weights)
+
+    if spin == 0:
+        in_specs, out_specs = P("batch", None), P("batch", None, "m")
+    else:
+        in_specs, out_specs = P("batch", None, None), P("batch", None, None, "m")
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def local(maps_local):
+        return _local_analysis(
+            maps_local, nside, lmax, per, w, x, logch, logsh, abs(int(spin))
+        )
 
     return local(maps)
 
 
-def pipeline_step(mesh, maps, lmax):
+def pipeline_step(mesh, maps, lmax, maps2=None):
     """Full sharded pipeline step: maps -> alms -> all-pair spectra.
 
-    The m-reduction of the spectra is the only cross-device collective
-    (a psum over the "m" axis); the bin-pair grid stays sharded over
-    "batch".
+    ``maps``: (nbins, npix) spin-0 batch; ``maps2`` (optional):
+    (nbins2, 2, npix) [Q, U] spin-2 batch.  All component planes
+    (spin-0 bins, then E/B per spin-2 bin) enter one all-pairs grid; the
+    m-reduction of the spectra is the only cross-device collective (a
+    psum over the "m" axis) besides the all-gather of the plane stack
+    over "batch".  The contraction is the same
+    :func:`heracles_tpu.twopoint.rect_pair_grid` the host pipeline uses.
     """
-    npix = maps.shape[-1]
-    nside = npix2nside(npix)
-    n_m = mesh.shape["m"]
-    per = _m_block(lmax, n_m)
-    fdt = "float64" if maps.dtype == jnp.float64 else "float32"
-    x, logch, logsh = sht._geom_arrays(nside, fdt)
-    w = sht._weights_arr(nside, None, fdt)
+    nside = npix2nside(maps.shape[-1])
+    per = _m_block(lmax, mesh.shape["m"])
+    x, logch, logsh, w = _engine_arrays(maps, nside, "ring")
+    with_spin2 = maps2 is not None
 
-    @jax.jit
-    @partial(
+    def step(maps_local, maps2_local=None):
+        m0 = jax.lax.axis_index("m") * per
+        ms = m0 + jnp.arange(per, dtype=jnp.int32)
+        planes = _local_analysis(
+            maps_local, nside, lmax, per, w, x, logch, logsh, 0
+        )
+        if maps2_local is not None:
+            eb = _local_analysis(
+                maps2_local, nside, lmax, per, w, x, logch, logsh, 2
+            )
+            eb = eb.reshape((-1,) + eb.shape[-2:])  # (2*nbins2, lmax+1, per)
+            planes = jnp.concatenate([planes, eb], axis=0)
+        # all-pair spectra of the local planes against the gathered stack
+        other = jax.lax.all_gather(planes, "batch", tiled=True)
+        grid = rect_pair_grid(planes, other, ms)
+        return jax.lax.psum(grid, "m")
+
+    if with_spin2:
+        sharded = partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("batch", None), P("batch", None, None)),
+            out_specs=P("batch", None, None),
+        )
+        out = jax.jit(sharded(step))(maps, maps2)
+        # inside the shard each device emits [its spin-0 bins, its E/B
+        # planes]; permute to the global order [all spin-0 bins, then
+        # E, B per spin-2 bin]
+        nb = mesh.shape["batch"]
+        b0, b2 = maps.shape[0] // nb, maps2.shape[0] // nb
+        blocks = np.arange(nb)[:, None] * (b0 + 2 * b2)
+        rows0 = (blocks + np.arange(b0)).ravel()
+        rows2 = (blocks + b0 + np.arange(2 * b2)).ravel()
+        perm = np.concatenate([rows0, rows2])
+        return jnp.asarray(np.asarray(out)[np.ix_(perm, perm)])
+    sharded = partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=P("batch", None),
         out_specs=P("batch", None, None),
     )
-    def step(maps_local):
-        m0 = jax.lax.axis_index("m") * per
-        F, _ = ringfft.ring_analysis(maps_local, nside, per, m0=m0)
-        Fw = F * w[:, None]
-        ms = m0 + jnp.arange(per, dtype=jnp.int32)
-        ns = jnp.zeros(per, jnp.int32)
-        alm = wigner.lambda_analysis_scan(ms, ns, x, logch, logsh, lmax, Fw)
-        alm = alm * (ms <= lmax)
-        # all-pair spectra of the local bins against the gathered bins
-        other = jax.lax.all_gather(alm, "batch", tiled=True)
-        eps = jnp.where(ms == 0, 1.0, 2.0)
-        prod = jnp.einsum("alm,blm->abl", alm.real * eps, other.real) + jnp.einsum(
-            "alm,blm->abl", alm.imag * eps, other.imag
-        )
-        # reduce the partial m-sums across the m axis of the mesh
-        prod = jax.lax.psum(prod, "m")
-        ells = jnp.arange(lmax + 1, dtype=maps_local.dtype)
-        return prod / (2 * ells + 1)
-
-    return step(maps)
+    return jax.jit(sharded(lambda m: step(m)))(maps)

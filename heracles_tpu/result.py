@@ -43,38 +43,46 @@ def _normalize_axis_tuple(axis, ndim):
 
 
 def normalize_result_axis(axis, result, ell):
-    """Return the normalised tuple of ell axes for a result array."""
+    """Return the normalised tuple of ell axes for a result array.
+
+    ``axis=None`` defaults to the trailing axes: one per entry of ``ell``
+    when that is a tuple, the last axis otherwise (none for 0-d arrays).
+    """
+    ndim = np.ndim(result)
     if axis is None:
-        ndim = np.ndim(result)
-        if ndim == 0:
-            axis = ()
-        elif isinstance(ell, tuple):
-            axis = tuple(range(-len(ell), 0))
-        else:
-            axis = -1
-    return _normalize_axis_tuple(axis, np.ndim(result)) if axis != () else ()
+        n_ell = len(ell) if isinstance(ell, tuple) else min(ndim, 1)
+        axis = tuple(range(ndim - n_ell, ndim))
+    return _normalize_axis_tuple(axis, ndim) if axis != () else ()
+
+
+# default factories for per-ell-axis companion arrays of a Result
+_DEFAULT_ARRAYS = {
+    "ell": lambda r, axis: tuple(np.arange(r.shape[a]) for a in axis),
+    "lower": lambda r, axis: get_result_array(r, "ell"),
+    "upper": lambda r, axis: tuple(
+        np.concatenate([lo[1:], lo[-1:] + 1])
+        for lo in get_result_array(r, "lower")
+    ),
+    "weight": lambda r, axis: tuple(np.ones(r.shape[a]) for a in axis),
+}
 
 
 def get_result_array(result, name):
-    """Return array *name* from *result* as a tuple, one entry per ell axis,
-    synthesising defaults when absent."""
-    arr = getattr(result, name, None)
-    axis = normalize_result_axis(getattr(result, "axis", None), result, arr)
-    if arr is None:
-        if name == "ell":
-            arr = tuple(np.arange(result.shape[i]) for i in axis)
-        elif name == "lower":
-            arr = get_result_array(result, "ell")
-        elif name == "upper":
-            lowers = get_result_array(result, "lower")
-            arr = tuple(np.append(lo[1:], lo[-1] + 1) for lo in lowers)
-        elif name == "weight":
-            arr = tuple(np.ones(result.shape[i]) for i in axis)
-        else:
-            raise ValueError(f"cannot make default for array {name!r}")
-    if isinstance(arr, tuple):
-        return arr
-    return (arr,) * len(axis)
+    """Return array *name* of *result* as a tuple, one entry per ell axis.
+
+    Absent arrays are synthesised from the defaults table above (``ell``
+    counts from 0, bin edges degenerate to single multipoles, weights
+    are uniform).
+    """
+    value = getattr(result, name, None)
+    axis = normalize_result_axis(getattr(result, "axis", None), result, value)
+    if value is None:
+        try:
+            make = _DEFAULT_ARRAYS[name]
+        except KeyError:
+            raise ValueError(f"no default rule for array {name!r}") from None
+        return make(result, axis)
+    return value if isinstance(value, tuple) else (value,) * len(axis)
 
 
 @dataclass(frozen=True, repr=False)

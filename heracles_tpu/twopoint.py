@@ -116,6 +116,118 @@ def alm2cl(alm, alm2=None, *, lmax=None):
     )
 
 
+def rect_pair_grid(a1, a2, ms):
+    """All-pairs spectra of rectangular alm plane stacks (jit-traceable).
+
+    ``a1``: (nA, nl, nm) complex, ``a2``: (nB, nl, nm) complex, ``ms``:
+    (nm,) harmonic orders of the m axis (may be a traced array — the
+    m-sharded pipeline passes each device's order block).  Returns the
+    *partial* grid (nA, nB, nl): the (2 - delta_m0)-weighted sum over the
+    given orders divided by (2l+1); summing partial grids over an m
+    decomposition (e.g. a psum over the mesh's "m" axis) yields the full
+    spectra.
+    """
+    eps = jnp.where(ms == 0, 1.0, 2.0).astype(jnp.real(a1).dtype)
+    grid = jnp.einsum("alm,blm->abl", a1.real * eps, a2.real)
+    grid += jnp.einsum("alm,blm->abl", a1.imag * eps, a2.imag)
+    ells = jnp.arange(a1.shape[-2], dtype=grid.dtype)
+    return grid / (2 * ells + 1)
+
+
+@partial(jax.jit, static_argnames=("lmax1", "lmax2", "lout"))
+def _alm2cl_grid(re1, im1, re2, im2, lmax1, lmax2, lout):
+    """All-pairs spectra grid: (nA, nlm1) x (nB, nlm2) -> (nA, nB, lout+1).
+
+    One device dispatch for the whole pair grid: both plane stacks are
+    unpacked to the rectangular (l, m) layout and contracted over m with
+    the (2 - delta_m0) weight as a single batched-over-l matmul, which
+    keeps the computation on the MXU instead of a per-pair Python loop
+    (the reference loops pairs at twopoint.py:199-239).
+    """
+    a1 = sht.unpack_alm(re1 + 1j * im1, lmax1)[..., : lout + 1, : lout + 1]
+    a2 = sht.unpack_alm(re2 + 1j * im2, lmax2)[..., : lout + 1, : lout + 1]
+    return rect_pair_grid(a1, a2, jnp.arange(lout + 1))
+
+
+def _nlm2lmax(nlm):
+    """lmax of a packed alm length (assumes mmax == lmax)."""
+    return (int((8 * nlm + 1) ** 0.5 + 0.01) - 3) // 2
+
+
+def _stack_planes(arrays):
+    """Group packed alm arrays by nlm and stack their component planes.
+
+    Returns ``(stacks, slot)`` where ``stacks[nlm]`` is the (nplanes, nlm)
+    float-complex stack of every distinct input array with that packed
+    length, and ``slot[id(arr)]`` locates an array inside its stack as
+    ``(nlm, first_row, leading_shape)``.
+    """
+    rows = {}
+    slot = {}
+    for arr in arrays:
+        if id(arr) in slot:
+            continue
+        a = np.asanyarray(arr)
+        nlm = a.shape[-1]
+        group = rows.setdefault(nlm, [])
+        slot[id(arr)] = (nlm, sum(p.shape[0] for p in group), a.shape[:-1])
+        group.append(a.reshape(-1, nlm))
+    stacks = {
+        nlm: np.ascontiguousarray(np.concatenate(group, axis=0))
+        for nlm, group in rows.items()
+    }
+    return stacks, slot
+
+
+def _cross_grids(plan, lmax):
+    """Compute every needed (nlm1 x nlm2) spectra grid in O(1) dispatches.
+
+    ``plan`` is a list of (key, alm1, alm2) work items; the return value
+    is ``(grids, slot)`` with ``grids[nlm1, nlm2]`` the host (nA, nB,
+    lout+1) array and ``slot`` the plane locator from
+    :func:`_stack_planes`.
+    """
+    stacks, slot = _stack_planes(
+        [a for _, alm1, alm2 in plan for a in (alm1, alm2)]
+    )
+    wanted = {
+        (np.shape(alm1)[-1], np.shape(alm2)[-1]) for _, alm1, alm2 in plan
+    }
+    grids = {}
+    for n1, n2 in wanted:
+        if (n2, n1) in grids:
+            grids[n1, n2] = grids[n2, n1].transpose(1, 0, 2)
+            continue
+        s1, s2 = stacks[n1], stacks[n2]
+        l1, l2 = _nlm2lmax(n1), _nlm2lmax(n2)
+        lout = min(l1, l2) if lmax is None else min(lmax, l1, l2)
+        # real/imag planes: complex arrays cannot cross the jit boundary
+        # on some TPU transports
+        grids[n1, n2] = np.asarray(
+            _alm2cl_grid(
+                np.ascontiguousarray(s1.real), np.ascontiguousarray(s1.imag),
+                np.ascontiguousarray(s2.real), np.ascontiguousarray(s2.imag),
+                l1, l2, lout,
+            )
+        )
+    return grids, slot
+
+
+def _grid_block(grids, slot, alm1, alm2):
+    """Extract one pair's cl block from the precomputed grids.
+
+    The block gets the outer-product leading shape of the two inputs,
+    matching :func:`alm2cl` broadcasting semantics.
+    """
+    n1, row, shape1 = slot[id(alm1)]
+    n2, col, shape2 = slot[id(alm2)]
+    g = grids[n1, n2]
+    nc1 = int(np.prod(shape1, dtype=int))
+    nc2 = int(np.prod(shape2, dtype=int))
+    block = g[row : row + nc1, col : col + nc2]
+    return np.array(block.reshape(shape1 + shape2 + (g.shape[-1],)))
+
+
 def _debias_cl(cl, bias=None, md=None, *, inplace=False):
     """Subtract the additive noise bias (pixel-window aware)."""
     if md is None:
@@ -190,35 +302,35 @@ def angular_power_spectra(
     twopoint_names = set()
     cls = TocDict() if out is None else out
 
+    # pass 1 (host): decide which pairs to compute, in canonical order
+    plan = []
     for (k1, i1), (k2, i2) in pairs:
         if (k1, k2, i1, i2) in cls or (k2, k1, i2, i1) in cls:
             continue
         if (k1, k2) not in twopoint_names and (k2, k1) in twopoint_names:
-            i1, i2 = i2, i1
-            k1, k2 = k2, k1
-            swapped = True
-        else:
-            swapped = False
-        if not toc_match((k1, k2, i1, i2), include, exclude):
-            continue
-
-        if swapped:
+            k1, k2, i1, i2 = k2, k1, i2, i1
             alm1, alm2 = alms2[k1, i1], alms[k2, i2]
         else:
             alm1, alm2 = alms[k1, i1], alms2[k2, i2]
+        if not toc_match((k1, k2, i1, i2), include, exclude):
+            continue
+        plan.append(((k1, k2, i1, i2), alm1, alm2))
+        twopoint_names.add((k1, k2))
 
-        cl = alm2cl(alm1, alm2, lmax=lmax)
+    # pass 2 (device): the whole pair grid in O(1) batched dispatches
+    grids, slot = _cross_grids(plan, lmax)
+
+    # pass 3 (host): metadata, noise bias, Result assembly
+    for (k1, k2, i1, i2), alm1, alm2 in plan:
+        cl = _grid_block(grids, slot, alm1, alm2)
 
         md1 = alm1.dtype.metadata or {}
         md2 = alm2.dtype.metadata or {}
         s1, s2 = md1.get("spin"), md2.get("spin")
         if s1 is None or s2 is None:
             raise ValueError(f"missing spin metadata for {k1} or {k2}")
-        md = {}
-        for key, value in md1.items():
-            md[f"{key}_1"] = value
-        for key, value in md2.items():
-            md[f"{key}_2"] = value
+        md = {f"{key}_1": value for key, value in md1.items()}
+        md.update({f"{key}_2": value for key, value in md2.items()})
         bias = None
         if k1 == k2 and i1 == i2:
             fsky = md1.get("fsky")
@@ -230,17 +342,13 @@ def angular_power_spectra(
         if bias is not None:
             md["bias"] = bias
         if debias and bias is not None:
-            cl = np.ascontiguousarray(cl)
             _debias_cl(cl, bias, md, inplace=True)
-        else:
-            cl = np.ascontiguousarray(cl)
         update_metadata(cl, **md)
 
         result = Result(cl, spin=(s1, s2), axis=-1)
         if bins is not None:
             result = binned(result, bins, weights)
         cls[k1, k2, i1, i2] = result
-        twopoint_names.add((k1, k2))
 
     logger.info(
         "computed %d cl(s) in %s",

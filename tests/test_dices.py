@@ -206,3 +206,65 @@ def test_batched_region_alms_match_sequential(setup, tmp_path):
         b = read_alms(os.path.join(d2, f"data_alms_{k}.fits"))
         for key in a:
             np.testing.assert_allclose(b[key], a[key], atol=1e-12)
+
+
+def test_sample_covariance_matches_npcov():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(9, 4))
+    y = rng.normal(size=(9, 5))
+    np.testing.assert_allclose(
+        dices.sample_covariance(x), np.cov(x.T), rtol=1e-12
+    )
+    # cross-covariance block of np.cov of the stacked variables
+    joint = np.cov(np.concatenate([x, y], axis=1).T)
+    np.testing.assert_allclose(
+        dices.sample_covariance(x, y), joint[:4, 4:], rtol=1e-12
+    )
+
+
+def test_shrinkage_factor_matches_bruteforce():
+    """Closed-form lambda* equals the scalar Schafer-Strimmer definition."""
+    rng = np.random.default_rng(7)
+    n, p = 8, 5
+    x = rng.normal(size=(n, p))
+    cls1 = {
+        (k,): {("A", "A", 0, 0): Result(row.copy(), spin=(0, 0))}
+        for k, row in enumerate(x)
+    }
+    t = np.cov(x.T) + np.eye(p)
+    target = {
+        ("A", "A", "A", "A", 0, 0, 0, 0): Result(
+            t, spin=(0, 0, 0, 0), axis=(-2, -1)
+        )
+    }
+    lam = dices.shrinkage_factor(cls1, target)
+
+    # brute force straight from the jackknife shrinkage definition
+    xbar = x.mean(axis=0)
+    s = (n - 1) ** 2 / n
+    W = s * np.einsum("ki,kj->kij", x - xbar, x - xbar)
+    Wbar = W.mean(axis=0)
+    S = n / (n - 1) * Wbar
+
+    def covW(i1, j1, i2, j2):
+        return (
+            n
+            / (n - 1) ** 3
+            * np.sum(
+                (W[:, i1, j1] - Wbar[i1, j1]) * (W[:, i2, j2] - Wbar[i2, j2])
+            )
+        )
+
+    tc = t / np.outer(np.sqrt(np.diag(t)), np.sqrt(np.diag(t)))
+    num = den = 0.0
+    for i in range(p):
+        for j in range(p):
+            if i == j:
+                continue
+            f = 0.5 * (
+                np.sqrt(Wbar[j, j] / Wbar[i, i]) * covW(i, i, i, j)
+                + np.sqrt(Wbar[i, i] / Wbar[j, j]) * covW(j, j, i, j)
+            )
+            num += covW(i, j, i, j) - tc[i, j] * f
+            den += (S[i, j] - tc[i, j] * np.sqrt(S[i, i] * S[j, j])) ** 2
+    np.testing.assert_allclose(lam, num / den, rtol=1e-10)
