@@ -139,9 +139,13 @@ class HealpixMapper:
         alm = sht.map2alm_host(arr, lmax=self._lmax, spin=spin,
                                weights="ring")
         if self._deconv:
-            pw = sht.pixel_window(self._nside, self._lmax)
-            fl = np.ones(self._lmax + 1)
             s = abs(spin)
+            # spin-2 maps deconvolve with the polarization window, like
+            # the reference's hp.pixwin(pol=True)[1] (healpy.py:173-178)
+            pw = sht.pixel_window(self._nside, self._lmax, pol=(s == 2))
+            if s == 2:
+                pw = pw[1]
+            fl = np.ones(self._lmax + 1)
             fl[s:] /= pw[s:]
             ls, _ = sht._pack_index(self._lmax, self._lmax)
             alm = alm * fl[ls]

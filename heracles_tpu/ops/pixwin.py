@@ -1,0 +1,296 @@
+"""Exact HEALPix pixel window functions (scalar and polarization).
+
+The pixel window of an azimuthally-averaged HEALPix pixelisation is
+
+    w_l^2 = < 4 pi / ((2l+1) Omega_p^2) * sum_m |int_p  sY*_lm dOmega|^2 >_p
+
+averaged over all pixels p (s = 0 for the scalar window, s = 2 for the
+polarization window).  The reference consumes healpy's tabulated values
+(/root/reference/heracles/healpy.py:170-196, twopoint.py:148-168); this
+module computes the same quantity from scratch, TPU-first:
+
+* each representative pixel is covered by its ``factor``^2 NESTED
+  children at nside_hi = nside * factor, so the integral over the true
+  pixel shape becomes an equal-area point sum;
+* the per-pixel harmonic sums are reduced on device by the fused
+  :func:`heracles_tpu.ops.wigner.lambda_power_scan` — the (l, m) alm
+  table of every pixel is consumed per l-step and never materialised;
+* the residual smoothing of the point sum (itself the fine grid's pixel
+  window) is divided out with the cap-approximation window at nside_hi,
+  where the cap model's error is second order;
+* pixel congruence classes keep the work at O(nside) transforms:
+  all 4*nside pixels of a belt ring are congruent (phi translations),
+  so one representative per ring; polar-cap pixel shapes vary along the
+  ring, so up to ``cap_samples`` quadrant positions are sampled per cap
+  ring with multiplicity weights; N/S mirror symmetry halves everything.
+
+Windows cache to $HERACLES_TPU_CACHE like the quadrature ring weights.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+
+import numpy as np
+
+from ..healpix import nest2ring, pix2ang_ring, ring2nest
+from . import wigner
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["pixel_window_exact", "cap_window", "find_cached"]
+
+
+def _cache_dir():
+    return os.environ.get("HERACLES_TPU_CACHE", "/tmp/heracles_tpu_cache")
+
+
+def find_cached(nside, lmax, pol):
+    """Load a cached exact window covering (nside, lmax, pol), else None.
+
+    Any cached file for the same nside with lmax' >= lmax serves (sliced);
+    a pol=True cache also serves pol=False requests (its first row).
+    """
+    import glob
+
+    try:
+        paths = glob.glob(os.path.join(_cache_dir(), f"pixwin_{int(nside)}_*.npy"))
+    except OSError:
+        return None
+    for path in sorted(paths):
+        try:
+            _, _, lm, pl, _, _ = os.path.basename(path)[:-4].split("_")
+            lm, pl = int(lm), int(pl)
+        except ValueError:
+            continue
+        if lm < lmax or (pol and not pl):
+            continue
+        try:
+            arr = np.load(path)
+        except (OSError, ValueError):
+            continue
+        arr = arr[..., : lmax + 1]
+        return arr if pol or arr.ndim == 1 else arr[0]
+    return None
+
+
+def cap_window(nside, lmax):
+    """Equal-area spherical-cap approximation of the scalar window.
+
+    w_l = [P_{l-1}(c) - P_{l+1}(c)] / ((2l+1)(1-c)), c = 1 - Omega/2pi.
+    Used standalone as a fallback and to remove the sub-grid smoothing of
+    the exact computation.
+    """
+    c = 1.0 - np.pi / (3.0 * nside * nside) / (2.0 * np.pi)
+    P = np.empty(lmax + 2)
+    P[0] = 1.0
+    if lmax + 1 >= 1:
+        P[1] = c
+    for ell in range(2, lmax + 2):
+        P[ell] = ((2 * ell - 1) * c * P[ell - 1] - (ell - 1) * P[ell - 2]) / ell
+    w = np.empty(lmax + 1)
+    w[0] = 1.0
+    ell = np.arange(1, lmax + 1)
+    w[1:] = (P[ell - 1] - P[ell + 1]) / ((2 * ell + 1) * (1.0 - c))
+    return w
+
+
+def _pixel_classes(nside, cap_samples):
+    """Representative pixels (RING indices) and their multiplicities.
+
+    Total multiplicity equals 12 nside^2.  Belt rings contribute one
+    exact representative; cap rings are sampled at up to ``cap_samples``
+    quadrant positions, each standing in for its nearest neighbours.
+    """
+    pix, wts = [], []
+    # rings with position-dependent pixel shapes: the polar cap rings
+    # (1 <= i < nside) *and* the cap/belt shoulder ring i = nside; shapes
+    # repeat per quadrant, so sample quadrant positions j
+    for i in range(1, nside + 1):
+        if i < nside:
+            start, quad = 2 * i * (i - 1), i
+        else:
+            start, quad = 2 * nside * (nside - 1), nside
+        js = np.unique(
+            np.round(np.linspace(0, quad - 1, min(quad, cap_samples))).astype(int)
+        )
+        alloc = np.zeros(js.size)
+        near = np.abs(np.arange(quad)[:, None] - js[None, :]).argmin(axis=1)
+        np.add.at(alloc, near, 1.0)
+        pix.extend(start + js)
+        wts.extend(8.0 * alloc)  # 4 quadrants x N/S mirror
+    # interior belt rings: all 4*nside pixels congruent (phi translations)
+    for i in range(nside + 1, 2 * nside + 1):
+        start = 2 * nside * (nside - 1) + (i - nside) * 4 * nside
+        pix.append(start)
+        wts.append(4.0 * nside * (1.0 if i == 2 * nside else 2.0))
+    pix = np.asarray(pix, dtype=np.int64)
+    wts = np.asarray(wts)
+    assert wts.sum() == 12.0 * nside * nside
+    return pix, wts
+
+
+@functools.lru_cache(maxsize=16)
+def _subcell_moment(nside, factor=8, cap_samples=4):
+    """Mean squared angular distance of pixel mass from the pixel centre.
+
+    The midpoint point-sum over a fine grid *divides* the true integral
+    by the fine pixels' own window (1-D analogy: midpoint of e^{ikx} =
+    integral / sinc(kh/2)); to leading order that window is isotropic
+    after the azimuthal/m average and depends only on this second
+    moment: w_sub(l) = 1 - l(l+1) s2 / 4 + O((l theta_pix)^4).
+    """
+    pix, wts = _pixel_classes(nside, cap_samples)
+    th0, ph0 = pix2ang_ring(nside, pix)
+    th, ph = _children_angles(nside, pix, factor)
+    cosd = (
+        np.sin(th0)[:, None] * np.sin(th) * np.cos(ph - ph0[:, None])
+        + np.cos(th0)[:, None] * np.cos(th)
+    )
+    d2 = np.arccos(np.clip(cosd, -1.0, 1.0)) ** 2
+    return float(np.einsum("r,r->", wts / (12.0 * nside * nside),
+                           d2.mean(axis=1)))
+
+
+def _subcell_window(nside, lmax):
+    """Small-l window of the midpoint sub-sampling at ``nside``."""
+    ells = np.arange(lmax + 1)
+    return 1.0 - ells * (ells + 1) * _subcell_moment(int(nside)) / 4.0
+
+
+def _children_angles(nside, pix, factor):
+    """(theta, phi) of the NESTED children covering each pixel."""
+    pn = np.asarray(ring2nest(nside, pix))
+    kids = pn[:, None] * factor**2 + np.arange(factor**2)[None, :]
+    kr = np.asarray(nest2ring(nside * factor, kids.ravel()))
+    th, ph = pix2ang_ring(nside * factor, kr)
+    return th.reshape(kids.shape), ph.reshape(kids.shape)
+
+
+def _lane_setup(lmax, pol):
+    """(ms, ns, weights) for the power scan: scalar block (+ spin blocks)."""
+    m = np.arange(lmax + 1)
+    eps0 = np.where(m == 0, 1.0, 2.0)
+    if not pol:
+        return m, np.zeros_like(m), eps0[None, :]
+    # full-m spin-2 power: |a_{+2,l0}|^2 once, then |a_+|^2 + |a_-|^2
+    epsP = np.where(m == 0, 0.5, 1.0)
+    ms = np.concatenate([m, m, m])
+    ns = np.concatenate([np.zeros_like(m), np.full_like(m, 2),
+                         np.full_like(m, -2)])
+    weights = np.zeros((2, 3 * (lmax + 1)))
+    weights[0, : lmax + 1] = eps0
+    weights[1, lmax + 1 :] = np.concatenate([epsP, epsP])
+    return ms, ns, weights
+
+
+def _rep_powers(th, ph, lmax, pol, chunk=16):
+    """(nreps, K, lmax+1) lane-weighted powers, one fused device pass.
+
+    Reps are processed in fixed-size chunks under a single jitted
+    ``lax.map`` (one dispatch); the per-point Fourier factors are built
+    inside the jit so no complex array crosses the host boundary.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fdt = np.float64 if jax.config.jax_enable_x64 else np.float32
+    ms, ns, weights = _lane_setup(lmax, pol)
+    v = 1.0 / th.shape[-1]
+
+    x = np.cos(th).astype(fdt)
+    logch = np.log(np.cos(th / 2)).astype(fdt)
+    logsh = np.log(np.sin(th / 2)).astype(fdt)
+    ph = ph.astype(fdt)
+
+    nreps = th.shape[0]
+    pad = (-nreps) % chunk
+    if pad:
+        x, logch, logsh, ph = (
+            np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+            for a in (x, logch, logsh, ph)
+        )
+    nchunks = x.shape[0] // chunk
+
+    def reshape(a):
+        return jnp.asarray(a.reshape(nchunks, chunk, -1))
+
+    ms_j = jnp.asarray(ms, jnp.int32)
+    ns_j = jnp.asarray(ns, jnp.int32)
+    w_j = jnp.asarray(weights.astype(fdt))
+    mf = jnp.asarray(ms.astype(fdt))
+
+    @jax.jit
+    def all_chunks(xs, lcs, lss, phs):
+        def one(args):
+            xx, lc, ls, pp = args
+            Fw = v * jnp.exp(-1j * mf[None, :] * pp[:, None])
+            return wigner.lambda_power_scan(
+                ms_j, ns_j, xx, lc, ls, lmax, Fw, w_j
+            )
+
+        return jax.lax.map(jax.vmap(one), (xs, lcs, lss, phs))
+
+    out = np.asarray(
+        all_chunks(reshape(x), reshape(logch), reshape(logsh), reshape(ph))
+    )
+    return out.reshape((-1,) + out.shape[2:])[:nreps]
+
+
+@functools.lru_cache(maxsize=16)
+def pixel_window_exact(nside, lmax, *, pol=False, factor=16, cap_samples=16):
+    """Exact azimuthally-averaged pixel window(s) for ``nside``.
+
+    Returns (lmax+1,) for ``pol=False``; (2, lmax+1) [temperature,
+    polarization] for ``pol=True`` (the polarization window is zero for
+    l < 2, matching healpy's table layout; the reference only consumes
+    l >= |spin| entries, twopoint.py:148-168).  ``factor`` must be a
+    power of two (NESTED subdivision).
+    """
+    nside, lmax = int(nside), int(lmax)
+    if factor & (factor - 1):
+        raise ValueError("factor must be a power of two")
+
+    hit = find_cached(nside, lmax, pol)
+    if hit is not None:
+        return hit
+    cache = None
+    try:
+        os.makedirs(_cache_dir(), exist_ok=True)
+        cache = os.path.join(
+            _cache_dir(),
+            f"pixwin_{nside}_{lmax}_{int(pol)}_{factor}_{cap_samples}.npy",
+        )
+    except OSError:
+        cache = None
+
+    logger.info(
+        "computing exact pixel window nside=%d lmax=%d pol=%s", nside, lmax, pol
+    )
+    pix, wts = _pixel_classes(nside, cap_samples)
+    th, ph = _children_angles(nside, pix, factor)
+    powers = _rep_powers(th, ph, lmax, pol)  # (nreps, K, lmax+1)
+
+    ells = np.arange(lmax + 1)
+    npix = 12.0 * nside * nside
+    wsq = np.einsum("r,rkl->kl", wts / npix, powers.astype(np.float64))
+    wsq *= 4.0 * np.pi / (2 * ells + 1)
+    w = np.sqrt(np.maximum(wsq, 0.0))
+    # the midpoint point-sum over-estimates the integral by the inverse
+    # of the fine grid's own window; multiply it back in (second-moment
+    # model, exact to O((l/nside_hi)^4) — see _subcell_moment)
+    w *= _subcell_window(nside * factor, lmax)
+
+    if pol:
+        w[1, : min(2, lmax + 1)] = 0.0
+        out = w
+    else:
+        out = w[0]
+    if cache:
+        try:
+            np.save(cache, out)
+        except OSError:
+            pass
+    return out

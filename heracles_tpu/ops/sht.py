@@ -22,6 +22,7 @@ Conventions (matching HEALPix/healpy):
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
@@ -30,6 +31,8 @@ import numpy as np
 
 from ..healpix import nside2npix, npix2nside, nside2pixarea, ring_geometry
 from . import ringfft, wigner
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "alm_size",
@@ -544,29 +547,44 @@ def alm2map_host(alm, nside, lmax=None, **kw):
 
 
 @functools.lru_cache(maxsize=32)
-def pixel_window(nside, lmax):
-    """Scalar pixel window function w(l), l = 0..lmax (numpy, float64).
+def pixel_window(nside, lmax, *, pol=False, method="auto"):
+    """HEALPix pixel window w(l), l = 0..lmax (numpy, float64).
 
-    Azimuthally-averaged top-hat approximation: the HEALPix pixel is
-    modelled as a spherical cap of equal area, whose window is
-    [P_{l-1}(c) - P_{l+1}(c)] / ((2l+1)(1-c)) with c = 1 - Omega_pix/2pi.
-    This is the same function healpy tabulates in its data files (used by
-    the reference at healpy.py:170-196 and twopoint.py:154-165) up to the
-    sub-percent azimuthal anisotropy of real HEALPix pixels; the framework
-    uses it consistently for both deconvolution and bias correction, so
-    internal round trips are exact.
+    The analog of healpy's tabulated ``pixwin`` (consumed by the
+    reference at healpy.py:170-196 and twopoint.py:148-168).  With
+    ``pol=True`` returns (2, lmax+1) [temperature, polarization]
+    windows (the spin-2 window, used to deconvolve shear maps).
+
+    ``method``:
+
+    * ``"exact"`` — integrate the (spin-weighted) harmonics over the true
+      pixel shapes (:func:`heracles_tpu.ops.pixwin.pixel_window_exact`);
+      matches healpy's tables; cached on disk per nside.
+    * ``"cap"`` — equal-area spherical-cap closed form; sub-percent low,
+      but internally consistent (round trips stay exact).
+    * ``"auto"`` (default) — exact when a disk cache exists or nside is
+      small enough to compute on the fly (<= 32); cap otherwise, with a
+      log hint to precompute.  Override with HERACLES_TPU_PIXWIN.
     """
-    c = 1.0 - nside2pixarea(nside) / (2.0 * np.pi)
-    ells = np.arange(lmax + 2)
-    # P_l(c) for l = 0..lmax+1
-    P = np.empty(lmax + 2)
-    P[0] = 1.0
-    if lmax + 1 >= 1:
-        P[1] = c
-    for ell in range(2, lmax + 2):
-        P[ell] = ((2 * ell - 1) * c * P[ell - 1] - (ell - 1) * P[ell - 2]) / ell
-    w = np.empty(lmax + 1)
-    w[0] = 1.0
-    ell = np.arange(1, lmax + 1)
-    w[1:] = (P[:lmax][0:] - P[2 : lmax + 2])[ell - 1] / ((2 * ell + 1) * (1.0 - c))
+    from . import pixwin as _pixwin
+
+    method = os.environ.get("HERACLES_TPU_PIXWIN", method)
+    if method == "auto":
+        if nside <= 32 or _pixwin.find_cached(nside, lmax, pol) is not None:
+            method = "exact"
+        else:
+            method = "cap"
+            logger.info(
+                "pixel_window(nside=%d): no exact window cached; using the "
+                "cap approximation (precompute with "
+                "heracles_tpu.ops.pixwin.pixel_window_exact)", nside,
+            )
+    if method == "exact":
+        return _pixwin.pixel_window_exact(nside, lmax, pol=pol)
+    if method != "cap":
+        raise ValueError(f"unknown pixel window method: {method!r}")
+    w = _pixwin.cap_window(nside, lmax)
+    if pol:
+        w = np.stack([w, w])
+        w[1, : min(2, lmax + 1)] = 0.0
     return w

@@ -352,6 +352,30 @@ def lambda_analysis_scan(ms, ns, x, logch, logsh, lmax, Fw):
     return jnp.moveaxis(ys, 0, -2)
 
 
+def lambda_power_scan(ms, ns, x, logch, logsh, lmax, Fw, weights):
+    """Per-l lane-weighted power of the analysis, fully reduced in-scan.
+
+    out[..., k, l] = sum_lane weights[k, lane] * |a_l,lane|^2 with
+    a_l,lane = sum_r slm(l, m_lane, n_lane; theta_r) * Fw[..., r, lane].
+    Never materialises the (l, lane) alm table — used by the exact
+    pixel-window computation, whose per-pixel alms would not fit memory.
+
+    ``weights``: (K, lanes) real lane-combination matrix (e.g. the
+    (2 - delta_m0) spectrum weights, one row per output channel).
+    Returns (..., K, lmax+1) real.
+    """
+    fdt = x.dtype
+
+    def step_extra(ell, lam, xs, extra):
+        a = jnp.einsum("lr,...rl->...l", lam, Fw)
+        power = a.real**2 + a.imag**2
+        return jnp.einsum("kl,...l->...k", weights, power), extra
+
+    ys, _ = _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, 0, fdt)
+    # ys: (lmax+1, ..., K) -> (..., K, lmax+1)
+    return jnp.moveaxis(ys, 0, -1)
+
+
 def wigner_table(m, n, x, logch, logsh, lmax):
     """Raw Wigner-d table d^l_{-m,-n}(theta) for l = 0..lmax, all thetas.
 

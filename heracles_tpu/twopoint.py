@@ -260,8 +260,15 @@ def _debias_cl(cl, bias=None, md=None, *, inplace=False):
             nside = md.get(f"nside_{i}")
             deconv = md.get(f"deconv_{i}", True)
             if nside is not None and deconv:
-                if s in (0, 2):
+                if s == 0:
                     pw = sht.pixel_window(nside, lmax)
+                elif s == 2:
+                    # polarization window for spin-2 sides, matching the
+                    # reference (twopoint.py:148-168)
+                    pw = sht.pixel_window(nside, lmax, pol=True)[1]
+                else:
+                    pw = None
+                if pw is not None:
                     bl[..., lmin:] /= pw[lmin:]
 
     cl[:] -= bl

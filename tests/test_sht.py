@@ -224,6 +224,6 @@ def test_ring_weights_integrate_legendre():
 
 def test_pixel_window_monotone():
     pw = sht.pixel_window(16, 32)
-    assert pw[0] == 1.0
+    assert pw[0] == pytest.approx(1.0, abs=1e-12)
     assert np.all(np.diff(pw) < 0)
     assert pw[-1] > 0.5
