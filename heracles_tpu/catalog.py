@@ -426,6 +426,7 @@ class FitsCatalog(CatalogBase):
         self._path = path
         self._columns = columns
         self._ext = ext
+        self._hdu_cached = None
         self._read_page = lru_cache(maxsize=8)(self._read_page_impl)
 
     def __copy__(self):
@@ -433,6 +434,7 @@ class FitsCatalog(CatalogBase):
         other._path = self._path
         other._columns = self._columns
         other._ext = self._ext
+        other._hdu_cached = self._hdu_cached  # read-only; safe to share
         other._read_page = lru_cache(maxsize=8)(other._read_page_impl)
         return other
 
@@ -444,16 +446,22 @@ class FitsCatalog(CatalogBase):
         return self._path
 
     def _hdu(self):
+        if self._hdu_cached is not None:
+            return self._hdu_cached
         from .fits import FitsFile
 
         fits = FitsFile(self._path)
         if self._ext is not None:
-            return fits[self._ext]
-        # first extension with rows
-        for hdu in list(fits)[1:]:
-            if hdu.get_nrows() > 0:
-                return hdu
-        raise OSError(f"no table data in {self._path}")
+            hdu = fits[self._ext]
+        else:
+            # first extension with rows
+            for hdu in list(fits)[1:]:
+                if hdu.get_nrows() > 0:
+                    break
+            else:
+                raise OSError(f"no table data in {self._path}")
+        self._hdu_cached = hdu
+        return hdu
 
     def _names(self):
         if self._columns is not None:
@@ -474,28 +482,41 @@ class FitsCatalog(CatalogBase):
     def _read_page_impl(self, start, stop):
         hdu = self._hdu()
         names = self._names()
-        data = hdu.read(rows=(start, stop))
-        return CatalogPage({name: data[name] for name in names})
+        # column-subset read: only the requested columns are decoded
+        # (reference contract: catalog/fits.py:134-153 reads named columns)
+        return CatalogPage(hdu.read_columns(names, rows=(start, stop)))
 
     def _pages(self, selection):
+        from concurrent.futures import ThreadPoolExecutor
+
         nrows = self._hdu().get_nrows()
         size = self.page_size
-        for start in range(0, max(nrows, 1), size):
-            stop = min(start + size, nrows)
-            if stop <= start:
-                break
-            page = self._read_page(start, stop)
-            if selection is not None:
-                table = np.rec.fromarrays(
-                    [page[n] for n in page.names], names=page.names
-                )
-                mask = rowfilter(selection, table)
-                page = CatalogPage(
-                    {n: page[n][mask] for n in page.names}
-                )
-            else:
-                page = page.copy()
-            yield page
+        spans = [
+            (start, min(start + size, nrows))
+            for start in range(0, max(nrows, 1), size)
+            if min(start + size, nrows) > start
+        ]
+        if not spans:
+            return
+        # double-buffer: read page k+1 on a worker thread while the
+        # caller (device scatter, SHT) consumes page k
+        with ThreadPoolExecutor(1) as pool:
+            future = pool.submit(self._read_page, *spans[0])
+            for i, _ in enumerate(spans):
+                page = future.result()
+                if i + 1 < len(spans):
+                    future = pool.submit(self._read_page, *spans[i + 1])
+                if selection is not None:
+                    table = np.rec.fromarrays(
+                        [page[n] for n in page.names], names=page.names
+                    )
+                    mask = rowfilter(selection, table)
+                    page = CatalogPage(
+                        {n: page[n][mask] for n in page.names}
+                    )
+                else:
+                    page = page.copy()
+                yield page
 
 
 class InvalidValueFilter:

@@ -437,23 +437,28 @@ class FitsDict(MutableMapping):
 
     @property
     def fits(self):
-        return FitsFile(self.path, mode="rw")
+        # one scanned handle per mapping: appends update the HDU index
+        # incrementally, so streaming thousands of keys stays O(n)
+        if self._fits is None:
+            self._fits = FitsFile(self.path, mode="rw")
+        return self._fits
 
     def __init__(self, path, *, clobber=False):
         self.path = Path(path)
         if not self.path.exists() or clobber:
             FitsFile(self.path, mode="rw", clobber=True)
+        self._fits = None
         self._cache = WeakValueDictionary()
 
     def __iter__(self):
-        for key, _ in _iter_named_hdus(FitsFile(self.path)):
+        for key, _ in _iter_named_hdus(self.fits):
             yield key
 
     def __len__(self):
         return sum(1 for _ in iter(self))
 
     def __contains__(self, key):
-        return _string_from_key(key) in FitsFile(self.path)
+        return _string_from_key(key) in self.fits
 
     def __getitem__(self, key):
         ext = _string_from_key(key)
