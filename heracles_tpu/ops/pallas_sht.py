@@ -3,17 +3,22 @@
 The jnp `lax.scan` implementations round-trip their large operands (the
 ring spectra, or the synthesis accumulator) through HBM on every one of
 the lmax+1 steps (~GBs of HBM traffic per m-chunk at production scale).
-These kernels keep everything resident in VMEM: each (m-chunk,
+These kernels keep everything resident in VMEM: each (batch, m-chunk,
 ring-block) grid step loads its blocks once, runs the full scaled
 three-term recurrence over l on the VPU, and moves results in aligned
 8-row tiles.
 
-Three kernels are provided and auto-selected by :mod:`..ops.sht` on TPU:
+Four kernels are provided and auto-selected by :mod:`..ops.sht` on TPU:
 
 * :func:`analysis_spin0_folded` — spin-0 map2alm contraction;
 * :func:`analysis_pair_folded` — the +-s spin-pair (e.g. spin-2 E/B)
   analysis, both Wigner columns in one program;
-* :func:`synthesis_spin0_folded` — spin-0 alm2map accumulation.
+* :func:`synthesis_spin0_folded` — spin-0 alm2map accumulation;
+* :func:`synthesis_pair_folded` — the +-s spin-pair synthesis.
+
+All wrappers accept arbitrary leading batch dimensions (DICES region
+batches, vmapped bins): the batch is flattened into the leading grid
+axis, so every batch element runs the same fused VMEM-resident program.
 
 Numerics are identical to the jnp scans in
 :mod:`heracles_tpu.ops.wigner` (libsharp-style 2^60 block scaling,
@@ -32,19 +37,87 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["analysis_spin0_folded"]
+__all__ = [
+    "analysis_spin0_folded",
+    "analysis_pair_folded",
+    "synthesis_spin0_folded",
+    "synthesis_pair_folded",
+]
 
 _SCALE_LOG2 = 60
 _SCALE = float(2.0**_SCALE_LOG2)
 _INV_SCALE = float(2.0**-_SCALE_LOG2)
 _LN2 = float(np.log(2.0))
 
+_SEMANTICS = ("parallel", "parallel", "arbitrary")
+
+
+def _advance_spin0(carry, ell, m, x, seed_mant, k0):
+    """One l-step of the scaled spin-0 recurrence; returns (carry', lam)."""
+    d_prev, d_curr, k = carry
+    l_f = ell.astype(jnp.float32)
+    lm1 = l_f - 1.0
+    a_l = jnp.sqrt(jnp.maximum(l_f * l_f - m * m, 0.0))
+    a_lm1 = jnp.sqrt(jnp.maximum(lm1 * lm1 - m * m, 0.0))
+    inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
+    cand = ((2.0 * l_f - 1.0) * inv) * x * d_curr - (a_lm1 * inv) * d_prev
+    is_seed = l_f == m
+    d_new = jnp.where(is_seed, seed_mant, jnp.where(l_f > m, cand, 0.0))
+    k_new = jnp.where(is_seed, k0, k)
+    over = jnp.abs(d_new) > _SCALE
+    d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
+    d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
+    k_new = jnp.where(over, k_new + 1.0, k_new)
+    emit = jnp.where(k_new == 0.0, 1.0,
+                     jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
+    norm = jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
+    return (d_prev_new, d_new, k_new), d_new * emit * norm
+
+
+def _advance_pair(carry, ell, m, s2, mn, x, j0, seed_mant, seed_k):
+    """One l-step of the scaled spin-pair recurrence (column n, mn = m*n)."""
+    d_prev, d_curr, k = carry
+    l_f = ell.astype(jnp.float32)
+    lm1 = l_f - 1.0
+
+    def a_of(l):
+        return jnp.sqrt(
+            jnp.maximum((l * l - m * m) * (l * l - s2), 0.0)
+        ) / jnp.maximum(l, 1.0)
+
+    a_l = a_of(l_f)
+    a_lm1 = a_of(lm1)
+    inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
+    mid = (2.0 * l_f - 1.0) * (x - mn / jnp.maximum(lm1 * l_f, 1.0))
+    cand = mid * inv * d_curr - (a_lm1 * inv) * d_prev
+    is_seed = l_f == j0
+    d_new = jnp.where(is_seed, seed_mant, jnp.where(l_f > j0, cand, 0.0))
+    k_new = jnp.where(is_seed, seed_k, k)
+    over = jnp.abs(d_new) > _SCALE
+    d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
+    d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
+    k_new = jnp.where(over, k_new + 1.0, k_new)
+    emit = jnp.where(k_new == 0.0, 1.0,
+                     jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
+    norm = jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
+    return (d_prev_new, d_new, k_new), d_new * emit * norm
+
+
+def _flatten_batch(arrays, core_ndim=2):
+    """Flatten leading dims of each array to one batch axis; return meta."""
+    batch = arrays[0].shape[:-core_ndim]
+    B = int(np.prod(batch)) if batch else 1
+    flats = tuple(
+        a.reshape((B,) + a.shape[a.ndim - core_ndim:]) for a in arrays
+    )
+    return B, batch, flats
+
 
 def _kernel(x_ref, logchsh_ref, logc_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
             m_chunk, ring_block):
-    """Grid: (n_mchunks, n_ringblocks); ring blocks accumulate into out."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    """Grid: (B, n_mchunks, n_ringblocks); ring blocks accumulate into out."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
@@ -70,39 +143,12 @@ def _kernel(x_ref, logchsh_ref, logc_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     Fo_re = Fo_ref[0]
     Fo_im = Fo_ref[1]
 
-    inv4pi = 1.0 / (4.0 * np.pi)
-
-    def advance(carry, ell):
-        d_prev, d_curr, k = carry
-        # coefficients of the l-recurrence for n = 0 (the general
-        # a(l) = sqrt((l^2-m^2)(l^2-n^2))/l reduces to sqrt(l^2-m^2)):
-        # d_l = (2l-1)/a(l) x d_{l-1} - a(l-1)/a(l) d_{l-2}
-        l_f = ell.astype(jnp.float32)
-        lm1 = l_f - 1.0
-        a_l = jnp.sqrt(jnp.maximum(l_f * l_f - m * m, 0.0))
-        a_lm1 = jnp.sqrt(jnp.maximum(lm1 * lm1 - m * m, 0.0))
-        inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
-        cand = ((2.0 * l_f - 1.0) * inv) * x * d_curr - (a_lm1 * inv) * d_prev
-        is_seed = l_f == m
-        d_new = jnp.where(is_seed, seed_mant,
-                          jnp.where(l_f > m, cand, 0.0))
-        k_new = jnp.where(is_seed, k0, k)
-        over = jnp.abs(d_new) > _SCALE
-        d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
-        d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
-        k_new = jnp.where(over, k_new + 1.0, k_new)
-        emit = jnp.where(k_new == 0.0, 1.0,
-                         jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
-        norm = jnp.sqrt((2.0 * l_f + 1.0) * inv4pi)
-        lam = d_new * emit * norm
-        return (d_prev_new, d_new, k_new), lam
-
     # 8 l-steps per iteration: one aligned (8, m_chunk) store per plane
     def body(blk, carry):
         rows_re = []
         rows_im = []
         for t in range(8):
-            carry, lam = advance(carry, 8 * blk + t)
+            carry, lam = _advance_spin0(carry, 8 * blk + t, m, x, seed_mant, k0)
             Fr, Fi = (Fe_re, Fe_im) if t % 2 == 0 else (Fo_re, Fo_im)
             rows_re.append(jnp.sum(lam * Fr, axis=0, keepdims=True))
             rows_im.append(jnp.sum(lam * Fi, axis=0, keepdims=True))
@@ -121,7 +167,7 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
                  FNm_ref, Sm_ref, out_ref, *, lmax, spin, m_chunk, ring_block):
     """Spin-pair (cross) analysis: columns n = +s and n = -s together.
 
-    Grid (n_mchunks, n_ringblocks).  The two Wigner columns share the
+    Grid (B, n_mchunks, n_ringblocks).  The two Wigner columns share the
     recurrence coefficients up to the sign of the m*n term; the mirror
     (southern) term of each column contributes to the *partner* column's
     output with an alternating (-1)^l sign:
@@ -130,7 +176,7 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     (S_* are the partner-paired, (-1)^m-signed southern rows built by the
     caller, exactly as in the jnp cross path.)
     """
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
@@ -143,9 +189,6 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     m = seed_ref[5]
     j0 = seed_ref[4]
     s2 = float(spin * spin)
-    # recurrence middle term uses m'*n' = (-m)(-n) = m*n; branch p (the
-    # a_{+s} column) has n = +s, branch m has n = -s
-    ms = {"p": +float(spin), "m": -float(spin)}
 
     def seed_vals(logc, sign, pc, ps):
         logval = logc + pc * logch + ps * logsh
@@ -161,35 +204,10 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     ps_m = m + float(spin)
     seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], pc_p, ps_p)
     seed_m, k0_m = seed_vals(seed_ref[2], seed_ref[3], pc_m, ps_m)
-
-    def advance(carry, ell, mn, seed_mant, seed_k):
-        d_prev, d_curr, k = carry
-        l_f = ell.astype(jnp.float32)
-        lm1 = l_f - 1.0
-
-        def a_of(l):
-            return jnp.sqrt(
-                jnp.maximum((l * l - m * m) * (l * l - s2), 0.0)
-            ) / jnp.maximum(l, 1.0)
-
-        a_l = a_of(l_f)
-        a_lm1 = a_of(lm1)
-        inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
-        mid = (2.0 * l_f - 1.0) * (
-            x - (m * mn) / jnp.maximum(lm1 * l_f, 1.0)
-        )
-        cand = mid * inv * d_curr - (a_lm1 * inv) * d_prev
-        is_seed = l_f == j0
-        d_new = jnp.where(is_seed, seed_mant, jnp.where(l_f > j0, cand, 0.0))
-        k_new = jnp.where(is_seed, seed_k, k)
-        over = jnp.abs(d_new) > _SCALE
-        d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
-        d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
-        k_new = jnp.where(over, k_new + 1.0, k_new)
-        emit = jnp.where(k_new == 0.0, 1.0,
-                         jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
-        norm = jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
-        return (d_prev_new, d_new, k_new), d_new * emit * norm
+    # recurrence middle term uses m'*n' = (-m)(-n) = m*n; branch p (the
+    # a_{+s} column) has n = +s, branch m has n = -s
+    mn_p = m * float(spin)
+    mn_m = m * float(-spin)
 
     FNp = (FNp_ref[0], FNp_ref[1])
     Sp = (Sp_ref[0], Sp_ref[1])
@@ -202,8 +220,12 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
         for t in range(8):
             ell = 8 * blk + t
             sgn = 1.0 if t % 2 == 0 else -1.0
-            carry_p, lam_p = advance(carry_p, ell, ms["p"], seed_p, k0_p)
-            carry_m, lam_m = advance(carry_m, ell, ms["m"], seed_m, k0_m)
+            carry_p, lam_p = _advance_pair(
+                carry_p, ell, m, s2, mn_p, x, j0, seed_p, k0_p
+            )
+            carry_m, lam_m = _advance_pair(
+                carry_m, ell, m, s2, mn_m, x, j0, seed_m, k0_m
+            )
             for c in range(2):
                 rows[0 + c].append(jnp.sum(
                     lam_p * FNp[c] + sgn * lam_m * Sp[c], axis=0, keepdims=True
@@ -222,6 +244,22 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     jax.lax.fori_loop(0, (lmax + 8) // 8, body, init)
 
 
+def _pair_seed_planes(nm_pad, spin):
+    """Host seed-constant planes (6, 1, nm_pad) for the pair kernels."""
+    mm = np.arange(nm_pad)
+    _, sgp, logcp = _seed_consts(mm, spin)
+    _, sgm, logcm = _seed_consts(mm, -spin)
+    msign = np.where(mm % 2 == 0, 1.0, -1.0)
+    return np.stack([
+        logcp,
+        sgp * msign,
+        logcm,
+        sgm * msign,
+        np.maximum(mm, abs(spin)).astype(np.float64),
+        mm.astype(np.float64),
+    ]).astype(np.float32)[:, None, :]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "interpret"),
@@ -231,10 +269,12 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     """Folded spin-pair analysis on the Pallas kernel.
 
     Inputs as built by the jnp cross path: FN* northern rows per branch,
-    S* the partner-paired (-1)^m-signed southern rows.  Returns
-    (alm_p, alm_m) rectangular (lmax+1, nm_pad) complex64.
+    S* the partner-paired (-1)^m-signed southern rows, each with optional
+    leading batch dims (..., nhalf, nm_pad).  Returns (alm_p, alm_m)
+    rectangular (..., lmax+1, nm_pad) complex64.
     """
-    nhalf, nm_pad = FNp.shape
+    B, batch, (FNp, Sp, FNm, Sm) = _flatten_batch((FNp, Sp, FNm, Sm))
+    nhalf, nm_pad = FNp.shape[-2:]
     if ring_block is None:
         # 4 double-buffered F blocks + 6 carries + the (4, lmax+1, m)
         # output block must fit the 16MB scoped-VMEM budget
@@ -243,24 +283,14 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     pad = nr_pad - nhalf
 
     def prep(F):
-        planes = jnp.stack([F.real, F.imag]).astype(jnp.float32)
-        return jnp.pad(planes, ((0, 0), (0, pad), (0, 0)))
+        planes = jnp.stack([F.real, F.imag], axis=1).astype(jnp.float32)
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return planes.reshape(B * 2, nr_pad, nm_pad)
 
     # host-side seed constants per (m, branch): the Wigner-d seed
     # coefficient and sign at j0 = max(m, s) (lgamma-free in the kernel);
     # branch p (a_{+s}) needs d^{j0}_{-m,-s}, branch m needs d^{j0}_{-m,+s}
-    mm = np.arange(nm_pad)
-    _, sgp, logcp = _seed_consts(mm, spin)
-    _, sgm, logcm = _seed_consts(mm, -spin)
-    msign = np.where(mm % 2 == 0, 1.0, -1.0)
-    seed = np.stack([
-        logcp,
-        sgp * msign,
-        logcm,
-        sgm * msign,
-        np.maximum(mm, abs(spin)).astype(np.float64),
-        mm.astype(np.float64),
-    ]).astype(np.float32)[:, None, :]
+    seed = _pair_seed_planes(nm_pad, spin)
 
     lpad = -(-(lmax + 1) // 8) * 8
     n_mchunks = nm_pad // m_chunk
@@ -272,46 +302,48 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     logshp = jnp.pad(logsh.astype(jnp.float32), (0, pad),
                      constant_values=-1e4)[:, None]
 
-    vec_spec = pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+    vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                             memory_space=pltpu.VMEM)
-    F_spec = pl.BlockSpec((2, ring_block, m_chunk), lambda i, j: (0, j, i),
+    F_spec = pl.BlockSpec((2, ring_block, m_chunk), lambda b, i, j: (b, j, i),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _pair_kernel, lmax=lmax, spin=abs(int(spin)), m_chunk=m_chunk,
             ring_block=ring_block,
         ),
-        grid=(n_mchunks, n_rblocks),
+        grid=(B, n_mchunks, n_rblocks),
         in_specs=[
             vec_spec, vec_spec, vec_spec,
-            pl.BlockSpec((6, 1, m_chunk), lambda i, j: (0, 0, i),
+            pl.BlockSpec((6, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             F_spec, F_spec, F_spec, F_spec,
         ],
-        out_specs=pl.BlockSpec((4, lpad, m_chunk), lambda i, j: (0, 0, i),
+        out_specs=pl.BlockSpec((4, lpad, m_chunk), lambda b, i, j: (b, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, lpad, nm_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * 4, lpad, nm_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=_SEMANTICS,
         ),
         interpret=interpret,
     )(xp, logchp, logshp, jnp.asarray(seed), prep(FNp), prep(Sp),
       prep(FNm), prep(Sm))
 
-    alm_p = (out[0, : lmax + 1] + 1j * out[1, : lmax + 1]).astype(jnp.complex64)
-    alm_m = (out[2, : lmax + 1] + 1j * out[3, : lmax + 1]).astype(jnp.complex64)
-    return alm_p, alm_m
+    out = out.reshape((B, 4, lpad, nm_pad))[:, :, : lmax + 1]
+    alm_p = (out[:, 0] + 1j * out[:, 1]).astype(jnp.complex64)
+    alm_m = (out[:, 2] + 1j * out[:, 3]).astype(jnp.complex64)
+    shape = batch + (lmax + 1, nm_pad)
+    return alm_p.reshape(shape), alm_m.reshape(shape)
 
 
 def _synth_kernel(x_ref, logchsh_ref, logc_ref, alm_ref, out_ref, *, lmax,
                   m_chunk, ring_block):
     """Folded spin-0 synthesis: G accumulates in VMEM, written once.
 
-    Grid (n_mchunks, n_ringblocks); outputs 4 planes [GN_re, GN_im,
+    Grid (B, n_mchunks, n_ringblocks); outputs 4 planes [GN_re, GN_im,
     GS_re, GS_im] per (ring-block, m-chunk) tile, with the (-1)^m order
     sign already applied to GS (spin 0: the lane-block swap is trivial).
     """
-    mi = (pl.program_id(0) * m_chunk
+    mi = (pl.program_id(1) * m_chunk
           + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1))
     m = mi.astype(jnp.float32)
     x = x_ref[...]
@@ -323,33 +355,11 @@ def _synth_kernel(x_ref, logchsh_ref, logc_ref, alm_ref, out_ref, *, lmax,
     k0 = jnp.floor(ls)
     seed_mant = msign * jnp.exp2((ls - k0) * _SCALE_LOG2)
 
-    inv4pi = 1.0 / (4.0 * np.pi)
-
-    def advance(carry, ell):
-        d_prev, d_curr, k = carry
-        l_f = ell.astype(jnp.float32)
-        lm1 = l_f - 1.0
-        a_l = jnp.sqrt(jnp.maximum(l_f * l_f - m * m, 0.0))
-        a_lm1 = jnp.sqrt(jnp.maximum(lm1 * lm1 - m * m, 0.0))
-        inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
-        cand = ((2.0 * l_f - 1.0) * inv) * x * d_curr - (a_lm1 * inv) * d_prev
-        is_seed = l_f == m
-        d_new = jnp.where(is_seed, seed_mant, jnp.where(l_f > m, cand, 0.0))
-        k_new = jnp.where(is_seed, k0, k)
-        over = jnp.abs(d_new) > _SCALE
-        d_new = jnp.where(over, d_new * _INV_SCALE, d_new)
-        d_prev_new = jnp.where(over, d_curr * _INV_SCALE, d_curr)
-        k_new = jnp.where(over, k_new + 1.0, k_new)
-        emit = jnp.where(k_new == 0.0, 1.0,
-                         jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
-        norm = jnp.sqrt((2.0 * l_f + 1.0) * inv4pi)
-        return (d_prev_new, d_new, k_new), d_new * emit * norm
-
     def body(blk, carry):
         state, GNr, GNi, Sr, Si = carry
         rows = alm_ref[:, pl.ds(8 * blk, 8), :]  # (2, 8, m_chunk)
         for t in range(8):
-            state, lam = advance(state, 8 * blk + t)
+            state, lam = _advance_spin0(state, 8 * blk + t, m, x, seed_mant, k0)
             a_re = rows[0, t, :][None, :]
             a_im = rows[1, t, :][None, :]
             GNr = GNr + a_re * lam
@@ -382,11 +392,12 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
                            ring_block=None, interpret=False):
     """Folded spin-0 synthesis: rectangular alm -> (GN, GS) ring spectra.
 
-    ``alm``: (lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
-    shape (nhalf, nm_pad) where nhalf = len(x) (northern rings) and GS is
-    the mirrored-southern spectrum with the (-1)^m sign applied, matching
-    :func:`heracles_tpu.ops.wigner.lambda_synthesis_scan_folded`.
+    ``alm``: (..., lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
+    shape (..., nhalf, nm_pad) where nhalf = len(x) (northern rings) and
+    GS is the mirrored-southern spectrum with the (-1)^m sign applied,
+    matching :func:`heracles_tpu.ops.wigner.lambda_synthesis_scan_folded`.
     """
+    B, batch, (alm,) = _flatten_batch((alm,))
     nhalf = x.shape[0]
     nm_pad = alm.shape[-1]
     if ring_block is None:
@@ -397,8 +408,9 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
     pad = nr_pad - nhalf
 
     lpad = -(-(lmax + 1) // 8) * 8 + 8  # one spare block for the 8-step tail
-    planes = jnp.stack([alm.real, alm.imag]).astype(jnp.float32)
-    planes = jnp.pad(planes, ((0, 0), (0, lpad - (lmax + 1)), (0, 0)))
+    planes = jnp.stack([alm.real, alm.imag], axis=1).astype(jnp.float32)
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, lpad - (lmax + 1)), (0, 0)))
+    planes = planes.reshape(B * 2, lpad, nm_pad)
 
     mm = jnp.arange(nm_pad, dtype=jnp.float32)
     logc = (
@@ -415,31 +427,196 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
         functools.partial(
             _synth_kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block
         ),
-        grid=(n_mchunks, n_rblocks),
+        grid=(B, n_mchunks, n_rblocks),
         in_specs=[
-            pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_chunk), lambda i, j: (0, i),
+            pl.BlockSpec((1, m_chunk), lambda b, i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, lpad, m_chunk), lambda i, j: (0, 0, i),
+            pl.BlockSpec((2, lpad, m_chunk), lambda b, i, j: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (4, ring_block, m_chunk), lambda i, j: (0, j, i),
+            (4, ring_block, m_chunk), lambda b, i, j: (b, j, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((4, nr_pad, nm_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * 4, nr_pad, nm_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=_SEMANTICS,
         ),
         interpret=interpret,
     )(xp, logchsh, logc, planes)
 
-    GN = (out[0, :nhalf] + 1j * out[1, :nhalf]).astype(jnp.complex64)
-    GS = (out[2, :nhalf] + 1j * out[3, :nhalf]).astype(jnp.complex64)
-    return GN, GS
+    out = out.reshape((B, 4, nr_pad, nm_pad))[:, :, :nhalf]
+    GN = (out[:, 0] + 1j * out[:, 1]).astype(jnp.complex64)
+    GS = (out[:, 2] + 1j * out[:, 3]).astype(jnp.complex64)
+    shape = batch + (nhalf, nm_pad)
+    return GN.reshape(shape), GS.reshape(shape)
+
+
+def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
+                       out_ref, *, lmax, spin, m_chunk, ring_block):
+    """Folded spin-pair synthesis: both Wigner columns in one program.
+
+    Grid (B, n_mchunks, n_ringblocks); outputs 8 planes per tile:
+    [GNp_re, GNp_im, GSp_re, GSp_im, GNm_re, GNm_im, GSm_re, GSm_im].
+    The southern spectrum of each branch sums the *partner* column's
+    lambda against its own alm rows with the (-1)^l parity sign,
+        GS_p = (-1)^m sum_l (-1)^l a_p[l] lam_m[l],
+    matching the jnp cross path (wigner.lambda_synthesis_scan_folded:
+    S[L] accumulates a[P(L)]*lam[L], then GS = swap(S) * (-1)^m).
+    """
+    mi = (pl.program_id(1) * m_chunk
+          + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1))
+    msign = jnp.where(mi % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+    x = x_ref[...]
+    logch = logch_ref[...]
+    logsh = logsh_ref[...]
+    m = seed_ref[5]
+    j0 = seed_ref[4]
+    s2 = float(spin * spin)
+
+    def seed_vals(logc, sign, pc, ps):
+        logval = logc + pc * logch + ps * logsh
+        ls = logval / (_LN2 * _SCALE_LOG2)
+        k0 = jnp.floor(ls)
+        return sign * jnp.exp2((ls - k0) * _SCALE_LOG2), k0
+
+    pc_p = m + float(spin)
+    ps_p = jnp.abs(m - float(spin))
+    seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], pc_p, ps_p)
+    seed_m, k0_m = seed_vals(seed_ref[2], seed_ref[3], ps_p, pc_p)
+    mn_p = m * float(spin)
+    mn_m = m * float(-spin)
+
+    def body(blk, carry):
+        state_p, state_m, acc = carry
+        GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc
+        rows_p = ap_ref[:, pl.ds(8 * blk, 8), :]  # (2, 8, m_chunk)
+        rows_m = am_ref[:, pl.ds(8 * blk, 8), :]
+        for t in range(8):
+            ell = 8 * blk + t
+            sgn = 1.0 if t % 2 == 0 else -1.0
+            state_p, lam_p = _advance_pair(
+                state_p, ell, m, s2, mn_p, x, j0, seed_p, k0_p
+            )
+            state_m, lam_m = _advance_pair(
+                state_m, ell, m, s2, mn_m, x, j0, seed_m, k0_m
+            )
+            apr = rows_p[0, t, :][None, :]
+            api = rows_p[1, t, :][None, :]
+            amr = rows_m[0, t, :][None, :]
+            ami = rows_m[1, t, :][None, :]
+            GNpr = GNpr + apr * lam_p
+            GNpi = GNpi + api * lam_p
+            GNmr = GNmr + amr * lam_m
+            GNmi = GNmi + ami * lam_m
+            Spr = Spr + sgn * apr * lam_m
+            Spi = Spi + sgn * api * lam_m
+            Smr = Smr + sgn * amr * lam_p
+            Smi = Smi + sgn * ami * lam_p
+        acc = (GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi)
+        return state_p, state_m, acc
+
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    state0 = (zeros, zeros, kinit)
+    acc0 = (zeros,) * 8
+    _, _, acc = jax.lax.fori_loop(
+        0, (lmax + 8) // 8, body, (state0, state0, acc0)
+    )
+    GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc
+    out_ref[0] = GNpr
+    out_ref[1] = GNpi
+    out_ref[2] = Spr * msign
+    out_ref[3] = Spi * msign
+    out_ref[4] = GNmr
+    out_ref[5] = GNmi
+    out_ref[6] = Smr * msign
+    out_ref[7] = Smi * msign
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lmax", "spin", "m_chunk", "ring_block", "interpret"),
+)
+def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
+                          m_chunk=128, ring_block=None, interpret=False):
+    """Folded spin-pair synthesis on the Pallas kernel.
+
+    ``alm_p``/``alm_m``: rectangular (..., lmax+1, nm_pad) complex alms
+    for the n = +spin and n = -spin engine columns (as passed to
+    :func:`heracles_tpu.ops.sht._synthesis_rect` by the spin-2 path).
+    Returns (GNp, GSp, GNm, GSm) complex64 of shape (..., nhalf, nm_pad):
+    northern ring spectra and the (-1)^m-signed mirrored-southern
+    spectra per branch, matching the jnp cross scan.
+    """
+    B, batch, (alm_p, alm_m) = _flatten_batch((alm_p, alm_m))
+    nhalf = x.shape[0]
+    nm_pad = alm_p.shape[-1]
+    if ring_block is None:
+        # two double-buffered alm blocks + the (8, ring_block, m_chunk)
+        # out tile + 14 carries must fit the 16MB scoped-VMEM budget
+        ring_block = min(nhalf, 128 if lmax > 2048 else 256)
+    nr_pad = -(-nhalf // ring_block) * ring_block
+    pad = nr_pad - nhalf
+
+    lpad = -(-(lmax + 1) // 8) * 8 + 8
+
+    def prep(a):
+        planes = jnp.stack([a.real, a.imag], axis=1).astype(jnp.float32)
+        planes = jnp.pad(
+            planes, ((0, 0), (0, 0), (0, lpad - (lmax + 1)), (0, 0))
+        )
+        return planes.reshape(B * 2, lpad, nm_pad)
+
+    seed = _pair_seed_planes(nm_pad, spin)
+
+    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+    logchp = jnp.pad(logch.astype(jnp.float32), (0, pad),
+                     constant_values=-1e4)[:, None]
+    logshp = jnp.pad(logsh.astype(jnp.float32), (0, pad),
+                     constant_values=-1e4)[:, None]
+
+    n_mchunks = nm_pad // m_chunk
+    n_rblocks = nr_pad // ring_block
+
+    vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
+    alm_spec = pl.BlockSpec((2, lpad, m_chunk), lambda b, i, j: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _synth_pair_kernel, lmax=lmax, spin=abs(int(spin)),
+            m_chunk=m_chunk, ring_block=ring_block,
+        ),
+        grid=(B, n_mchunks, n_rblocks),
+        in_specs=[
+            vec_spec, vec_spec, vec_spec,
+            pl.BlockSpec((6, 1, m_chunk), lambda b, i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            alm_spec, alm_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (8, ring_block, m_chunk), lambda b, i, j: (b, j, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * 8, nr_pad, nm_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_SEMANTICS,
+        ),
+        interpret=interpret,
+    )(xp, logchp, logshp, jnp.asarray(seed), prep(alm_p), prep(alm_m))
+
+    out = out.reshape((B, 8, nr_pad, nm_pad))[:, :, :nhalf]
+    shape = batch + (nhalf, nm_pad)
+
+    def cplx(r, i):
+        return (out[:, r] + 1j * out[:, i]).astype(jnp.complex64).reshape(shape)
+
+    return cplx(0, 1), cplx(2, 3), cplx(4, 5), cplx(6, 7)
 
 
 def _seed_consts(mm, n):
@@ -472,11 +649,13 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
                           ring_block=None, interpret=False):
     """alm[l, m] = sum_r lam_{lm}(x_r) * F(e/o by l parity)[r, m].
 
-    ``Fe``/``Fo``: (nhalf, nm_pad) complex64/128 parity-combined ring
-    spectra (northern rings); ``x``/``logch``/``logsh``: (nhalf,) ring
-    geometry.  Returns (lmax+1, nm_pad) complex64.
+    ``Fe``/``Fo``: (..., nhalf, nm_pad) complex64/128 parity-combined
+    ring spectra (northern rings), with optional leading batch dims;
+    ``x``/``logch``/``logsh``: (nhalf,) ring geometry.
+    Returns (..., lmax+1, nm_pad) complex64.
     """
-    nhalf, nm_pad = Fe.shape
+    B, batch, (Fe, Fo) = _flatten_batch((Fe, Fo))
+    nhalf, nm_pad = Fe.shape[-2:]
     if ring_block is None:
         # keep the VMEM working set (double-buffered Fe/Fo blocks + the
         # revisited (2, lmax+1, m_chunk) output block + carry) under 16MB
@@ -487,8 +666,9 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
     pad = nr_pad - nhalf
 
     def prep(F):
-        planes = jnp.stack([F.real, F.imag]).astype(jnp.float32)
-        return jnp.pad(planes, ((0, 0), (0, pad), (0, 0)))
+        planes = jnp.stack([F.real, F.imag], axis=1).astype(jnp.float32)
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return planes.reshape(B * 2, nr_pad, nm_pad)
 
     Fe2 = prep(Fe)
     Fo2 = prep(Fo)
@@ -506,30 +686,32 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
     n_mchunks = nm_pad // m_chunk
     n_rblocks = nr_pad // ring_block
 
+    F_spec = pl.BlockSpec((2, ring_block, m_chunk), lambda b, i, j: (b, j, i),
+                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block
         ),
-        grid=(n_mchunks, n_rblocks),
+        grid=(B, n_mchunks, n_rblocks),
         in_specs=[
-            pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ring_block, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_chunk), lambda i, j: (0, i),
+            pl.BlockSpec((1, m_chunk), lambda b, i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, ring_block, m_chunk), lambda i, j: (0, j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, ring_block, m_chunk), lambda i, j: (0, j, i),
-                         memory_space=pltpu.VMEM),
+            F_spec,
+            F_spec,
         ],
-        out_specs=pl.BlockSpec((2, lpad, m_chunk), lambda i, j: (0, 0, i),
+        out_specs=pl.BlockSpec((2, lpad, m_chunk), lambda b, i, j: (b, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, lpad, nm_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * 2, lpad, nm_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=_SEMANTICS,
         ),
         interpret=interpret,
     )(xp, logchsh, logc, Fe2, Fo2)
 
-    return (out[0, : lmax + 1] + 1j * out[1, : lmax + 1]).astype(jnp.complex64)
+    out = out.reshape((B, 2, lpad, nm_pad))[:, :, : lmax + 1]
+    alm = (out[:, 0] + 1j * out[:, 1]).astype(jnp.complex64)
+    return alm.reshape(batch + (lmax + 1, nm_pad))

@@ -208,11 +208,10 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
     msign = jnp.where(jnp.arange(nm_pad) % 2 == 0, 1.0, -1.0)
     folded = [_fold_rings(f, nside) for f in Fw]
 
-    # TPU fast path: the fused Pallas kernel (spin 0, unbatched, f32)
+    # TPU fast path: the fused Pallas kernel (spin 0, f32, any batch)
     if (
         not cross
         and abs(int(ns[0])) == 0
-        and Fw[0].ndim == 2
         and Fw[0].dtype == jnp.complex64
         and jax.default_backend() == "tpu"
     ):
@@ -234,7 +233,6 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
     # TPU fast path for spin pairs: the fused cross-mode Pallas kernel
     if (
         cross
-        and Fw[0].ndim == 2
         and Fw[0].dtype == jnp.complex64
         and jax.default_backend() == "tpu"
     ):
@@ -312,11 +310,10 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside):
     nspin = len(ns)
     cross = nspin == 2
 
-    # TPU fast path: fused Pallas synthesis (spin 0, unbatched, f32)
+    # TPU fast path: fused Pallas synthesis (spin 0, f32, any batch)
     if (
         not cross
         and abs(int(ns[0])) == 0
-        and alms[0].ndim == 2
         and alms[0].dtype == jnp.complex64
         and jax.default_backend() == "tpu"
     ):
@@ -327,6 +324,24 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside):
         )
         south = jnp.flip(GS[..., :-1, :], axis=-2)
         return (jnp.concatenate([GN, south], axis=-2),)
+
+    # TPU fast path for spin pairs: the fused pair synthesis kernel
+    if (
+        cross
+        and alms[0].dtype == jnp.complex64
+        and jax.default_backend() == "tpu"
+    ):
+        from . import pallas_sht
+
+        GNp, GSp, GNm, GSm = pallas_sht.synthesis_pair_folded(
+            alms[0], alms[1], x, logch, logsh, lmax, abs(int(ns[0])),
+            m_chunk=m_chunk,
+        )
+        outs = []
+        for GN, GS in ((GNp, GSp), (GNm, GSm)):
+            south = jnp.flip(GS[..., :-1, :], axis=-2)
+            outs.append(jnp.concatenate([GN, south], axis=-2))
+        return tuple(outs)
 
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)

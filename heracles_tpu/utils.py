@@ -101,7 +101,7 @@ def squeeze_spin0_dims(result):
     nspin = len(result.spin)
     comp, rest = result.shape[:nspin], result.shape[nspin:]
     for s, n in zip(result.spin, comp):
-        assert not (s == 0 and n != 1), "found spin-0 axis of size != 1"
+        assert not (s == 0 and n != 1), f"spin-0 component axis has size {n}"
     shape = [n for s, n in zip(result.spin, comp) if s != 0]
     shape.extend(rest)
     pad = sum(1 for s in result.spin if s == 0)

@@ -111,6 +111,80 @@ def test_pallas_pair_matches_jnp_cross():
     )
 
 
+def test_pallas_batched_analysis_matches_unbatched():
+    """Leading batch dims run the same program per element."""
+    nside, lmax = 16, 24
+    rng = np.random.default_rng(5)
+    nhalf = 2 * nside
+    nm_pad = 128
+    Fe = (rng.normal(size=(3, nhalf, nm_pad))
+          + 1j * rng.normal(size=(3, nhalf, nm_pad))).astype(np.complex64)
+    Fo = (rng.normal(size=(3, nhalf, nm_pad))
+          + 1j * rng.normal(size=(3, nhalf, nm_pad))).astype(np.complex64)
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+
+    got = np.asarray(
+        analysis_spin0_folded(
+            jnp.asarray(Fe), jnp.asarray(Fo), jnp.asarray(x),
+            jnp.asarray(logch), jnp.asarray(logsh), lmax,
+            ring_block=16, interpret=True,
+        )
+    )
+    assert got.shape == (3, lmax + 1, nm_pad)
+    for b in range(3):
+        want = np.asarray(
+            analysis_spin0_folded(
+                jnp.asarray(Fe[b]), jnp.asarray(Fo[b]), jnp.asarray(x),
+                jnp.asarray(logch), jnp.asarray(logsh), lmax,
+                ring_block=16, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_pair_synthesis_matches_jnp_cross():
+    """The spin-pair synthesis kernel vs the jnp cross scan (batched)."""
+    from heracles_tpu.ops.pallas_sht import synthesis_pair_folded
+
+    nside, lmax, spin = 16, 24, 2
+    rng = np.random.default_rng(11)
+    nhalf = 2 * nside
+    nm_pad = 128
+
+    def rand():
+        return (rng.normal(size=(2, lmax + 1, nm_pad))
+                + 1j * rng.normal(size=(2, lmax + 1, nm_pad))
+                ).astype(np.complex64)
+
+    ap, am = rand(), rand()
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+
+    GNp, GSp, GNm, GSm = synthesis_pair_folded(
+        jnp.asarray(ap), jnp.asarray(am), jnp.asarray(x),
+        jnp.asarray(logch), jnp.asarray(logsh), lmax, spin,
+        ring_block=16, interpret=True,
+    )
+
+    # jnp reference: cross scan with lanes [ns=+s block | ns=-s block]
+    ms = jnp.tile(jnp.arange(nm_pad, dtype=jnp.int32), 2)
+    nsv = jnp.repeat(jnp.asarray([spin, -spin], jnp.int32), nm_pad)
+    alm_l = jnp.concatenate([jnp.asarray(ap), jnp.asarray(am)], axis=-1)
+    wantN, wantS = wigner.lambda_synthesis_scan_folded(
+        ms, nsv, jnp.asarray(x), jnp.asarray(logch), jnp.asarray(logsh),
+        lmax, alm_l, cross=True,
+    )
+    wantN = np.asarray(wantN)
+    wantS = np.asarray(wantS)
+    scale = np.abs(wantN).max()
+    kw = dict(atol=3e-5 * scale, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(GNp), wantN[..., :nm_pad], **kw)
+    np.testing.assert_allclose(np.asarray(GNm), wantN[..., nm_pad:], **kw)
+    np.testing.assert_allclose(np.asarray(GSp), wantS[..., :nm_pad], **kw)
+    np.testing.assert_allclose(np.asarray(GSm), wantS[..., nm_pad:], **kw)
+
+
 def test_pallas_synthesis_matches_jnp():
     from heracles_tpu.ops.pallas_sht import synthesis_spin0_folded
 
