@@ -1,72 +1,324 @@
-"""Headline benchmark: spin-0 map2alm + alm2cl wall time on one chip.
+"""Benchmarks for the five BASELINE.md configs (one JSON line per metric).
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+Each metric times the TPU hot path of one benchmark config:
 
-The baseline is the reference pipeline's hot kernel, healpy/ducc
-``map2alm`` on CPU (reference heracles/healpy.py:183-189).  The reference
-repo publishes no numbers (BASELINE.md), so ``vs_baseline`` is measured
-against a ducc-class CPU estimate for the same transform size recorded in
-BASELINE_ESTIMATE below.
+1. ``spin0_cl_n128_l256``     — spin-0 map2alm + alm2cl (BASELINE config 1);
+2. ``spin2_masked_n512_l768`` — masked spin-2 E/B map2alm + alm2cl with ring
+   quadrature weights (config 2);
+3. ``mixmat_eb_l3000``        — spin-2 E/B mixing-matrix build at
+   l1max=l2max=l3max=3000 (the heavy part of config 3);
+4. ``discrete_alm_l1000``     — pixel-free point alms, 65536 points at
+   lmax=1000 (config 4, the ducc adjoint path);
+5. ``spin0_n4096_l3000`` / ``spin2_n4096_l3000`` — the north-star SHT sizes
+   (config 5), map2alm + alm2cl;
+6. ``dices_regions8_n256``    — 8 region-masked spin-0 SHTs as one batched
+   transform + the all-pairs sample spectra grid (config 5's jackknife
+   inner loop).
+
+``vs_baseline`` compares against a *measured* CPU baseline: the same
+operation run by this same engine with ``jax_platforms=cpu`` on this
+machine's host CPU (single core), so ``vs_baseline = cpu_s / tpu_s``.
+Baselines are measured once (``python bench.py --measure-cpu``) and
+committed to BENCH_BASELINES.json; where the production size is too
+large to run on one CPU core in reasonable time, the baseline is
+measured at a smaller size and scaled by the operation's work ratio
+(``baseline`` field says which: "cpu_1core" = directly measured,
+"cpu_1core_scaled" = measured then work-scaled).
 """
 
+import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-# Benchmark configuration #1 scaled up: spin-0 catalogue->Cl hot path.
-NSIDE = int(os.environ.get("BENCH_NSIDE", "1024"))
-LMAX = int(os.environ.get("BENCH_LMAX", str(3 * NSIDE // 2)))
-
-# ducc0-on-CPU wall-time estimate for one spin-0 map2alm at (nside, lmax),
-# from the libsharp/ducc scaling ~ C * nring * lmax^2 with C calibrated on
-# published ducc benchmarks (~5e9 lane-updates/s on a multicore desktop).
-def _baseline_seconds(nside, lmax):
-    return (4 * nside) * lmax * lmax / 5e9
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(HERE, "BENCH_BASELINES.json")
 
 
-def main():
+# -- shared op builders (run on whichever backend jax is configured for) ----
+
+
+def _cl_power(alm_rect):
+    """alm2cl of a rectangular (..., lmax+1, mmax+1) alm block."""
+    import jax.numpy as jnp
+
+    m = jnp.arange(alm_rect.shape[-1])
+    eps = jnp.where(m == 0, 1.0, 2.0).astype(jnp.float32)
+    ells = jnp.arange(alm_rect.shape[-2], dtype=jnp.float32)
+    p = (alm_rect.real**2 + alm_rect.imag**2) * eps
+    return p.sum(axis=-1) / (2 * ells + 1)
+
+
+def build_spin0(nside, lmax):
     import jax
+    import jax.numpy as jnp
 
     from heracles_tpu.ops import sht
 
-    if jax.default_backend() == "cpu":
-        jax.config.update("jax_enable_x64", False)
-
     rng = np.random.default_rng(0)
-    npix = 12 * NSIDE * NSIDE
-    # keep the map device-resident, as the pipeline does (the reference's
-    # map2alm operates on in-memory maps too)
-    maps = jax.device_put(rng.normal(size=npix).astype(np.float32))
-    maps.block_until_ready()
+    maps = jax.device_put(
+        rng.normal(size=12 * nside * nside).astype(np.float32)
+    )
+    fn = jax.jit(
+        lambda m: jnp.sum(_cl_power(sht.map2alm(m, lmax=lmax, packed=False)))
+    )
+    return lambda: float(fn(maps))
 
+
+def build_spin2_masked(nside, lmax):
+    import jax
     import jax.numpy as jnp
 
-    # a fused scalar reduction forces real execution on every call (some
-    # remote-execution transports make block_until_ready a no-op)
-    fn = jax.jit(lambda m: jnp.sum(jnp.abs(sht.map2alm(m, lmax=LMAX))))
+    from heracles_tpu.ops import sht
 
-    # compile + warm up
-    float(fn(maps))
-
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        checksum = float(fn(maps))
-    dt = (time.perf_counter() - t0) / reps
-
-    baseline = _baseline_seconds(NSIDE, LMAX)
-    print(
-        json.dumps(
-            {
-                "metric": f"map2alm_nside{NSIDE}_lmax{LMAX}_wall",
-                "value": round(dt * 1e3, 3),
-                "unit": "ms",
-                "vs_baseline": round(baseline / dt, 3),
-            }
+    rng = np.random.default_rng(1)
+    npix = 12 * nside * nside
+    qu = jax.device_put(rng.normal(size=(2, npix)).astype(np.float32))
+    mask = jax.device_put(
+        (rng.uniform(size=npix) < 0.6).astype(np.float32)
+    )
+    fn = jax.jit(
+        lambda m, w: jnp.sum(
+            _cl_power(sht.map2alm(m * w, lmax=lmax, spin=2, packed=False))
         )
     )
+    return lambda: float(fn(qu, mask))
+
+
+def build_mixmat_eb(lmax):
+    import jax.numpy as jnp
+
+    from heracles_tpu.twopoint import _mixmat_gl
+
+    rng = np.random.default_rng(2)
+    cl3 = jnp.asarray(
+        (rng.uniform(size=lmax + 1) / (1 + np.arange(lmax + 1))).astype(
+            np.float32
+        )
+    )
+    return lambda: float(
+        jnp.sum(jnp.abs(_mixmat_gl(cl3, lmax, lmax, 2, 2, True)))
+    )
+
+
+def build_discrete(lmax, npts):
+    import jax
+    import jax.numpy as jnp
+
+    from heracles_tpu.mappers import _adjoint_spin0, _point_geometry
+
+    rng = np.random.default_rng(3)
+    theta = np.arccos(rng.uniform(-1, 1, size=npts))
+    x, logch, logsh = (
+        jax.device_put(a) for a in _point_geometry(theta, np.float32)
+    )
+    phi = jax.device_put(
+        rng.uniform(0, 2 * np.pi, size=npts).astype(np.float32)
+    )
+    values = jax.device_put(rng.normal(size=(1, npts)).astype(np.float32))
+    return lambda: float(
+        jnp.sum(jnp.abs(_adjoint_spin0(x, logch, logsh, phi, values, lmax)))
+    )
+
+
+def build_dices_regions(nside, lmax, njk):
+    import jax
+    import jax.numpy as jnp
+
+    from heracles_tpu.ops import sht
+    from heracles_tpu.twopoint import rect_pair_grid
+
+    rng = np.random.default_rng(4)
+    npix = 12 * nside * nside
+    maps = jax.device_put(rng.normal(size=npix).astype(np.float32))
+    labels = rng.integers(1, njk + 1, size=npix)
+    masks = jax.device_put(
+        np.stack([(labels != k).astype(np.float32) for k in range(1, njk + 1)])
+    )
+
+    def step(m, w):
+        alms = sht.map2alm(m[None, :] * w, lmax=lmax, packed=False)
+        return jnp.sum(rect_pair_grid(alms, alms, jnp.arange(lmax + 1)))
+
+    fn = jax.jit(step)
+    return lambda: float(fn(maps, masks))
+
+
+# -- benchmark configurations ----------------------------------------------
+
+# TPU metrics: name -> (builder args, unit, cpu baseline spec).
+# The cpu spec is (cpu_config_name, work_scale): the baseline seconds are
+# the measured CPU seconds of cpu_config_name multiplied by work_scale.
+
+
+def _sht_scale(nside_t, lmax_t, nside_c, lmax_c):
+    """SHT work ratio: O(nring * lmax * mmax) = O(nside * lmax^2)."""
+    return (nside_t / nside_c) * (lmax_t / lmax_c) ** 2
+
+
+CONFIGS = {
+    "spin0_cl_n128_l256": dict(
+        build=lambda: build_spin0(128, 256),
+        reps=5,
+        cpu=("spin0_cl_n128_l256", 1.0),
+    ),
+    "spin2_masked_n512_l768": dict(
+        build=lambda: build_spin2_masked(512, 768),
+        reps=3,
+        cpu=("spin2_masked_n512_l768", 1.0),
+    ),
+    "mixmat_eb_l3000": dict(
+        build=lambda: build_mixmat_eb(3000),
+        reps=3,
+        # mixing-matrix work ~ O(lmax^2 * n_nodes) = O(lmax^3)
+        cpu=("mixmat_eb_l1000", 27.0),
+    ),
+    "discrete_alm_l1000": dict(
+        build=lambda: build_discrete(1000, 65536),
+        reps=3,
+        # point-alm work ~ O(npts * lmax^2): measured at 8192 points
+        cpu=("discrete_alm_l1000_n8192", 65536 / 8192),
+    ),
+    "spin0_n4096_l3000": dict(
+        build=lambda: build_spin0(4096, 3000),
+        reps=3,
+        cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
+    ),
+    "spin2_n4096_l3000": dict(
+        build=lambda: build_spin2_masked(4096, 3000),
+        reps=3,
+        cpu=("spin2_masked_n512_l768", _sht_scale(4096, 3000, 512, 768)),
+    ),
+    "dices_regions8_n256": dict(
+        build=lambda: build_dices_regions(256, 384, 8),
+        reps=3,
+        cpu=("dices_regions8_n256", 1.0),
+    ),
+}
+
+# CPU baseline measurements (sizes small enough for one host core).
+CPU_CONFIGS = {
+    "spin0_cl_n128_l256": lambda: build_spin0(128, 256),
+    "spin2_masked_n512_l768": lambda: build_spin2_masked(512, 768),
+    "mixmat_eb_l1000": lambda: build_mixmat_eb(1000),
+    "discrete_alm_l1000_n8192": lambda: build_discrete(1000, 8192),
+    "spin0_cl_n1024_l1536": lambda: build_spin0(1024, 1536),
+    "dices_regions8_n256": lambda: build_dices_regions(256, 384, 8),
+}
+
+
+def _timeit(fn, reps):
+    fn()  # compile + warm up (and force real execution via float readback)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _load_baselines():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)
+    return {}
+
+
+def _measure_cpu(names, reps=1):
+    """Measure CPU baselines in subprocesses (one backend per process)."""
+    baselines = _load_baselines()
+    for name in names:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-run", name,
+             "--reps", str(reps)],
+            capture_output=True,
+            text=True,
+            cwd=HERE,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            rec = json.loads(line)
+        except (json.JSONDecodeError, IndexError):
+            print(f"# CPU baseline {name} failed: {out.stderr[-400:]}",
+                  file=sys.stderr)
+            continue
+        baselines[name] = rec
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(baselines, f, indent=1, sort_keys=True)
+        print(f"# measured CPU baseline {name}: {rec['seconds']:.3f} s",
+              file=sys.stderr)
+    return baselines
+
+
+def _cpu_run(name, reps):
+    """Subprocess entry: run one CPU baseline and print its seconds."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    fn = CPU_CONFIGS[name]()
+    dt = _timeit(fn, reps)
+    print(json.dumps({
+        "name": name,
+        "seconds": dt,
+        "backend": "cpu_1core",
+        "reps": reps,
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-run", help="(internal) run one CPU baseline")
+    ap.add_argument("--measure-cpu", action="store_true",
+                    help="(re)measure all CPU baselines into "
+                         "BENCH_BASELINES.json")
+    ap.add_argument("--configs", help="comma-separated subset of configs")
+    ap.add_argument("--reps", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.cpu_run:
+        _cpu_run(args.cpu_run, args.reps or 1)
+        return
+
+    if args.measure_cpu:
+        have = _load_baselines()
+        todo = [n for n in CPU_CONFIGS if n not in have]
+        _measure_cpu(todo, reps=args.reps or 1)
+        return
+
+    names = args.configs.split(",") if args.configs else list(CONFIGS)
+    baselines = _load_baselines()
+    missing = {
+        CONFIGS[n]["cpu"][0]
+        for n in names
+        if CONFIGS[n]["cpu"][0] not in baselines
+    }
+    if missing:
+        baselines = _measure_cpu(sorted(missing))
+
+    for name in names:
+        cfg = CONFIGS[name]
+        fn = cfg["build"]()
+        dt = _timeit(fn, args.reps or cfg["reps"])
+        cpu_name, scale = cfg["cpu"]
+        rec = baselines.get(cpu_name)
+        if rec is not None:
+            cpu_s = rec["seconds"] * scale
+            vs = round(cpu_s / dt, 3)
+            kind = "cpu_1core" if scale == 1.0 else "cpu_1core_scaled"
+        else:
+            vs = None
+            kind = "unavailable"
+        print(json.dumps({
+            "metric": name,
+            "value": round(dt * 1e3, 3),
+            "unit": "ms",
+            "vs_baseline": vs,
+            "baseline": kind,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -232,13 +232,18 @@ class DiscreteMapper:
                 th = np.pad(th, (0, B - npts), constant_values=np.pi / 2)
                 ph = np.pad(ph, (0, B - npts))
             pad = th.size - npts
+            # point geometry in host f64: the seed exponents multiply the
+            # log terms by m, so device-f32 trig error (absolute floors on
+            # the TPU VPU) would be amplified to O(m * eps) in the alms.
+            # The pole clamp matches the ring engine's padding convention
+            # (orders m > 0 underflow to exactly zero there).
+            geom = _point_geometry(th, fdt)
             if spin == 0:
                 v = values[:, start : start + B].astype(fdt)
                 if pad:
                     v = np.pad(v, ((0, 0), (0, pad)))
                 planes = np.asarray(
-                    _adjoint_spin0(jnp.asarray(th.astype(fdt)),
-                                   jnp.asarray(ph.astype(fdt)),
+                    _adjoint_spin0(*geom, jnp.asarray(ph.astype(fdt)),
                                    jnp.asarray(v), lmax)
                 )
                 out += planes[0] + 1j * planes[1]
@@ -251,8 +256,7 @@ class DiscreteMapper:
                 if pad:
                     u = np.pad(u, ((0, 0), (0, pad)))
                 planes = np.asarray(
-                    _adjoint_spin(jnp.asarray(th.astype(fdt)),
-                                  jnp.asarray(ph.astype(fdt)),
+                    _adjoint_spin(*geom, jnp.asarray(ph.astype(fdt)),
                                   jnp.asarray(np.ascontiguousarray(u.real)),
                                   jnp.asarray(np.ascontiguousarray(u.imag)),
                                   lmax, spin)
@@ -282,21 +286,31 @@ class DiscreteMapper:
         return out
 
 
+def _point_geometry(theta, fdt):
+    """(x, logch, logsh) of point colatitudes, host f64, pole-clamped."""
+    th = np.asarray(theta, dtype=np.float64)
+    x = np.cos(th)
+    with np.errstate(divide="ignore"):
+        logch = np.maximum(np.log(np.abs(np.cos(th / 2))), -1e4)
+        logsh = np.maximum(np.log(np.abs(np.sin(th / 2))), -1e4)
+    return (jnp.asarray(x.astype(fdt)), jnp.asarray(logch.astype(fdt)),
+            jnp.asarray(logsh.astype(fdt)))
+
+
 @functools.partial(jax.jit, static_argnames=("lmax",))
-def _adjoint_spin0(theta, phi, values, lmax):
+def _adjoint_spin0(x, logch, logsh, phi, values, lmax):
     """a_lm = sum_p v_p conj(Ylm(p)) for real spin-0 point values.
 
-    Returns stacked (2, ..., nlm) real/imag planes (complex arrays cannot
-    cross jit boundaries on some TPU transports).
+    Point geometry (``x = cos(theta)`` and the half-angle logs) is
+    precomputed on the host (see :func:`_point_geometry`).  Returns
+    stacked (2, ..., nlm) real/imag planes (complex arrays cannot cross
+    jit boundaries on some TPU transports).
     """
-    x = jnp.cos(theta)
-    logch = jnp.log(jnp.cos(theta / 2))
-    logsh = jnp.log(jnp.sin(theta / 2))
     nm = lmax + 1
     nm_pad = sht._mmax_pad(lmax, sht.DEFAULT_M_CHUNK)
     m = jnp.arange(nm_pad)
     # F[p, m] = v_p e^{-im phi_p}: the "ring FFT" of a single point
-    F = values[..., :, None] * jnp.exp(-1j * m * theta.dtype.type(1.0) * phi[:, None])
+    F = values[..., :, None] * jnp.exp(-1j * m * phi.dtype.type(1.0) * phi[:, None])
     (alm,) = sht._analysis_rect_points(
         (F,), x, logch, logsh, lmax, (0,), sht.DEFAULT_M_CHUNK
     )
@@ -305,16 +319,14 @@ def _adjoint_spin0(theta, phi, values, lmax):
 
 
 @functools.partial(jax.jit, static_argnames=("lmax", "spin"))
-def _adjoint_spin(theta, phi, u_re, u_im, lmax, spin):
+def _adjoint_spin(x, logch, logsh, phi, u_re, u_im, lmax, spin):
     """(E, B) alms from complex spin-s point values u = v1 + i v2.
 
+    Point geometry precomputed on the host (see :func:`_point_geometry`).
     Takes/returns real planes (complex arrays cannot cross jit boundaries
     on some TPU transports).
     """
     u = u_re + 1j * u_im
-    x = jnp.cos(theta)
-    logch = jnp.log(jnp.cos(theta / 2))
-    logsh = jnp.log(jnp.sin(theta / 2))
     nm = lmax + 1
     nm_pad = sht._mmax_pad(lmax, sht.DEFAULT_M_CHUNK)
     m = jnp.arange(nm_pad)

@@ -412,10 +412,15 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, lpad - (lmax + 1)), (0, 0)))
     planes = planes.reshape(B * 2, lpad, nm_pad)
 
-    mm = jnp.arange(nm_pad, dtype=jnp.float32)
+    # seed coefficients on the host: XLA's TPU f32 lgamma loses ~1e-3
+    # absolute at arguments ~100, which corrupts the seed magnitudes
+    # (nm_pad is static, so this folds to a constant at trace time)
+    from scipy.special import gammaln
+
+    mm = np.arange(nm_pad)
     logc = (
-        0.5 * (jax.lax.lgamma(2.0 * mm + 1.0) - 2.0 * jax.lax.lgamma(mm + 1.0))
-    ).astype(jnp.float32)[None, :]
+        0.5 * (gammaln(2.0 * mm + 1.0) - 2.0 * gammaln(mm + 1.0))
+    ).astype(np.float32)[None, :]
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logchsh = jnp.pad((logch + logsh).astype(jnp.float32), (0, pad),
                       constant_values=-1e4)[:, None]
@@ -672,10 +677,15 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
 
     Fe2 = prep(Fe)
     Fo2 = prep(Fo)
-    mm = jnp.arange(nm_pad, dtype=jnp.float32)
+    # seed coefficients on the host: XLA's TPU f32 lgamma loses ~1e-3
+    # absolute at arguments ~100, which corrupts the seed magnitudes
+    # (nm_pad is static, so this folds to a constant at trace time)
+    from scipy.special import gammaln
+
+    mm = np.arange(nm_pad)
     logc = (
-        0.5 * (jax.lax.lgamma(2.0 * mm + 1.0) - 2.0 * jax.lax.lgamma(mm + 1.0))
-    ).astype(jnp.float32)[None, :]
+        0.5 * (gammaln(2.0 * mm + 1.0) - 2.0 * gammaln(mm + 1.0))
+    ).astype(np.float32)[None, :]
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logchsh = (logch + logsh).astype(jnp.float32)
     # padded rows: benign geometry (theta = pi/2 -> log terms 0? no:

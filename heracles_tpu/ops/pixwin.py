@@ -55,8 +55,13 @@ def find_cached(nside, lmax, pol):
     """
     import glob
 
+    packaged = os.path.join(os.path.dirname(__file__), "..", "data")
     try:
-        paths = glob.glob(os.path.join(_cache_dir(), f"pixwin_{int(nside)}_*.npy"))
+        paths = glob.glob(
+            os.path.join(packaged, f"pixwin_{int(nside)}_*.npy")
+        ) + glob.glob(
+            os.path.join(_cache_dir(), f"pixwin_{int(nside)}_*.npy")
+        )
     except OSError:
         return None
     for path in sorted(paths):

@@ -34,6 +34,15 @@ from . import ringfft, wigner
 
 logger = logging.getLogger(__name__)
 
+
+def _use_pallas():
+    """Pallas kernels are auto-selected on TPU; HERACLES_TPU_NO_PALLAS=1
+    forces the jnp scan fallbacks (debugging / numerics comparison)."""
+    return (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("HERACLES_TPU_NO_PALLAS")
+    )
+
 __all__ = [
     "alm_size",
     "pack_alm",
@@ -118,17 +127,29 @@ def ring_weights(nside, lmax_w=None):
     nside = int(nside)
     if lmax_w is None:
         lmax_w = 3 * nside
-    # disk cache: the host lstsq takes minutes at nside >= 4096
+    # disk cache: the host lstsq takes minutes at nside >= 4096.  Two
+    # locations are tried: the user cache dir (written here) and the
+    # tables packaged with the library (heracles_tpu/data/, read-only).
     cache_dir = os.environ.get("HERACLES_TPU_CACHE", "/tmp/heracles_tpu_cache")
+    name = f"ringweights_{nside}_{lmax_w}.npy"
+    packaged = os.path.join(os.path.dirname(__file__), "..", "data", name)
+    if os.path.exists(packaged):
+        return np.load(packaged)
     cache = None
     if nside >= 256:
         try:
             os.makedirs(cache_dir, exist_ok=True)
-            cache = os.path.join(cache_dir, f"ringweights_{nside}_{lmax_w}.npy")
+            cache = os.path.join(cache_dir, name)
             if os.path.exists(cache):
                 return np.load(cache)
         except OSError:
             cache = None
+    if nside >= 1024:
+        logger.info(
+            "solving ring quadrature weights for nside=%d (one-time, "
+            "several minutes at nside>=4096; cached to %s)",
+            nside, cache or "<memory>",
+        )
     g = ring_geometry(nside)
     z = g["z"]
     nph = g["npix"].astype(np.float64)
@@ -213,7 +234,7 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
         not cross
         and abs(int(ns[0])) == 0
         and Fw[0].dtype == jnp.complex64
-        and jax.default_backend() == "tpu"
+        and _use_pallas()
     ):
         from . import pallas_sht
 
@@ -234,7 +255,7 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
     if (
         cross
         and Fw[0].dtype == jnp.complex64
-        and jax.default_backend() == "tpu"
+        and _use_pallas()
     ):
         from . import pallas_sht
 
@@ -276,9 +297,33 @@ def _analysis_rect_points(Fw, x, logch, logsh, lmax, ns, m_chunk):
 
     Used by the discrete (pixel-free) mapper, where the "rings" are
     individual catalogue points at arbitrary colatitudes.
+
+    TPU fast paths: the folded Pallas kernels compute the unfolded
+    contraction when fed degenerate inputs — the spin-0 kernel contracts
+    Fe on even l and Fo on odd l, so Fe = Fo = F yields the plain
+    sum over points; the pair kernel with zero southern rows reduces to
+    the two independent +-s columns.
     """
     nm_pad = Fw[0].shape[-1]
     nspin = len(ns)
+
+    if (
+        Fw[0].dtype == jnp.complex64
+        and _use_pallas()
+    ):
+        from . import pallas_sht
+
+        if nspin == 1 and abs(int(ns[0])) == 0:
+            alm = pallas_sht.analysis_spin0_folded(
+                Fw[0], Fw[0], x, logch, logsh, lmax, m_chunk=m_chunk
+            )
+            return (alm,)
+        if nspin == 2:
+            zero = jnp.zeros_like(Fw[0])
+            return pallas_sht.analysis_pair_folded(
+                Fw[0], zero, Fw[1], zero, x, logch, logsh, lmax,
+                abs(int(ns[0])), m_chunk=m_chunk,
+            )
 
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
@@ -315,7 +360,7 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside):
         not cross
         and abs(int(ns[0])) == 0
         and alms[0].dtype == jnp.complex64
-        and jax.default_backend() == "tpu"
+        and _use_pallas()
     ):
         from . import pallas_sht
 
@@ -329,7 +374,7 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside):
     if (
         cross
         and alms[0].dtype == jnp.complex64
-        and jax.default_backend() == "tpu"
+        and _use_pallas()
     ):
         from . import pallas_sht
 

@@ -143,6 +143,59 @@ def test_pallas_batched_analysis_matches_unbatched():
         np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-6)
 
 
+def test_pallas_points_degenerate_inputs():
+    """Fe = Fo = F (and zero southern rows) = the unfolded point scan."""
+    from heracles_tpu.ops.pallas_sht import analysis_pair_folded
+
+    lmax, spin, npts = 24, 2, 48
+    rng = np.random.default_rng(21)
+    nm_pad = 128
+    theta = np.arccos(rng.uniform(-1, 1, size=npts)).astype(np.float32)
+    x = jnp.asarray(np.cos(theta))
+    logch = jnp.asarray(np.log(np.cos(theta / 2)).astype(np.float32))
+    logsh = jnp.asarray(np.log(np.sin(theta / 2)).astype(np.float32))
+
+    def rand():
+        return (rng.normal(size=(npts, nm_pad))
+                + 1j * rng.normal(size=(npts, nm_pad))).astype(np.complex64)
+
+    ms = jnp.arange(nm_pad, dtype=jnp.int32)
+
+    # spin 0: Fe = Fo = F
+    F = rand()
+    got = np.asarray(analysis_spin0_folded(
+        jnp.asarray(F), jnp.asarray(F), x, logch, logsh, lmax,
+        ring_block=16, interpret=True,
+    ))
+    want = np.asarray(wigner.lambda_analysis_scan(
+        ms, jnp.zeros(nm_pad, jnp.int32), x, logch, logsh, lmax,
+        jnp.asarray(F),
+    ))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=2e-4)
+
+    # spin pair: zero southern rows decouple the +-s columns
+    Fp, Fm = rand(), rand()
+    zero = jnp.zeros_like(jnp.asarray(Fp))
+    ap, am = analysis_pair_folded(
+        jnp.asarray(Fp), zero, jnp.asarray(Fm), zero, x, logch, logsh,
+        lmax, spin, ring_block=16, interpret=True,
+    )
+    ms2 = jnp.tile(ms, 2)
+    ns2 = jnp.repeat(jnp.asarray([spin, -spin], jnp.int32), nm_pad)
+    want2 = np.asarray(wigner.lambda_analysis_scan(
+        ms2, ns2, x, logch, logsh, lmax,
+        jnp.concatenate([jnp.asarray(Fp), jnp.asarray(Fm)], axis=-1),
+    ))
+    scale2 = np.abs(want2).max()
+    np.testing.assert_allclose(
+        np.asarray(ap), want2[:, :nm_pad], atol=3e-5 * scale2, rtol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(am), want2[:, nm_pad:], atol=3e-5 * scale2, rtol=3e-4
+    )
+
+
 def test_pallas_pair_synthesis_matches_jnp_cross():
     """The spin-pair synthesis kernel vs the jnp cross scan (batched)."""
     from heracles_tpu.ops.pallas_sht import synthesis_pair_folded

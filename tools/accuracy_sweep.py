@@ -1,0 +1,197 @@
+"""CPU-f64 vs f32 SHT accuracy sweep — the float32 error budget.
+
+The reference pipeline is float64 end-to-end (ducc epsilon 1e-12,
+reference heracles/ducc.py:108-115); the TPU engine runs float32.  This
+tool quantifies what that costs, per size:
+
+* draw random band-limited alms (f64, reality conditions enforced);
+* synthesize the map in f64 on the host CPU — the "truth" map;
+* analyse it back in f64 (CPU) -> the engine's f64 floor;
+* analyse the same map in f32 (TPU when available, else CPU f32);
+* report max/rms relative alm error and the relative Cl error vs l
+  (Cl = per-l mean over m, so random alm errors average down by
+  ~1/sqrt(2l+1)).
+
+Each stage runs in its own subprocess (the jax platform is fixed at
+init), sharing arrays via .npz files in $HERACLES_TPU_CACHE.  Results
+accumulate in tools/accuracy_sweep.json; the STATUS.md table is
+generated from it with --table.
+
+Usage:
+    python tools/accuracy_sweep.py --nside 512 [--spin 2]
+    python tools/accuracy_sweep.py --table
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+RESULTS = os.path.join(HERE, "accuracy_sweep.json")
+CACHE = os.environ.get("HERACLES_TPU_CACHE", "/tmp/heracles_tpu_cache")
+
+
+def _alm_key(nside, lmax, spin):
+    return f"n{nside}_l{lmax}_s{spin}"
+
+
+def _make_alms(lmax, spin, seed=0):
+    sys.path.insert(0, REPO)
+    from heracles_tpu.ops import sht
+
+    rng = np.random.default_rng(seed)
+    nlm = sht.alm_size(lmax)
+    shape = (2, nlm) if spin else (nlm,)
+    # unit-variance alms ~ flat Cl; reality condition on m = 0
+    alm = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    ls, ms = sht._pack_index(lmax, lmax)
+    alm[..., ms == 0] = alm[..., ms == 0].real
+    if spin:
+        alm[..., ls < spin] = 0
+    return alm
+
+
+def _stage_synth(nside, lmax, spin, path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    sys.path.insert(0, REPO)
+    from heracles_tpu.ops import sht
+
+    alm = _make_alms(lmax, spin, seed=nside)
+    maps = np.asarray(sht.alm2map(alm, nside, lmax=lmax, spin=spin))
+    np.savez(path, alm=alm, maps=maps)
+    print(f"synth f64 done: {maps.shape}")
+
+
+def _stage_analyse(path, out, lmax, spin, dtype):
+    import jax
+
+    if dtype == "f64":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    sys.path.insert(0, REPO)
+    import jax.numpy as jnp  # noqa: F401  (after platform pinning)
+
+    from heracles_tpu.ops import sht
+
+    maps = np.load(path)["maps"]
+    if dtype == "f32":
+        maps = maps.astype(np.float32)
+    back = sht.map2alm_host(maps, lmax=lmax, spin=spin)
+    np.savez(out, back=back)
+    print(f"analyse {dtype} done on {jax.default_backend()}")
+
+
+def _cl_of(alm, lmax):
+    sys.path.insert(0, REPO)
+    from heracles_tpu.ops import sht
+
+    rect = sht.unpack_alm(np.asarray(alm), lmax)
+    m = np.arange(lmax + 1)
+    eps = np.where(m == 0, 1.0, 2.0)
+    p = (rect.real**2 + rect.imag**2) * eps
+    return p.sum(axis=-1) / (2 * np.arange(lmax + 1) + 1)
+
+
+def _band_max(rel, lmax, nbands=6):
+    edges = np.unique(np.geomspace(2, lmax + 1, nbands + 1).astype(int))
+    ells = np.arange(rel.shape[-1])
+    out = {}
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        sel = (ells >= lo) & (ells < hi)
+        out[f"{lo}-{hi - 1}"] = float(np.nanmax(rel[..., sel]))
+    return out
+
+
+def run(nside, spin):
+    lmax = 3 * nside // 2
+    key = _alm_key(nside, lmax, spin)
+    os.makedirs(CACHE, exist_ok=True)
+    base = os.path.join(CACHE, f"acc_{key}")
+    env = dict(os.environ)
+
+    def sub(args):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
+                           env=env, cwd=REPO)
+        if r.returncode:
+            raise RuntimeError(f"stage {args} failed")
+
+    if not os.path.exists(base + ".npz"):
+        sub(["--stage", "synth", "--nside", str(nside), "--spin", str(spin),
+             "--path", base + ".npz"])
+    for dt in ("f64", "f32"):
+        if not os.path.exists(f"{base}_{dt}.npz"):
+            sub(["--stage", "analyse", "--path", base + ".npz",
+                 "--out", f"{base}_{dt}.npz", "--lmax", str(lmax),
+                 "--spin", str(spin), "--dtype", dt])
+
+    truth = np.load(base + ".npz")["alm"]
+    b64 = np.load(f"{base}_f64.npz")["back"]
+    b32 = np.load(f"{base}_f32.npz")["back"]
+    scale = np.abs(truth).max()
+
+    cl_t = _cl_of(truth, lmax)
+    rec = {"nside": nside, "lmax": lmax, "spin": spin}
+    for name, back in (("f64", b64), ("f32", b32)):
+        err = np.abs(back - truth)
+        rel_cl = np.abs(_cl_of(back, lmax) - cl_t) / np.where(cl_t > 0, cl_t, 1)
+        rec[name] = {
+            "alm_max_rel": float(err.max() / scale),
+            "alm_rms_rel": float(np.sqrt((err**2).mean()) / scale),
+            "cl_max_rel": float(np.nanmax(rel_cl[..., 2:])),
+            "cl_band_max_rel": _band_max(rel_cl, lmax),
+        }
+
+    results = {}
+    if os.path.exists(RESULTS):
+        results = json.load(open(RESULTS))
+    results[key] = rec
+    json.dump(results, open(RESULTS, "w"), indent=1, sort_keys=True)
+    print(json.dumps(rec, indent=1))
+
+
+def table():
+    results = json.load(open(RESULTS))
+    print("| nside | lmax | spin | alm max rel (f32) | Cl max rel (f32) "
+          "| Cl max rel (f64 floor) |")
+    print("|---|---|---|---|---|---|")
+    for key in sorted(results):
+        r = results[key]
+        print(
+            f"| {r['nside']} | {r['lmax']} | {r['spin']} "
+            f"| {r['f32']['alm_max_rel']:.2e} "
+            f"| {r['f32']['cl_max_rel']:.2e} "
+            f"| {r['f64']['cl_max_rel']:.2e} |"
+        )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nside", type=int)
+    ap.add_argument("--spin", type=int, default=0)
+    ap.add_argument("--table", action="store_true")
+    ap.add_argument("--stage", choices=["synth", "analyse"])
+    ap.add_argument("--path")
+    ap.add_argument("--out")
+    ap.add_argument("--lmax", type=int)
+    ap.add_argument("--dtype", choices=["f32", "f64"])
+    args = ap.parse_args()
+    if args.stage == "synth":
+        _stage_synth(args.nside, 3 * args.nside // 2, args.spin, args.path)
+    elif args.stage == "analyse":
+        _stage_analyse(args.path, args.out, args.lmax, args.spin, args.dtype)
+    elif args.table:
+        table()
+    else:
+        run(args.nside, args.spin)
+
+
+if __name__ == "__main__":
+    main()
