@@ -113,7 +113,7 @@ def build_discrete(lmax, npts):
 
     rng = np.random.default_rng(3)
     theta = np.arccos(rng.uniform(-1, 1, size=npts))
-    x, logch, logsh = (
+    geom = tuple(
         jax.device_put(a) for a in _point_geometry(theta, np.float32)
     )
     phi = jax.device_put(
@@ -121,7 +121,7 @@ def build_discrete(lmax, npts):
     )
     values = jax.device_put(rng.normal(size=(1, npts)).astype(np.float32))
     return lambda: float(
-        jnp.sum(jnp.abs(_adjoint_spin0(x, logch, logsh, phi, values, lmax)))
+        jnp.sum(jnp.abs(_adjoint_spin0(*geom, phi, values, lmax)))
     )
 
 

@@ -287,18 +287,28 @@ class DiscreteMapper:
 
 
 def _point_geometry(theta, fdt):
-    """(x, logch, logsh) of point colatitudes, host f64, pole-clamped."""
+    """(x, logch, logsh, logch_lo, logsh_lo) of point colatitudes.
+
+    Host f64, pole-clamped; the *_lo residuals feed the Pallas kernels'
+    compensated seed evaluation (the seed exponents multiply the logs by
+    the harmonic order m, amplifying any f32 rounding).
+    """
     th = np.asarray(theta, dtype=np.float64)
     x = np.cos(th)
     with np.errstate(divide="ignore"):
         logch = np.maximum(np.log(np.abs(np.cos(th / 2))), -1e4)
         logsh = np.maximum(np.log(np.abs(np.sin(th / 2))), -1e4)
+    hi_ch = logch.astype(np.float32)
+    hi_sh = logsh.astype(np.float32)
+    lo_ch = (logch - hi_ch.astype(np.float64)).astype(np.float32)
+    lo_sh = (logsh - hi_sh.astype(np.float64)).astype(np.float32)
     return (jnp.asarray(x.astype(fdt)), jnp.asarray(logch.astype(fdt)),
-            jnp.asarray(logsh.astype(fdt)))
+            jnp.asarray(logsh.astype(fdt)), jnp.asarray(lo_ch),
+            jnp.asarray(lo_sh))
 
 
 @functools.partial(jax.jit, static_argnames=("lmax",))
-def _adjoint_spin0(x, logch, logsh, phi, values, lmax):
+def _adjoint_spin0(x, logch, logsh, logch_lo, logsh_lo, phi, values, lmax):
     """a_lm = sum_p v_p conj(Ylm(p)) for real spin-0 point values.
 
     Point geometry (``x = cos(theta)`` and the half-angle logs) is
@@ -312,14 +322,16 @@ def _adjoint_spin0(x, logch, logsh, phi, values, lmax):
     # F[p, m] = v_p e^{-im phi_p}: the "ring FFT" of a single point
     F = values[..., :, None] * jnp.exp(-1j * m * phi.dtype.type(1.0) * phi[:, None])
     (alm,) = sht._analysis_rect_points(
-        (F,), x, logch, logsh, lmax, (0,), sht.DEFAULT_M_CHUNK
+        (F,), x, logch, logsh, lmax, (0,), sht.DEFAULT_M_CHUNK,
+        geom_lo=(logch_lo, logsh_lo),
     )
     packed = sht.pack_alm(alm[..., :nm], lmax, lmax)
     return jnp.stack([packed.real, packed.imag])
 
 
 @functools.partial(jax.jit, static_argnames=("lmax", "spin"))
-def _adjoint_spin(x, logch, logsh, phi, u_re, u_im, lmax, spin):
+def _adjoint_spin(x, logch, logsh, logch_lo, logsh_lo, phi, u_re, u_im,
+                  lmax, spin):
     """(E, B) alms from complex spin-s point values u = v1 + i v2.
 
     Point geometry precomputed on the host (see :func:`_point_geometry`).
@@ -335,7 +347,7 @@ def _adjoint_spin(x, logch, logsh, phi, u_re, u_im, lmax, spin):
     Fc = jnp.conj(u)[..., :, None] * phase
     a_p, a_m = sht._analysis_rect_points(
         (F, Fc), x, logch, logsh, lmax, (spin, -spin),
-        sht.DEFAULT_M_CHUNK,
+        sht.DEFAULT_M_CHUNK, geom_lo=(logch_lo, logsh_lo),
     )
     alm_e = -(a_p[..., :nm] + a_m[..., :nm]) / 2
     alm_b = 1j * (a_p[..., :nm] - a_m[..., :nm]) / 2

@@ -103,6 +103,57 @@ def _advance_pair(carry, ell, m, s2, mn, x, j0, seed_mant, seed_k):
     return (d_prev_new, d_new, k_new), d_new * emit * norm
 
 
+def _two_sum(a, b):
+    """Knuth two-sum: s + err == a + b exactly (f32)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split_hi(a):
+    """Dekker 12-bit split: a == hi + lo with hi*hi products exact."""
+    t = a * 4097.0
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Dekker two-product: p + err == a * b exactly (f32, FMA-free)."""
+    p = a * b
+    a1, a2 = _split_hi(a)
+    b1, b2 = _split_hi(b)
+    err = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, err
+
+
+def _comp_seed_frac(lc_hi, lc_lo, terms):
+    """Compensated scaled-seed exponent from logval = lc + sum c_i*g_i.
+
+    The seed log-magnitudes are O(m) large and cancel almost completely
+    at the rings where the seed matters, so plain f32 evaluation loses
+    ~ulp(m * ln 4) ~ 2^-12 absolute at m ~ 3000 — a ~5e-4 relative seed
+    error.  Carrying every big quantity as an (hi, lo) float pair keeps
+    the *difference* accurate to ~f32 eps.
+
+    ``terms``: sequence of (c, g_hi, g_lo) with c an integer-valued f32
+    (exactly representable).  Returns (frac, k0) such that the seed is
+    sign * 2^(frac * SCALE_LOG2) * 2^(SCALE_LOG2 * k0).
+    """
+    s = lc_hi
+    lo = lc_lo
+    for c, g_hi, g_lo in terms:
+        p, pe = _two_prod(c, g_hi)
+        s, se = _two_sum(s, p)
+        lo = lo + (pe + se + c * g_lo)
+    inv = 1.0 / (_LN2 * _SCALE_LOG2)
+    ls, le = _two_prod(s, inv)
+    ls_lo = le + lo * inv
+    k0 = jnp.floor(ls + ls_lo)
+    frac = (ls - k0) + ls_lo
+    return frac, k0
+
+
 def _flatten_batch(arrays, core_ndim=2):
     """Flatten leading dims of each array to one batch axis; return meta."""
     batch = arrays[0].shape[:-core_ndim]
@@ -113,7 +164,7 @@ def _flatten_batch(arrays, core_ndim=2):
     return B, batch, flats
 
 
-def _kernel(x_ref, logchsh_ref, logc_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
+def _kernel(x_ref, logsum_ref, logc_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
             m_chunk, ring_block):
     """Grid: (B, n_mchunks, n_ringblocks); ring blocks accumulate into out."""
     i = pl.program_id(1)
@@ -127,16 +178,18 @@ def _kernel(x_ref, logchsh_ref, logc_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     mi = i * m_chunk + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1)
     m = mi.astype(jnp.float32)
     x = x_ref[...]  # (ring_block, 1) cos(theta)
-    logsum = logchsh_ref[...]  # (ring_block, 1) log(cos t/2) + log(sin t/2)
+    # (ring_block, 2): hi/lo pair of log(cos t/2) + log(sin t/2)
+    logsum_hi = logsum_ref[:, 0:1]
+    logsum_lo = logsum_ref[:, 1:2]
 
     # seed: slm includes a (-1)^m factor on the positive Wigner seed
     # d^m_{-m,0} = C (cos sin)^m (t/2); log C precomputed on the host
-    # (lgamma has no Pallas TPU lowering)
+    # (lgamma has no Pallas TPU lowering), compensated hi/lo evaluation
     msign = jnp.where(mi % 2 == 0, 1.0, -1.0)
-    logval = logc_ref[...] + m * logsum
-    ls = logval / (_LN2 * _SCALE_LOG2)
-    k0 = jnp.floor(ls)
-    seed_mant = msign * jnp.exp2((ls - k0) * _SCALE_LOG2)
+    frac, k0 = _comp_seed_frac(
+        logc_ref[0], logc_ref[1], [(m, logsum_hi, logsum_lo)]
+    )
+    seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
     Fe_re = Fe_ref[0]
     Fe_im = Fe_ref[1]
@@ -183,18 +236,21 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     x = x_ref[...]  # (ring_block, 1)
-    logch = logch_ref[...]
-    logsh = logsh_ref[...]
-    # seed_ref: (6, 1, m_chunk): [logc_p, sign_p, logc_m, sign_m, j0, m]
-    m = seed_ref[5]
-    j0 = seed_ref[4]
+    # (ring_block, 2) hi/lo pairs of log(cos t/2), log(sin t/2)
+    logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
+    logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
+    # seed_ref: (8, 1, m_chunk):
+    # [logc_p_hi, logc_p_lo, sign_p, logc_m_hi, logc_m_lo, sign_m, j0, m]
+    m = seed_ref[7]
+    j0 = seed_ref[6]
     s2 = float(spin * spin)
 
-    def seed_vals(logc, sign, pc, ps):
-        logval = logc + pc * logch + ps * logsh
-        ls = logval / (_LN2 * _SCALE_LOG2)
-        k0 = jnp.floor(ls)
-        return sign * jnp.exp2((ls - k0) * _SCALE_LOG2), k0
+    def seed_vals(lc_hi, lc_lo, sign, pc, ps):
+        frac, k0 = _comp_seed_frac(
+            lc_hi, lc_lo,
+            [(pc, logch[0], logch[1]), (ps, logsh[0], logsh[1])],
+        )
+        return sign * jnp.exp2(frac * _SCALE_LOG2), k0
 
     # exponent pairs: (m', n') = (-m, -n) with pc = |m'+n'|, ps = |m'-n'|;
     # branch p: n = +s -> pc = m+s, ps = |m-s|; branch m mirrored
@@ -202,8 +258,8 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     ps_p = jnp.abs(m - float(spin))
     pc_m = jnp.abs(m - float(spin))
     ps_m = m + float(spin)
-    seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], pc_p, ps_p)
-    seed_m, k0_m = seed_vals(seed_ref[2], seed_ref[3], pc_m, ps_m)
+    seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], seed_ref[2], pc_p, ps_p)
+    seed_m, k0_m = seed_vals(seed_ref[3], seed_ref[4], seed_ref[5], pc_m, ps_m)
     # recurrence middle term uses m'*n' = (-m)(-n) = m*n; branch p (the
     # a_{+s} column) has n = +s, branch m has n = -s
     mn_p = m * float(spin)
@@ -245,19 +301,41 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
 
 
 def _pair_seed_planes(nm_pad, spin):
-    """Host seed-constant planes (6, 1, nm_pad) for the pair kernels."""
+    """Host seed-constant planes (8, 1, nm_pad) for the pair kernels.
+
+    The seed log-coefficients are computed in f64 and shipped as (hi,
+    lo) f32 pairs for the compensated seed evaluation.
+    """
     mm = np.arange(nm_pad)
     _, sgp, logcp = _seed_consts(mm, spin)
     _, sgm, logcm = _seed_consts(mm, -spin)
     msign = np.where(mm % 2 == 0, 1.0, -1.0)
+
+    def split(a):
+        hi = a.astype(np.float32).astype(np.float64)
+        return hi, a - hi
+
+    cp_hi, cp_lo = split(logcp)
+    cm_hi, cm_lo = split(logcm)
     return np.stack([
-        logcp,
+        cp_hi,
+        cp_lo,
         sgp * msign,
-        logcm,
+        cm_hi,
+        cm_lo,
         sgm * msign,
         np.maximum(mm, abs(spin)).astype(np.float64),
         mm.astype(np.float64),
     ]).astype(np.float32)[:, None, :]
+
+
+def _vec_pair(hi, lo, pad):
+    """(nr_pad, 2) hi/lo column pair of a per-ring log vector."""
+    if lo is None:
+        lo = jnp.zeros_like(hi)
+    hi = jnp.pad(hi.astype(jnp.float32), (0, pad), constant_values=-1e4)
+    lo = jnp.pad(lo.astype(jnp.float32), (0, pad))
+    return jnp.stack([hi, lo], axis=-1)
 
 
 @functools.partial(
@@ -265,13 +343,16 @@ def _pair_seed_planes(nm_pad, spin):
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "interpret"),
 )
 def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
-                         m_chunk=128, ring_block=None, interpret=False):
+                         logch_lo=None, logsh_lo=None, m_chunk=128,
+                         ring_block=None, interpret=False):
     """Folded spin-pair analysis on the Pallas kernel.
 
     Inputs as built by the jnp cross path: FN* northern rows per branch,
     S* the partner-paired (-1)^m-signed southern rows, each with optional
-    leading batch dims (..., nhalf, nm_pad).  Returns (alm_p, alm_m)
-    rectangular (..., lmax+1, nm_pad) complex64.
+    leading batch dims (..., nhalf, nm_pad).  ``logch_lo``/``logsh_lo``
+    are the optional f32 residuals of the f64 ring geometry (compensated
+    seed path).  Returns (alm_p, alm_m) rectangular (..., lmax+1,
+    nm_pad) complex64.
     """
     B, batch, (FNp, Sp, FNm, Sm) = _flatten_batch((FNp, Sp, FNm, Sm))
     nhalf, nm_pad = FNp.shape[-2:]
@@ -297,13 +378,13 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     n_rblocks = nr_pad // ring_block
 
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
-    logchp = jnp.pad(logch.astype(jnp.float32), (0, pad),
-                     constant_values=-1e4)[:, None]
-    logshp = jnp.pad(logsh.astype(jnp.float32), (0, pad),
-                     constant_values=-1e4)[:, None]
+    logchp = _vec_pair(logch, logch_lo, pad)
+    logshp = _vec_pair(logsh, logsh_lo, pad)
 
     vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                             memory_space=pltpu.VMEM)
+    pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
+                             memory_space=pltpu.VMEM)
     F_spec = pl.BlockSpec((2, ring_block, m_chunk), lambda b, i, j: (b, j, i),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -313,8 +394,8 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
         ),
         grid=(B, n_mchunks, n_rblocks),
         in_specs=[
-            vec_spec, vec_spec, vec_spec,
-            pl.BlockSpec((6, 1, m_chunk), lambda b, i, j: (0, 0, i),
+            vec_spec, pair_spec, pair_spec,
+            pl.BlockSpec((8, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             F_spec, F_spec, F_spec, F_spec,
         ],
@@ -335,7 +416,7 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     return alm_p.reshape(shape), alm_m.reshape(shape)
 
 
-def _synth_kernel(x_ref, logchsh_ref, logc_ref, alm_ref, out_ref, *, lmax,
+def _synth_kernel(x_ref, logsum_ref, logc_ref, alm_ref, out_ref, *, lmax,
                   m_chunk, ring_block):
     """Folded spin-0 synthesis: G accumulates in VMEM, written once.
 
@@ -347,13 +428,13 @@ def _synth_kernel(x_ref, logchsh_ref, logc_ref, alm_ref, out_ref, *, lmax,
           + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1))
     m = mi.astype(jnp.float32)
     x = x_ref[...]
-    logsum = logchsh_ref[...]
     msign = jnp.where(mi % 2 == 0, 1.0, -1.0).astype(jnp.float32)
 
-    logval = logc_ref[...] + m * logsum
-    ls = logval / (_LN2 * _SCALE_LOG2)
-    k0 = jnp.floor(ls)
-    seed_mant = msign * jnp.exp2((ls - k0) * _SCALE_LOG2)
+    frac, k0 = _comp_seed_frac(
+        logc_ref[0], logc_ref[1],
+        [(m, logsum_ref[:, 0:1], logsum_ref[:, 1:2])],
+    )
+    seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
     def body(blk, carry):
         state, GNr, GNi, Sr, Si = carry
@@ -388,8 +469,9 @@ def _synth_kernel(x_ref, logchsh_ref, logc_ref, alm_ref, out_ref, *, lmax,
     jax.jit,
     static_argnames=("lmax", "m_chunk", "ring_block", "interpret"),
 )
-def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
-                           ring_block=None, interpret=False):
+def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
+                           logsh_lo=None, m_chunk=128, ring_block=None,
+                           interpret=False):
     """Folded spin-0 synthesis: rectangular alm -> (GN, GS) ring spectra.
 
     ``alm``: (..., lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
@@ -412,18 +494,9 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, lpad - (lmax + 1)), (0, 0)))
     planes = planes.reshape(B * 2, lpad, nm_pad)
 
-    # seed coefficients on the host: XLA's TPU f32 lgamma loses ~1e-3
-    # absolute at arguments ~100, which corrupts the seed magnitudes
-    # (nm_pad is static, so this folds to a constant at trace time)
-    from scipy.special import gammaln
-
-    mm = np.arange(nm_pad)
-    logc = (
-        0.5 * (gammaln(2.0 * mm + 1.0) - 2.0 * gammaln(mm + 1.0))
-    ).astype(np.float32)[None, :]
+    logc = _logc_spin0(nm_pad)
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
-    logchsh = jnp.pad((logch + logsh).astype(jnp.float32), (0, pad),
-                      constant_values=-1e4)[:, None]
+    logsum = _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad)
 
     n_mchunks = nm_pad // m_chunk
     n_rblocks = nr_pad // ring_block
@@ -436,9 +509,9 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
         in_specs=[
             pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
+            pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_chunk), lambda b, i, j: (0, i),
+            pl.BlockSpec((2, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, lpad, m_chunk), lambda b, i, j: (b, 0, i),
                          memory_space=pltpu.VMEM),
@@ -452,7 +525,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, m_chunk=128,
             dimension_semantics=_SEMANTICS,
         ),
         interpret=interpret,
-    )(xp, logchsh, logc, planes)
+    )(xp, logsum, jnp.asarray(logc), planes)
 
     out = out.reshape((B, 4, nr_pad, nm_pad))[:, :, :nhalf]
     GN = (out[:, 0] + 1j * out[:, 1]).astype(jnp.complex64)
@@ -477,22 +550,25 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
           + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1))
     msign = jnp.where(mi % 2 == 0, 1.0, -1.0).astype(jnp.float32)
     x = x_ref[...]
-    logch = logch_ref[...]
-    logsh = logsh_ref[...]
-    m = seed_ref[5]
-    j0 = seed_ref[4]
+    logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
+    logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
+    m = seed_ref[7]
+    j0 = seed_ref[6]
     s2 = float(spin * spin)
 
-    def seed_vals(logc, sign, pc, ps):
-        logval = logc + pc * logch + ps * logsh
-        ls = logval / (_LN2 * _SCALE_LOG2)
-        k0 = jnp.floor(ls)
-        return sign * jnp.exp2((ls - k0) * _SCALE_LOG2), k0
+    def seed_vals(lc_hi, lc_lo, sign, pc, ps):
+        frac, k0 = _comp_seed_frac(
+            lc_hi, lc_lo,
+            [(pc, logch[0], logch[1]), (ps, logsh[0], logsh[1])],
+        )
+        return sign * jnp.exp2(frac * _SCALE_LOG2), k0
 
     pc_p = m + float(spin)
     ps_p = jnp.abs(m - float(spin))
-    seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], pc_p, ps_p)
-    seed_m, k0_m = seed_vals(seed_ref[2], seed_ref[3], ps_p, pc_p)
+    seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], seed_ref[2],
+                             pc_p, ps_p)
+    seed_m, k0_m = seed_vals(seed_ref[3], seed_ref[4], seed_ref[5],
+                             ps_p, pc_p)
     mn_p = m * float(spin)
     mn_m = m * float(-spin)
 
@@ -548,7 +624,8 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "interpret"),
 )
 def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
-                          m_chunk=128, ring_block=None, interpret=False):
+                          logch_lo=None, logsh_lo=None, m_chunk=128,
+                          ring_block=None, interpret=False):
     """Folded spin-pair synthesis on the Pallas kernel.
 
     ``alm_p``/``alm_m``: rectangular (..., lmax+1, nm_pad) complex alms
@@ -580,16 +657,16 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     seed = _pair_seed_planes(nm_pad, spin)
 
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
-    logchp = jnp.pad(logch.astype(jnp.float32), (0, pad),
-                     constant_values=-1e4)[:, None]
-    logshp = jnp.pad(logsh.astype(jnp.float32), (0, pad),
-                     constant_values=-1e4)[:, None]
+    logchp = _vec_pair(logch, logch_lo, pad)
+    logshp = _vec_pair(logsh, logsh_lo, pad)
 
     n_mchunks = nm_pad // m_chunk
     n_rblocks = nr_pad // ring_block
 
     vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                             memory_space=pltpu.VMEM)
+    pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
+                             memory_space=pltpu.VMEM)
     alm_spec = pl.BlockSpec((2, lpad, m_chunk), lambda b, i, j: (b, 0, i),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -599,8 +676,8 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
         ),
         grid=(B, n_mchunks, n_rblocks),
         in_specs=[
-            vec_spec, vec_spec, vec_spec,
-            pl.BlockSpec((6, 1, m_chunk), lambda b, i, j: (0, 0, i),
+            vec_spec, pair_spec, pair_spec,
+            pl.BlockSpec((8, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             alm_spec, alm_spec,
         ],
@@ -646,17 +723,50 @@ def _seed_consts(mm, n):
     return j0, sign, logC
 
 
+def _logc_spin0(nm_pad):
+    """Host hi/lo seed coefficients 0.5*(lgamma(2m+1) - 2 lgamma(m+1)).
+
+    Computed with scipy in f64 (XLA's TPU f32 lgamma loses ~1e-3
+    absolute at arguments ~100) and split into an (hi, lo) f32 pair so
+    the kernel's compensated seed evaluation keeps full f32 precision
+    even where logC ~ m*ln4 is thousands.
+    """
+    from scipy.special import gammaln
+
+    mm = np.arange(nm_pad)
+    logc64 = 0.5 * (gammaln(2.0 * mm + 1.0) - 2.0 * gammaln(mm + 1.0))
+    hi = logc64.astype(np.float32)
+    lo = (logc64 - hi).astype(np.float32)
+    return np.stack([hi, lo])[:, None, :]  # (2, 1, nm_pad)
+
+
+def _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad):
+    """(nr_pad, 2) hi/lo pair of logch + logsh, pad rows at -1e4."""
+    if logch_lo is None:
+        logch_lo = jnp.zeros_like(logch)
+    if logsh_lo is None:
+        logsh_lo = jnp.zeros_like(logsh)
+    s, e = _two_sum(logch.astype(jnp.float32), logsh.astype(jnp.float32))
+    lo = e + logch_lo.astype(jnp.float32) + logsh_lo.astype(jnp.float32)
+    s = jnp.pad(s, (0, pad), constant_values=-1e4)
+    lo = jnp.pad(lo, (0, pad))
+    return jnp.stack([s, lo], axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "m_chunk", "ring_block", "interpret"),
 )
-def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
-                          ring_block=None, interpret=False):
+def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
+                          logsh_lo=None, m_chunk=128, ring_block=None,
+                          interpret=False):
     """alm[l, m] = sum_r lam_{lm}(x_r) * F(e/o by l parity)[r, m].
 
     ``Fe``/``Fo``: (..., nhalf, nm_pad) complex64/128 parity-combined
     ring spectra (northern rings), with optional leading batch dims;
-    ``x``/``logch``/``logsh``: (nhalf,) ring geometry.
+    ``x``/``logch``/``logsh``: (nhalf,) ring geometry, with optional
+    ``logch_lo``/``logsh_lo`` f32 residuals of the f64 values (the
+    compensated seed path; pass them for full accuracy at high m).
     Returns (..., lmax+1, nm_pad) complex64.
     """
     B, batch, (Fe, Fo) = _flatten_batch((Fe, Fo))
@@ -677,20 +787,9 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
 
     Fe2 = prep(Fe)
     Fo2 = prep(Fo)
-    # seed coefficients on the host: XLA's TPU f32 lgamma loses ~1e-3
-    # absolute at arguments ~100, which corrupts the seed magnitudes
-    # (nm_pad is static, so this folds to a constant at trace time)
-    from scipy.special import gammaln
-
-    mm = np.arange(nm_pad)
-    logc = (
-        0.5 * (gammaln(2.0 * mm + 1.0) - 2.0 * gammaln(mm + 1.0))
-    ).astype(np.float32)[None, :]
+    logc = _logc_spin0(nm_pad)
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
-    logchsh = (logch + logsh).astype(jnp.float32)
-    # padded rows: benign geometry (theta = pi/2 -> log terms 0? no:
-    # keep the true pad value very negative so seeds underflow to 0)
-    logchsh = jnp.pad(logchsh, (0, pad), constant_values=-1e4)[:, None]
+    logsum = _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad)
 
     lpad = -(-(lmax + 1) // 8) * 8
     n_mchunks = nm_pad // m_chunk
@@ -706,9 +805,9 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
         in_specs=[
             pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
+            pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_chunk), lambda b, i, j: (0, i),
+            pl.BlockSpec((2, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             F_spec,
             F_spec,
@@ -720,7 +819,7 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, m_chunk=128,
             dimension_semantics=_SEMANTICS,
         ),
         interpret=interpret,
-    )(xp, logchsh, logc, Fe2, Fo2)
+    )(xp, logsum, jnp.asarray(logc), Fe2, Fo2)
 
     out = out.reshape((B, 2, lpad, nm_pad))[:, :, : lmax + 1]
     alm = (out[:, 0] + 1j * out[:, 1]).astype(jnp.complex64)

@@ -114,6 +114,22 @@ def _geom_arrays(nside, dtype_str):
 
 
 @functools.lru_cache(maxsize=32)
+def _geom_lo_arrays(nside):
+    """f32 residuals of the f64 ring half-angle logs (northern half).
+
+    Feed the Pallas kernels' compensated seed evaluation: the seed
+    exponents multiply these logs by the harmonic order m, so plain f32
+    geometry would cost ~ulp * m ~ 4e-4 relative seed error at m ~ 3000.
+    """
+    _, lch64, lsh64 = _geom_arrays(nside, "float64")
+    _, lch32, lsh32 = _geom_arrays(nside, "float32")
+    nhalf = 2 * nside
+    lo_ch = (lch64 - lch32.astype(np.float64)).astype(np.float32)
+    lo_sh = (lsh64 - lsh32.astype(np.float64)).astype(np.float32)
+    return lo_ch[:nhalf], lo_sh[:nhalf]
+
+
+@functools.lru_cache(maxsize=32)
 def ring_weights(nside, lmax_w=None):
     """Quadrature weights per pixel of each ring (numpy, float64).
 
@@ -208,7 +224,8 @@ def _fold_rings(F, nside):
     return FN, FS
 
 
-def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
+def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
+                   geom_lo=None):
     """Run the ring-pair-folded Wigner analysis scan over m-chunks.
 
     ``Fw``: tuple of (..., nr, nm_pad) complex arrays over *full* rings,
@@ -240,8 +257,10 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
 
         FN0, FS0raw = folded[0]
         FS0 = FS0raw * msign
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         alm = pallas_sht.analysis_spin0_folded(
-            FN0 + FS0, FN0 - FS0, x, logch, logsh, lmax, m_chunk=m_chunk
+            FN0 + FS0, FN0 - FS0, x, logch, logsh, lmax,
+            logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
         )
         return (alm,)
 
@@ -259,9 +278,11 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
     ):
         from . import pallas_sht
 
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         alm_p, alm_m = pallas_sht.analysis_pair_folded(
             FN[0], FS[1], FN[1], FS[0], x, logch, logsh, lmax,
-            abs(int(ns[0])), m_chunk=m_chunk,
+            abs(int(ns[0])), logch_lo=lo_ch, logsh_lo=lo_sh,
+            m_chunk=m_chunk,
         )
         return (alm_p, alm_m)
 
@@ -292,7 +313,8 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk):
     return tuple(outs)
 
 
-def _analysis_rect_points(Fw, x, logch, logsh, lmax, ns, m_chunk):
+def _analysis_rect_points(Fw, x, logch, logsh, lmax, ns, m_chunk,
+                          geom_lo=None):
     """Unfolded analysis over arbitrary points (no ring-pair symmetry).
 
     Used by the discrete (pixel-free) mapper, where the "rings" are
@@ -313,16 +335,19 @@ def _analysis_rect_points(Fw, x, logch, logsh, lmax, ns, m_chunk):
     ):
         from . import pallas_sht
 
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         if nspin == 1 and abs(int(ns[0])) == 0:
             alm = pallas_sht.analysis_spin0_folded(
-                Fw[0], Fw[0], x, logch, logsh, lmax, m_chunk=m_chunk
+                Fw[0], Fw[0], x, logch, logsh, lmax,
+                logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
             )
             return (alm,)
         if nspin == 2:
             zero = jnp.zeros_like(Fw[0])
             return pallas_sht.analysis_pair_folded(
                 Fw[0], zero, Fw[1], zero, x, logch, logsh, lmax,
-                abs(int(ns[0])), m_chunk=m_chunk,
+                abs(int(ns[0])), logch_lo=lo_ch, logsh_lo=lo_sh,
+                m_chunk=m_chunk,
             )
 
     def chunk(start):
@@ -344,7 +369,8 @@ def _analysis_rect_points(Fw, x, logch, logsh, lmax, ns, m_chunk):
     return tuple(outs)
 
 
-def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside):
+def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
+                    geom_lo=None):
     """Inverse: tuple of rectangular alms (..., lmax+1, nm_pad) -> ring G.
 
     Ring-pair folded: each branch's full-ring G is reassembled from the
@@ -364,8 +390,10 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside):
     ):
         from . import pallas_sht
 
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         GN, GS = pallas_sht.synthesis_spin0_folded(
-            alms[0], x, logch, logsh, lmax, m_chunk=m_chunk
+            alms[0], x, logch, logsh, lmax,
+            logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
         )
         south = jnp.flip(GS[..., :-1, :], axis=-2)
         return (jnp.concatenate([GN, south], axis=-2),)
@@ -378,9 +406,10 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside):
     ):
         from . import pallas_sht
 
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         GNp, GSp, GNm, GSm = pallas_sht.synthesis_pair_folded(
             alms[0], alms[1], x, logch, logsh, lmax, abs(int(ns[0])),
-            m_chunk=m_chunk,
+            logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
         )
         outs = []
         for GN, GS in ((GNp, GSp), (GNm, GSm)):
@@ -476,6 +505,7 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
     x, logch, logsh = _geom_arrays(nside, fdt)
     nhalf = 2 * nside
     x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+    geom_lo = _geom_lo_arrays(nside) if fdt == "float32" else None
     w = _weights_arr(nside, weights, fdt)[:, None]
     nm_pad = _mmax_pad(mmax, m_chunk)
 
@@ -485,7 +515,8 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
     if spin == 0:
         F, _ = ringfft.ring_analysis(maps, nside, mmax + 1)
         (alm,) = _analysis_rect(
-            (pad_m(F * w),), x, logch, logsh, lmax, mmax, (0,), m_chunk
+            (pad_m(F * w),), x, logch, logsh, lmax, mmax, (0,), m_chunk,
+            geom_lo=geom_lo,
         )
         alm = alm[..., : mmax + 1]
         out = alm
@@ -497,6 +528,7 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
         a_p, a_m = _analysis_rect(
             (pad_m(F * w), pad_m(jnp.conj(Fneg) * w)),
             x, logch, logsh, lmax, mmax, (spin, -spin), m_chunk,
+            geom_lo=geom_lo,
         )
         a_p = a_p[..., : mmax + 1]
         a_m = a_m[..., : mmax + 1]
@@ -531,6 +563,7 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
     x, logch, logsh = _geom_arrays(nside, fdt)
     nhalf = 2 * nside
     x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+    geom_lo = _geom_lo_arrays(nside) if fdt == "float32" else None
     nm_pad = _mmax_pad(mmax, m_chunk)
 
     def pad_m(a):
@@ -538,7 +571,8 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
 
     if spin == 0:
         (G,) = _synthesis_rect(
-            (pad_m(alm),), x, logch, logsh, lmax, (0,), m_chunk, nside
+            (pad_m(alm),), x, logch, logsh, lmax, (0,), m_chunk, nside,
+            geom_lo=geom_lo,
         )
         G = G[..., : mmax + 1]
         return ringfft.ring_synthesis(G, None, nside)
@@ -552,6 +586,7 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
     Gp, Gm = _synthesis_rect(
         (pad_m(a_p), pad_m(jnp.conj(a_m))),
         x, logch, logsh, lmax, (spin, -spin), m_chunk, nside,
+        geom_lo=geom_lo,
     )
     Gp = Gp[..., : mmax + 1]
     Gm = Gm[..., : mmax + 1]

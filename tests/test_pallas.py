@@ -143,6 +143,46 @@ def test_pallas_batched_analysis_matches_unbatched():
         np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-6)
 
 
+def test_comp_seed_frac_high_m():
+    """Compensated seed exponents keep f32 precision at m ~ 3000.
+
+    The seed log-magnitude is a near-cancelling sum of O(m*ln4) ~ 4000
+    terms; plain f32 evaluation loses ~ulp(4000) ~ 5e-4 of it, the
+    hi/lo path keeps the *result* accurate to f32 eps.
+    """
+    from scipy.special import gammaln
+
+    from heracles_tpu.ops.pallas_sht import _comp_seed_frac
+
+    m = 3000
+    logc64 = 0.5 * (gammaln(2 * m + 1) - 2 * gammaln(m + 1))
+    # logsum values in the region where the seed actually contributes
+    logsum64 = np.linspace(-1.5, -1.3, 64) - logc64 / m + (-1.386 + logc64 / m)
+    logsum64 = np.linspace(-logc64 / m - 0.02, -logc64 / m + 0.02, 64)
+
+    def split(a):
+        hi = np.float32(a)
+        return hi, np.float32(np.float64(a) - np.float64(hi))
+
+    lc_hi, lc_lo = split(logc64)
+    ls_hi = logsum64.astype(np.float32)
+    ls_lo = (logsum64 - ls_hi.astype(np.float64)).astype(np.float32)
+
+    frac, k0 = _comp_seed_frac(
+        jnp.asarray([lc_hi]), jnp.asarray([lc_lo]),
+        [(jnp.float32(m), jnp.asarray(ls_hi), jnp.asarray(ls_lo))],
+    )
+    got = np.asarray(frac, dtype=np.float64) + np.asarray(k0, np.float64)
+    C = np.log(2.0) * 60.0
+    want = (logc64 + m * logsum64) / C
+    # seed-relative error = C * (exponent error)
+    assert np.abs(got - want).max() * C < 1e-5  # ~f32 eps floor
+    # hi-only evaluation loses ~ulp(m*ln4) ~ 2e-4 through cancellation
+    naive = ((np.float32(lc_hi) + np.float32(m) * ls_hi)
+             / np.float32(C)).astype(np.float64)
+    assert np.abs(naive - want).max() * C > 5e-5
+
+
 def test_pallas_points_degenerate_inputs():
     """Fe = Fo = F (and zero southern rows) = the unfolded point scan."""
     from heracles_tpu.ops.pallas_sht import analysis_pair_folded

@@ -70,7 +70,7 @@ def _stage_synth(nside, lmax, spin, path):
     print(f"synth f64 done: {maps.shape}")
 
 
-def _stage_analyse(path, out, lmax, spin, dtype):
+def _stage_analyse(path, out, lmax, spin, dtype, iters=0):
     import jax
 
     if dtype == "f64":
@@ -84,9 +84,9 @@ def _stage_analyse(path, out, lmax, spin, dtype):
     maps = np.load(path)["maps"]
     if dtype == "f32":
         maps = maps.astype(np.float32)
-    back = sht.map2alm_host(maps, lmax=lmax, spin=spin)
+    back = sht.map2alm_host(maps, lmax=lmax, spin=spin, iterations=iters)
     np.savez(out, back=back)
-    print(f"analyse {dtype} done on {jax.default_backend()}")
+    print(f"analyse {dtype} iters={iters} done on {jax.default_backend()}")
 
 
 def _cl_of(alm, lmax):
@@ -126,20 +126,21 @@ def run(nside, spin):
     if not os.path.exists(base + ".npz"):
         sub(["--stage", "synth", "--nside", str(nside), "--spin", str(spin),
              "--path", base + ".npz"])
-    for dt in ("f64", "f32"):
-        if not os.path.exists(f"{base}_{dt}.npz"):
+    variants = (("f64", "f64", 0), ("f32", "f32", 0),
+                ("f64_it1", "f64", 1), ("f32_it1", "f32", 1))
+    for name, dt, it in variants:
+        if not os.path.exists(f"{base}_{name}.npz"):
             sub(["--stage", "analyse", "--path", base + ".npz",
-                 "--out", f"{base}_{dt}.npz", "--lmax", str(lmax),
-                 "--spin", str(spin), "--dtype", dt])
+                 "--out", f"{base}_{name}.npz", "--lmax", str(lmax),
+                 "--spin", str(spin), "--dtype", dt, "--iters", str(it)])
 
     truth = np.load(base + ".npz")["alm"]
-    b64 = np.load(f"{base}_f64.npz")["back"]
-    b32 = np.load(f"{base}_f32.npz")["back"]
     scale = np.abs(truth).max()
 
     cl_t = _cl_of(truth, lmax)
     rec = {"nside": nside, "lmax": lmax, "spin": spin}
-    for name, back in (("f64", b64), ("f32", b32)):
+    for name, _, _ in variants:
+        back = np.load(f"{base}_{name}.npz")["back"]
         err = np.abs(back - truth)
         rel_cl = np.abs(_cl_of(back, lmax) - cl_t) / np.where(cl_t > 0, cl_t, 1)
         rec[name] = {
@@ -159,16 +160,17 @@ def run(nside, spin):
 
 def table():
     results = json.load(open(RESULTS))
-    print("| nside | lmax | spin | alm max rel (f32) | Cl max rel (f32) "
-          "| Cl max rel (f64 floor) |")
-    print("|---|---|---|---|---|---|")
+    print("| nside | lmax | spin | Cl f32 | Cl f64 | Cl f32 it1 "
+          "| Cl f64 it1 |")
+    print("|---|---|---|---|---|---|---|")
     for key in sorted(results):
         r = results[key]
         print(
             f"| {r['nside']} | {r['lmax']} | {r['spin']} "
-            f"| {r['f32']['alm_max_rel']:.2e} "
             f"| {r['f32']['cl_max_rel']:.2e} "
-            f"| {r['f64']['cl_max_rel']:.2e} |"
+            f"| {r['f64']['cl_max_rel']:.2e} "
+            f"| {r.get('f32_it1', {}).get('cl_max_rel', float('nan')):.2e} "
+            f"| {r.get('f64_it1', {}).get('cl_max_rel', float('nan')):.2e} |"
         )
 
 
@@ -182,11 +184,13 @@ def main():
     ap.add_argument("--out")
     ap.add_argument("--lmax", type=int)
     ap.add_argument("--dtype", choices=["f32", "f64"])
+    ap.add_argument("--iters", type=int, default=0)
     args = ap.parse_args()
     if args.stage == "synth":
         _stage_synth(args.nside, 3 * args.nside // 2, args.spin, args.path)
     elif args.stage == "analyse":
-        _stage_analyse(args.path, args.out, args.lmax, args.spin, args.dtype)
+        _stage_analyse(args.path, args.out, args.lmax, args.spin, args.dtype,
+                       args.iters)
     elif args.table:
         table()
     else:
