@@ -58,6 +58,10 @@ class HealpixMapper:
     # unused: quadrature weights are computed, not read from data files
     DATAPATH: str | None = None
 
+    # transform() accepts leading batch axes (mapping.transform groups
+    # same-shape maps into stacked SHT dispatches)
+    batched_transform = True
+
     def __init__(self, nside, lmax=None, *, deconvolve=None, dtype=np.float64):
         self._nside = int(nside)
         self._lmax = sht.resolve_lmax(nside, lmax)

@@ -191,3 +191,44 @@ def test_get_masks():
     # E/B suffix filtering
     eb = get_masks(fields, comb=2, include=[("SHE_E", "SHE_E")], append_eb=True)
     assert eb == [("WHT", "WHT")]
+
+
+def test_transform_batched_matches_sequential():
+    """Grouped (stacked) transforms == the per-map loop, incl. metadata."""
+    from heracles_tpu.core import update_metadata
+    from heracles_tpu.mapping import transform
+
+    rng = np.random.default_rng(3)
+    npix = hpx.nside2npix(NSIDE)
+    mapper = h.HealpixMapper(NSIDE, LMAX, deconvolve=False)
+    fields = {
+        "POS": h.Positions(mapper, "RA", "DEC"),
+        "SHE": h.Shears(mapper, "RA", "DEC", "G1", "G2"),
+    }
+    data = {}
+    for i in range(3):
+        m = mapper.create(spin=0)
+        m[:] = rng.normal(size=npix)
+        update_metadata(m, nbar=float(10 + i), fsky=0.5 + 0.1 * i)
+        data["POS", i] = m
+    for i in range(2):
+        m = mapper.create(2, spin=2)
+        m[:] = rng.normal(size=(2, npix))
+        update_metadata(m, wbar=float(i + 1))
+        data["SHE", i] = m
+
+    seq = transform(fields, data, batch=1)
+    bat = transform(fields, data, batch=8)
+    assert list(seq.keys()) == list(bat.keys()) == list(data.keys())
+    for key in data:
+        np.testing.assert_allclose(
+            np.asarray(bat[key]), np.asarray(seq[key]), rtol=5e-7, atol=1e-9
+        )
+        md_s = dict(seq[key].dtype.metadata or {})
+        md_b = dict(bat[key].dtype.metadata or {})
+        assert md_b == md_s
+        # per-map science metadata must survive the batched path
+        if key[0] == "POS":
+            assert md_b["nbar"] == 10 + key[1]
+        else:
+            assert md_b["wbar"] == key[1] + 1
