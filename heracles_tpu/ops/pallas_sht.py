@@ -42,6 +42,8 @@ __all__ = [
     "analysis_pair_folded",
     "synthesis_spin0_folded",
     "synthesis_pair_folded",
+    "spin0_seed_planes",
+    "pair_seed_planes",
 ]
 
 _SCALE_LOG2 = 60
@@ -164,19 +166,20 @@ def _flatten_batch(arrays, core_ndim=2):
     return B, batch, flats
 
 
-def _kernel(x_ref, logsum_ref, logc_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
+def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
             m_chunk, ring_block):
     """Grid: (B, n_mchunks, n_ringblocks); ring blocks accumulate into out."""
-    i = pl.program_id(1)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    # per-lane m values (rows: rings, cols: m)
-    mi = i * m_chunk + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1)
-    m = mi.astype(jnp.float32)
+    # seed_ref (4, 1, m_chunk): [logc_hi, logc_lo, msign, m] — the lane
+    # orders come from the planes, so any contiguous m block works (the
+    # m-sharded path feeds each device its own block)
+    m = seed_ref[3]
+    msign = seed_ref[2]
     x = x_ref[...]  # (ring_block, 1) cos(theta)
     # (ring_block, 2): hi/lo pair of log(cos t/2) + log(sin t/2)
     logsum_hi = logsum_ref[:, 0:1]
@@ -185,9 +188,8 @@ def _kernel(x_ref, logsum_ref, logc_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     # seed: slm includes a (-1)^m factor on the positive Wigner seed
     # d^m_{-m,0} = C (cos sin)^m (t/2); log C precomputed on the host
     # (lgamma has no Pallas TPU lowering), compensated hi/lo evaluation
-    msign = jnp.where(mi % 2 == 0, 1.0, -1.0)
     frac, k0 = _comp_seed_frac(
-        logc_ref[0], logc_ref[1], [(m, logsum_hi, logsum_lo)]
+        seed_ref[0], seed_ref[1], [(m, logsum_hi, logsum_lo)]
     )
     seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
@@ -300,13 +302,15 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     jax.lax.fori_loop(0, (lmax + 8) // 8, body, init)
 
 
-def _pair_seed_planes(nm_pad, spin):
-    """Host seed-constant planes (8, 1, nm_pad) for the pair kernels.
+def pair_seed_planes(ms, spin):
+    """Host seed-constant planes (8, 1, len(ms)) for the pair kernels.
 
-    The seed log-coefficients are computed in f64 and shipped as (hi,
-    lo) f32 pairs for the compensated seed evaluation.
+    ``ms``: the harmonic orders of the lanes (any contiguous block — the
+    m-sharded path builds planes for all orders and shards them).  The
+    seed log-coefficients are computed in f64 and shipped as (hi, lo)
+    f32 pairs for the compensated seed evaluation.
     """
-    mm = np.arange(nm_pad)
+    mm = np.asarray(ms)
     _, sgp, logcp = _seed_consts(mm, spin)
     _, sgm, logcm = _seed_consts(mm, -spin)
     msign = np.where(mm % 2 == 0, 1.0, -1.0)
@@ -343,8 +347,8 @@ def _vec_pair(hi, lo, pad):
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "interpret"),
 )
 def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
-                         logch_lo=None, logsh_lo=None, m_chunk=128,
-                         ring_block=None, interpret=False):
+                         logch_lo=None, logsh_lo=None, seed_planes=None,
+                         m_chunk=128, ring_block=None, interpret=False):
     """Folded spin-pair analysis on the Pallas kernel.
 
     Inputs as built by the jnp cross path: FN* northern rows per branch,
@@ -371,7 +375,8 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     # host-side seed constants per (m, branch): the Wigner-d seed
     # coefficient and sign at j0 = max(m, s) (lgamma-free in the kernel);
     # branch p (a_{+s}) needs d^{j0}_{-m,-s}, branch m needs d^{j0}_{-m,+s}
-    seed = _pair_seed_planes(nm_pad, spin)
+    seed = (pair_seed_planes(np.arange(nm_pad), spin)
+            if seed_planes is None else seed_planes)
 
     lpad = -(-(lmax + 1) // 8) * 8
     n_mchunks = nm_pad // m_chunk
@@ -416,7 +421,7 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     return alm_p.reshape(shape), alm_m.reshape(shape)
 
 
-def _synth_kernel(x_ref, logsum_ref, logc_ref, alm_ref, out_ref, *, lmax,
+def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
                   m_chunk, ring_block):
     """Folded spin-0 synthesis: G accumulates in VMEM, written once.
 
@@ -424,14 +429,12 @@ def _synth_kernel(x_ref, logsum_ref, logc_ref, alm_ref, out_ref, *, lmax,
     GS_re, GS_im] per (ring-block, m-chunk) tile, with the (-1)^m order
     sign already applied to GS (spin 0: the lane-block swap is trivial).
     """
-    mi = (pl.program_id(1) * m_chunk
-          + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1))
-    m = mi.astype(jnp.float32)
+    m = seed_ref[3]
+    msign = seed_ref[2]
     x = x_ref[...]
-    msign = jnp.where(mi % 2 == 0, 1.0, -1.0).astype(jnp.float32)
 
     frac, k0 = _comp_seed_frac(
-        logc_ref[0], logc_ref[1],
+        seed_ref[0], seed_ref[1],
         [(m, logsum_ref[:, 0:1], logsum_ref[:, 1:2])],
     )
     seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
@@ -470,8 +473,8 @@ def _synth_kernel(x_ref, logsum_ref, logc_ref, alm_ref, out_ref, *, lmax,
     static_argnames=("lmax", "m_chunk", "ring_block", "interpret"),
 )
 def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
-                           logsh_lo=None, m_chunk=128, ring_block=None,
-                           interpret=False):
+                           logsh_lo=None, seed_planes=None, m_chunk=128,
+                           ring_block=None, interpret=False):
     """Folded spin-0 synthesis: rectangular alm -> (GN, GS) ring spectra.
 
     ``alm``: (..., lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
@@ -494,7 +497,8 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, lpad - (lmax + 1)), (0, 0)))
     planes = planes.reshape(B * 2, lpad, nm_pad)
 
-    logc = _logc_spin0(nm_pad)
+    if seed_planes is None:
+        seed_planes = spin0_seed_planes(np.arange(nm_pad))
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logsum = _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad)
 
@@ -511,7 +515,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, m_chunk), lambda b, i, j: (0, 0, i),
+            pl.BlockSpec((4, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, lpad, m_chunk), lambda b, i, j: (b, 0, i),
                          memory_space=pltpu.VMEM),
@@ -525,7 +529,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
             dimension_semantics=_SEMANTICS,
         ),
         interpret=interpret,
-    )(xp, logsum, jnp.asarray(logc), planes)
+    )(xp, logsum, jnp.asarray(seed_planes), planes)
 
     out = out.reshape((B, 4, nr_pad, nm_pad))[:, :, :nhalf]
     GN = (out[:, 0] + 1j * out[:, 1]).astype(jnp.complex64)
@@ -624,8 +628,8 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "interpret"),
 )
 def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
-                          logch_lo=None, logsh_lo=None, m_chunk=128,
-                          ring_block=None, interpret=False):
+                          logch_lo=None, logsh_lo=None, seed_planes=None,
+                          m_chunk=128, ring_block=None, interpret=False):
     """Folded spin-pair synthesis on the Pallas kernel.
 
     ``alm_p``/``alm_m``: rectangular (..., lmax+1, nm_pad) complex alms
@@ -654,7 +658,8 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
         )
         return planes.reshape(B * 2, lpad, nm_pad)
 
-    seed = _pair_seed_planes(nm_pad, spin)
+    seed = (pair_seed_planes(np.arange(nm_pad), spin)
+            if seed_planes is None else seed_planes)
 
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logchp = _vec_pair(logch, logch_lo, pad)
@@ -723,21 +728,25 @@ def _seed_consts(mm, n):
     return j0, sign, logC
 
 
-def _logc_spin0(nm_pad):
-    """Host hi/lo seed coefficients 0.5*(lgamma(2m+1) - 2 lgamma(m+1)).
+def spin0_seed_planes(ms):
+    """Host spin-0 seed planes (4, 1, len(ms)): [logc_hi, logc_lo, msign, m].
 
-    Computed with scipy in f64 (XLA's TPU f32 lgamma loses ~1e-3
-    absolute at arguments ~100) and split into an (hi, lo) f32 pair so
-    the kernel's compensated seed evaluation keeps full f32 precision
-    even where logC ~ m*ln4 is thousands.
+    ``ms``: the harmonic orders of the lanes (any contiguous block — the
+    m-sharded path builds planes for all orders and shards them).  The
+    coefficients 0.5*(lgamma(2m+1) - 2 lgamma(m+1)) are computed with
+    scipy in f64 (XLA's TPU f32 lgamma loses ~1e-3 absolute at arguments
+    ~100) and split into an (hi, lo) f32 pair so the kernel's compensated
+    seed evaluation keeps full f32 precision even where logC ~ m*ln4 is
+    thousands.
     """
     from scipy.special import gammaln
 
-    mm = np.arange(nm_pad)
+    mm = np.asarray(ms)
     logc64 = 0.5 * (gammaln(2.0 * mm + 1.0) - 2.0 * gammaln(mm + 1.0))
     hi = logc64.astype(np.float32)
-    lo = (logc64 - hi).astype(np.float32)
-    return np.stack([hi, lo])[:, None, :]  # (2, 1, nm_pad)
+    lo = (logc64 - hi.astype(np.float64)).astype(np.float32)
+    msign = np.where(mm % 2 == 0, 1.0, -1.0).astype(np.float32)
+    return np.stack([hi, lo, msign, mm.astype(np.float32)])[:, None, :]
 
 
 def _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad):
@@ -758,8 +767,8 @@ def _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad):
     static_argnames=("lmax", "m_chunk", "ring_block", "interpret"),
 )
 def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
-                          logsh_lo=None, m_chunk=128, ring_block=None,
-                          interpret=False):
+                          logsh_lo=None, seed_planes=None, m_chunk=128,
+                          ring_block=None, interpret=False):
     """alm[l, m] = sum_r lam_{lm}(x_r) * F(e/o by l parity)[r, m].
 
     ``Fe``/``Fo``: (..., nhalf, nm_pad) complex64/128 parity-combined
@@ -787,7 +796,8 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
 
     Fe2 = prep(Fe)
     Fo2 = prep(Fo)
-    logc = _logc_spin0(nm_pad)
+    if seed_planes is None:
+        seed_planes = spin0_seed_planes(np.arange(nm_pad))
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logsum = _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad)
 
@@ -807,7 +817,7 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, m_chunk), lambda b, i, j: (0, 0, i),
+            pl.BlockSpec((4, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             F_spec,
             F_spec,
@@ -819,7 +829,7 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
             dimension_semantics=_SEMANTICS,
         ),
         interpret=interpret,
-    )(xp, logsum, jnp.asarray(logc), Fe2, Fo2)
+    )(xp, logsum, jnp.asarray(seed_planes), Fe2, Fo2)
 
     out = out.reshape((B, 2, lpad, nm_pad))[:, :, : lmax + 1]
     alm = (out[:, 0] + 1j * out[:, 1]).astype(jnp.complex64)

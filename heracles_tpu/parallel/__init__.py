@@ -76,7 +76,8 @@ def _m_block(lmax, n_m):
     return per
 
 
-def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin):
+def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
+                    engine="jnp", seed_planes=None, geom_lo=None):
     """Folded Wigner analysis of this device's m block (inside shard_map).
 
     ``x``/``logch``/``logsh`` cover the northern half (incl. equator);
@@ -84,18 +85,36 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin):
     input is (..., npix) real and the output (..., lmax+1, per); for a
     spin pair the input is (..., 2, npix) [Q, U] and the output
     (..., 2, lmax+1, per) [E, B].  Orders beyond lmax are zeroed.
+
+    ``engine``: "jnp" (the lax.scan path), "pallas" (the fused kernels;
+    requires ``seed_planes`` — this device's block of the host-built
+    seed planes, sharded over the mesh's "m" axis) or "pallas-interpret"
+    (same kernels in interpret mode, for CPU-mesh tests).
     """
     m0 = jax.lax.axis_index("m") * per
     ms = m0 + jnp.arange(per, dtype=jnp.int32)
     msign = jnp.where(ms % 2 == 0, 1.0, -1.0).astype(w.dtype)
+    use_pallas = engine in ("pallas", "pallas-interpret")
+    interpret = engine == "pallas-interpret"
+    lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
 
     if spin == 0:
         F, _ = ringfft.ring_analysis(maps_local, nside, per, m0=m0)
         FN, FS = sht._fold_rings(F * w[:, None], nside)
-        alm = wigner.lambda_analysis_scan_folded(
-            ms, jnp.zeros(per, jnp.int32), x, logch, logsh, lmax,
-            FN, FS * msign, cross=False,
-        )
+        if use_pallas:
+            from ..ops import pallas_sht
+
+            FSs = FS * msign
+            alm = pallas_sht.analysis_spin0_folded(
+                FN + FSs, FN - FSs, x, logch, logsh, lmax,
+                logch_lo=lo_ch, logsh_lo=lo_sh, seed_planes=seed_planes,
+                interpret=interpret,
+            )
+        else:
+            alm = wigner.lambda_analysis_scan_folded(
+                ms, jnp.zeros(per, jnp.int32), x, logch, logsh, lmax,
+                FN, FS * msign, cross=False,
+            )
         return alm * (ms <= lmax)
 
     # spin pair: a_{+s} from F with engine column ns=+s, a_{-s} from
@@ -105,16 +124,26 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin):
     F, Fneg = ringfft.ring_analysis(u, nside, per, m0=m0)
     fold_p = sht._fold_rings(F * w[:, None], nside)
     fold_m = sht._fold_rings(jnp.conj(Fneg) * w[:, None], nside)
-    FN = jnp.concatenate([fold_p[0], fold_m[0]], axis=-1)
-    FS = jnp.concatenate([fold_m[1] * msign, fold_p[1] * msign], axis=-1)
-    ms_l = jnp.concatenate([ms, ms])
-    ns_l = jnp.concatenate(
-        [jnp.full(per, spin, jnp.int32), jnp.full(per, -spin, jnp.int32)]
-    )
-    alm = wigner.lambda_analysis_scan_folded(
-        ms_l, ns_l, x, logch, logsh, lmax, FN, FS, cross=True
-    )
-    a_p, a_m = alm[..., :per], alm[..., per:]
+    if use_pallas:
+        from ..ops import pallas_sht
+
+        a_p, a_m = pallas_sht.analysis_pair_folded(
+            fold_p[0], fold_p[1] * msign, fold_m[0], fold_m[1] * msign,
+            x, logch, logsh, lmax, spin,
+            logch_lo=lo_ch, logsh_lo=lo_sh, seed_planes=seed_planes,
+            interpret=interpret,
+        )
+    else:
+        FN = jnp.concatenate([fold_p[0], fold_m[0]], axis=-1)
+        FS = jnp.concatenate([fold_m[1] * msign, fold_p[1] * msign], axis=-1)
+        ms_l = jnp.concatenate([ms, ms])
+        ns_l = jnp.concatenate(
+            [jnp.full(per, spin, jnp.int32), jnp.full(per, -spin, jnp.int32)]
+        )
+        alm = wigner.lambda_analysis_scan_folded(
+            ms_l, ns_l, x, logch, logsh, lmax, FN, FS, cross=True
+        )
+        a_p, a_m = alm[..., :per], alm[..., per:]
     alm_e = -(a_p + a_m) / 2
     alm_b = 1j * (a_p - a_m) / 2
     return jnp.stack([alm_e, alm_b], axis=-3) * (ms <= lmax)
@@ -129,7 +158,35 @@ def _engine_arrays(maps, nside, weights):
     return x[:nhalf], logch[:nhalf], logsh[:nhalf], w
 
 
-def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0):
+def _resolve_engine(engine):
+    """"auto" = the fused Pallas kernels on TPU, the jnp scans elsewhere."""
+    if engine == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return engine
+
+
+def _sharded_seed_planes(mesh, lmax, n_m, spin):
+    """Host-built seed planes for all orders, sharded over the "m" axis.
+
+    The Pallas kernels read the lane orders from these planes, so each
+    device's block carries its own (m0-offset) orders.
+    """
+    from ..ops import pallas_sht
+
+    nm_tot = _m_block(lmax, n_m) * n_m
+    ms = np.arange(nm_tot)
+    planes = (
+        pallas_sht.spin0_seed_planes(ms)
+        if spin == 0
+        else pallas_sht.pair_seed_planes(ms, spin)
+    )
+    return jax.device_put(
+        jnp.asarray(planes), NamedSharding(mesh, P(None, None, "m"))
+    )
+
+
+def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0,
+                    engine="auto"):
     """Sharded analysis: bins over "batch", harmonic orders over "m".
 
     ``maps``: (nbins, npix) sharded P("batch", None) for spin 0, or
@@ -139,26 +196,49 @@ def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0):
     ``weights`` defaults to the band-limit-exact ring quadrature weights,
     matching the single-chip ``sht.map2alm`` default (a host-side
     per-ring constant, so sharding is unaffected).
+    ``engine``: "auto" (fused Pallas kernels on TPU, jnp scans
+    elsewhere), "jnp", "pallas", or "pallas-interpret" (CPU-mesh tests).
     """
     nside = npix2nside(maps.shape[-1])
     per = _m_block(lmax, mesh.shape["m"])
     x, logch, logsh, w = _engine_arrays(maps, nside, weights)
+    engine = _resolve_engine(engine)
+    spin = abs(int(spin))
 
     if spin == 0:
         in_specs, out_specs = P("batch", None), P("batch", None, "m")
     else:
         in_specs, out_specs = P("batch", None, None), P("batch", None, None, "m")
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    def local(maps_local):
+    if engine == "jnp":
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=out_specs)
+        def local(maps_local):
+            return _local_analysis(
+                maps_local, nside, lmax, per, w, x, logch, logsh, spin
+            )
+
+        return local(maps)
+
+    planes = _sharded_seed_planes(mesh, lmax, mesh.shape["m"], spin)
+    geom_lo = sht._geom_lo_arrays(nside)
+
+    # check_vma=False: pallas_call does not yet annotate its outputs with
+    # mesh-axis variance information inside shard_map
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(in_specs, P(None, None, "m")), out_specs=out_specs,
+             check_vma=False)
+    def local(maps_local, planes_local):
         return _local_analysis(
-            maps_local, nside, lmax, per, w, x, logch, logsh, abs(int(spin))
+            maps_local, nside, lmax, per, w, x, logch, logsh, spin,
+            engine=engine, seed_planes=planes_local, geom_lo=geom_lo,
         )
 
-    return local(maps)
+    return local(maps, planes)
 
 
-def pipeline_step(mesh, maps, lmax, maps2=None):
+def pipeline_step(mesh, maps, lmax, maps2=None, *, engine="auto"):
     """Full sharded pipeline step: maps -> alms -> all-pair spectra.
 
     ``maps``: (nbins, npix) spin-0 batch; ``maps2`` (optional):
@@ -173,16 +253,29 @@ def pipeline_step(mesh, maps, lmax, maps2=None):
     per = _m_block(lmax, mesh.shape["m"])
     x, logch, logsh, w = _engine_arrays(maps, nside, "ring")
     with_spin2 = maps2 is not None
+    engine = _resolve_engine(engine)
+    if engine == "jnp":
+        seeds0 = seeds2 = None
+        geom_lo = None
+    else:
+        seeds0 = _sharded_seed_planes(mesh, lmax, mesh.shape["m"], 0)
+        seeds2 = (
+            _sharded_seed_planes(mesh, lmax, mesh.shape["m"], 2)
+            if with_spin2 else None
+        )
+        geom_lo = sht._geom_lo_arrays(nside)
 
-    def step(maps_local, maps2_local=None):
+    def step(maps_local, maps2_local=None, s0_local=None, s2_local=None):
         m0 = jax.lax.axis_index("m") * per
         ms = m0 + jnp.arange(per, dtype=jnp.int32)
         planes = _local_analysis(
-            maps_local, nside, lmax, per, w, x, logch, logsh, 0
+            maps_local, nside, lmax, per, w, x, logch, logsh, 0,
+            engine=engine, seed_planes=s0_local, geom_lo=geom_lo,
         )
         if maps2_local is not None:
             eb = _local_analysis(
-                maps2_local, nside, lmax, per, w, x, logch, logsh, 2
+                maps2_local, nside, lmax, per, w, x, logch, logsh, 2,
+                engine=engine, seed_planes=s2_local, geom_lo=geom_lo,
             )
             eb = eb.reshape((-1,) + eb.shape[-2:])  # (2*nbins2, lmax+1, per)
             planes = jnp.concatenate([planes, eb], axis=0)
@@ -191,14 +284,26 @@ def pipeline_step(mesh, maps, lmax, maps2=None):
         grid = rect_pair_grid(planes, other, ms)
         return jax.lax.psum(grid, "m")
 
+    plane_spec = P(None, None, "m")
     if with_spin2:
-        sharded = partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P("batch", None), P("batch", None, None)),
-            out_specs=P("batch", None, None),
-        )
-        out = jax.jit(sharded(step))(maps, maps2)
+        if engine == "jnp":
+            sharded = partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P("batch", None), P("batch", None, None)),
+                out_specs=P("batch", None, None),
+            )
+            out = jax.jit(sharded(step))(maps, maps2)
+        else:
+            sharded = partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P("batch", None), P("batch", None, None),
+                          plane_spec, plane_spec),
+                out_specs=P("batch", None, None),
+                check_vma=False,
+            )
+            out = jax.jit(sharded(step))(maps, maps2, seeds0, seeds2)
         # inside the shard each device emits [its spin-0 bins, its E/B
         # planes]; permute to the global order [all spin-0 bins, then
         # E, B per spin-2 bin]
@@ -209,10 +314,19 @@ def pipeline_step(mesh, maps, lmax, maps2=None):
         rows2 = (blocks + b0 + np.arange(2 * b2)).ravel()
         perm = np.concatenate([rows0, rows2])
         return jnp.asarray(np.asarray(out)[np.ix_(perm, perm)])
+    if engine == "jnp":
+        sharded = partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=P("batch", None),
+            out_specs=P("batch", None, None),
+        )
+        return jax.jit(sharded(lambda m: step(m)))(maps)
     sharded = partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P("batch", None),
+        in_specs=(P("batch", None), plane_spec),
         out_specs=P("batch", None, None),
+        check_vma=False,
     )
-    return jax.jit(sharded(lambda m: step(m)))(maps)
+    return jax.jit(sharded(lambda m, s0: step(m, s0_local=s0)))(maps, seeds0)

@@ -86,3 +86,25 @@ def test_graft_entry_forward():
 
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("spin", [0, 2])
+def test_sharded_pallas_engine_matches_jnp(mesh, spin):
+    """The Pallas (interpret) sharded engine == the jnp scan engine."""
+    from heracles_tpu.parallel import example_batch, map2alm_sharded
+
+    nside, lmax = 16, 24
+    if spin == 0:
+        (maps,) = example_batch(mesh, nside=nside, lmax=lmax, seed=7)
+    else:
+        _, maps = example_batch(mesh, nside=nside, lmax=lmax, seed=7,
+                                spin2=True)
+    a_jnp = np.asarray(
+        map2alm_sharded(mesh, maps, lmax, spin=spin, engine="jnp")
+    )
+    a_pl = np.asarray(
+        map2alm_sharded(mesh, maps, lmax, spin=spin,
+                        engine="pallas-interpret")
+    )
+    scale = np.abs(a_jnp).max()
+    np.testing.assert_allclose(a_pl, a_jnp, atol=5e-6 * scale, rtol=1e-4)
