@@ -125,6 +125,58 @@ def build_discrete(lmax, npts):
     )
 
 
+def build_alm2map(nside, lmax):
+    import jax
+    import jax.numpy as jnp
+
+    from heracles_tpu.ops import sht
+
+    rng = np.random.default_rng(5)
+    nlm = sht.alm_size(lmax)
+    re = jax.device_put(rng.normal(size=nlm).astype(np.float32))
+    im = jax.device_put(rng.normal(size=nlm).astype(np.float32))
+    fn = jax.jit(
+        lambda r, i: jnp.sum(sht.alm2map(r + 1j * i, nside, lmax=lmax) ** 2)
+    )
+    return lambda: float(fn(re, im))
+
+
+def _ingest_file(nrows=2_000_000, ncols=8):
+    """Synthetic wide FITS catalogue (cached in the bench cache dir)."""
+    cache = os.environ.get("HERACLES_TPU_CACHE", "/tmp/heracles_tpu_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"bench_catalog_{nrows}_{ncols}.fits")
+    if not os.path.exists(path):
+        from heracles_tpu.fits import FitsFile
+
+        rng = np.random.default_rng(6)
+        names = [f"COL{i}" for i in range(ncols)]
+        data = np.zeros(nrows, dtype=[(n, ">f8") for n in names])
+        for n in names:
+            data[n] = rng.normal(size=nrows)
+        with FitsFile(path, mode="rw", clobber=True) as f:
+            f.write_table(data, extname="CATALOG")
+    return path
+
+
+def build_ingest(ncols_read, nrows=2_000_000, ncols=8):
+    """Paged catalogue read of ``ncols_read`` of ``ncols`` columns."""
+    from heracles_tpu.catalog import FitsCatalog
+
+    path = _ingest_file(nrows, ncols)
+    names = [f"COL{i}" for i in range(ncols_read)]
+
+    def run():
+        cat = FitsCatalog(path, columns=names)
+        total = 0.0
+        for page in cat:
+            for n in names:
+                total += float(page.get(n)[0])
+        return total
+
+    return run
+
+
 def build_dices_regions(nside, lmax, njk):
     import jax
     import jax.numpy as jnp
@@ -198,6 +250,19 @@ CONFIGS = {
         reps=3,
         cpu=("dices_regions8_n256", 1.0),
     ),
+    "alm2map_n1024_l1536": dict(
+        build=lambda: build_alm2map(1024, 1536),
+        reps=3,
+        cpu=("alm2map_n1024_l1536", 1.0),
+    ),
+    # host ingestion: 2M rows, 2 of 8 columns decoded; the baseline is
+    # the same sweep decoding all 8 columns (the pre-subset behaviour),
+    # so vs_baseline is the column-subset speedup
+    "ingest_2Mrows_2of8cols": dict(
+        build=lambda: build_ingest(2),
+        reps=3,
+        cpu=("ingest_2Mrows_8of8cols", 1.0),
+    ),
 }
 
 # CPU baseline measurements (sizes small enough for one host core).
@@ -208,6 +273,8 @@ CPU_CONFIGS = {
     "discrete_alm_l1000_n8192": lambda: build_discrete(1000, 8192),
     "spin0_cl_n1024_l1536": lambda: build_spin0(1024, 1536),
     "dices_regions8_n256": lambda: build_dices_regions(256, 384, 8),
+    "alm2map_n1024_l1536": lambda: build_alm2map(1024, 1536),
+    "ingest_2Mrows_8of8cols": lambda: build_ingest(8),
 }
 
 
