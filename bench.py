@@ -212,7 +212,19 @@ def _sht_scale(nside_t, lmax_t, nside_c, lmax_c):
     return (nside_t / nside_c) * (lmax_t / lmax_c) ** 2
 
 
+# ordered so the north-star metrics print first (the driver may cap the
+# bench wall time; each line flushes as soon as it is measured)
 CONFIGS = {
+    "spin0_n4096_l3000": dict(
+        build=lambda: build_spin0(4096, 3000),
+        reps=3,
+        cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
+    ),
+    "spin2_n4096_l3000": dict(
+        build=lambda: build_spin2_masked(4096, 3000),
+        reps=3,
+        cpu=("spin2_masked_n512_l768", _sht_scale(4096, 3000, 512, 768)),
+    ),
     "spin0_cl_n128_l256": dict(
         build=lambda: build_spin0(128, 256),
         reps=5,
@@ -234,16 +246,6 @@ CONFIGS = {
         reps=3,
         # point-alm work ~ O(npts * lmax^2): measured at 8192 points
         cpu=("discrete_alm_l1000_n8192", 65536 / 8192),
-    ),
-    "spin0_n4096_l3000": dict(
-        build=lambda: build_spin0(4096, 3000),
-        reps=3,
-        cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
-    ),
-    "spin2_n4096_l3000": dict(
-        build=lambda: build_spin2_masked(4096, 3000),
-        reps=3,
-        cpu=("spin2_masked_n512_l768", _sht_scale(4096, 3000, 512, 768)),
     ),
     "dices_regions8_n256": dict(
         build=lambda: build_dices_regions(256, 384, 8),
