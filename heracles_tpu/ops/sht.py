@@ -76,26 +76,74 @@ def _pack_index(lmax, mmax):
     return ls, ms
 
 
+@functools.lru_cache(maxsize=64)
+def _run_positions(lmax, mmax):
+    """Slice positions of each order's run for the layout transforms.
+
+    The packed array is a concatenation of per-order runs (order m holds
+    l = m..lmax).  Reading a full (lmax+1)-slice of the packed array at
+    position m*(2*lmax - m + 1)/2 puts a_{lm} at column l (columns
+    l < m hold the previous run's tail, masked/overwritten) — so the
+    packed<->rectangular conversions are scans of contiguous dynamic
+    slices instead of elementwise gathers/scatters, which run at
+    ~0.3 GB/s on TPU and would otherwise dominate alm2map.
+    """
+    m = np.arange(mmax + 1, dtype=np.int64)
+    return (m * (2 * lmax - m + 1) // 2).astype(np.int32)
+
+
 def pack_alm(alm_rect, lmax=None, mmax=None):
     """Rectangular (..., lmax+1, mmax+1) -> healpy-packed (..., nlm)."""
     if lmax is None:
         lmax = alm_rect.shape[-2] - 1
     if mmax is None:
         mmax = alm_rect.shape[-1] - 1
-    ls, ms = _pack_index(lmax, mmax)
-    return alm_rect[..., ls, ms]
+    if not isinstance(alm_rect, jax.Array):
+        ls, ms = _pack_index(lmax, mmax)
+        return alm_rect[..., ls, ms]
+    # gather-free: write each order's (lmax+1)-row at its run position in
+    # descending m, so later (lower-m) rows overwrite the l < m prefix
+    # garbage of earlier ones
+    L = lmax + 1
+    nlm = alm_size(lmax, mmax)
+    starts = _run_positions(lmax, mmax)
+    rows = jnp.moveaxis(jnp.swapaxes(alm_rect, -1, -2), -2, 0)  # (M, ..., L)
+    buf = jnp.zeros(alm_rect.shape[:-2] + (nlm + L,), alm_rect.dtype)
+
+    def write(buf, xs):
+        row, s = xs
+        return jax.lax.dynamic_update_slice_in_dim(buf, row, s, axis=-1), None
+
+    buf, _ = jax.lax.scan(
+        write, buf,
+        (jnp.flip(rows, axis=0), jnp.asarray(starts[::-1].copy())),
+    )
+    return buf[..., :nlm]
 
 
 def unpack_alm(alm_packed, lmax, mmax=None):
     """healpy-packed (..., nlm) -> rectangular (..., lmax+1, mmax+1)."""
     mmax = lmax if mmax is None else mmax
-    ls, ms = _pack_index(lmax, mmax)
-    xp = jnp if isinstance(alm_packed, jax.Array) else np
-    out = xp.zeros(alm_packed.shape[:-1] + (lmax + 1, mmax + 1), alm_packed.dtype)
-    if xp is jnp:
-        return out.at[..., ls, ms].set(alm_packed)
-    out[..., ls, ms] = alm_packed
-    return out
+    if not isinstance(alm_packed, jax.Array):
+        ls, ms = _pack_index(lmax, mmax)
+        out = np.zeros(
+            alm_packed.shape[:-1] + (lmax + 1, mmax + 1), alm_packed.dtype
+        )
+        out[..., ls, ms] = alm_packed
+        return out
+    # scatter-free: each order's run is a contiguous (lmax+1)-slice of
+    # the packed array (columns l < m masked to zero), then one transpose
+    L = lmax + 1
+    starts = _run_positions(lmax, mmax)
+    padded = jnp.pad(alm_packed, [(0, 0)] * (alm_packed.ndim - 1) + [(0, L)])
+
+    def row(_, s):
+        return None, jax.lax.dynamic_slice_in_dim(padded, s, L, axis=-1)
+
+    _, rows = jax.lax.scan(row, None, jnp.asarray(starts))
+    rows = jnp.moveaxis(rows, 0, -2)  # (..., mmax+1, L)
+    mask = jnp.arange(L)[None, :] >= jnp.arange(mmax + 1)[:, None]
+    return jnp.swapaxes(jnp.where(mask, rows, 0), -1, -2)
 
 
 @functools.lru_cache(maxsize=32)

@@ -227,3 +227,22 @@ def test_pixel_window_monotone():
     assert pw[0] == pytest.approx(1.0, abs=1e-12)
     assert np.all(np.diff(pw) < 0)
     assert pw[-1] > 0.5
+
+
+@pytest.mark.parametrize("lmax,mmax", [(12, 12), (12, 7)])
+def test_pack_unpack_jax_matches_numpy(lmax, mmax):
+    """The scatter/gather-free device layout transforms == the host path."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    nlm = sht.alm_size(lmax, mmax)
+    packed = rng.normal(size=(3, nlm)) + 1j * rng.normal(size=(3, nlm))
+
+    rect_np = sht.unpack_alm(packed, lmax, mmax)
+    rect_jx = np.asarray(sht.unpack_alm(jnp.asarray(packed), lmax, mmax))
+    np.testing.assert_allclose(rect_jx, rect_np, rtol=0, atol=0)
+
+    back_np = sht.pack_alm(rect_np, lmax, mmax)
+    back_jx = np.asarray(sht.pack_alm(jnp.asarray(rect_np), lmax, mmax))
+    np.testing.assert_allclose(back_jx, back_np, rtol=0, atol=0)
+    np.testing.assert_allclose(back_np, packed, rtol=0, atol=0)
