@@ -220,27 +220,37 @@ def _rep_powers(th, ph, lmax, pol, chunk=16):
     nchunks = x.shape[0] // chunk
 
     def reshape(a):
-        return jnp.asarray(a.reshape(nchunks, chunk, -1))
+        return a.reshape(nchunks, chunk, -1)
 
     ms_j = jnp.asarray(ms, jnp.int32)
     ns_j = jnp.asarray(ns, jnp.int32)
     w_j = jnp.asarray(weights.astype(fdt))
     mf = jnp.asarray(ms.astype(fdt))
 
+    # one jitted dispatch per chunk (a single device program covering
+    # every chunk crashes the remote TPU worker at production sizes;
+    # per-chunk dispatch costs only the tunnel overhead per call)
     @jax.jit
-    def all_chunks(xs, lcs, lss, phs):
+    def one_chunk(xx, lc, ls, pp):
         def one(args):
-            xx, lc, ls, pp = args
-            Fw = v * jnp.exp(-1j * mf[None, :] * pp[:, None])
+            xi, lci, lsi, ppi = args
+            Fw = v * jnp.exp(-1j * mf[None, :] * ppi[:, None])
             return wigner.lambda_power_scan(
-                ms_j, ns_j, xx, lc, ls, lmax, Fw, w_j
+                ms_j, ns_j, xi, lci, lsi, lmax, Fw, w_j
             )
 
-        return jax.lax.map(jax.vmap(one), (xs, lcs, lss, phs))
+        return jax.vmap(one)((xx, lc, ls, pp))
 
-    out = np.asarray(
-        all_chunks(reshape(x), reshape(logch), reshape(logsh), reshape(ph))
-    )
+    xs, lcs, lss, phs = (reshape(a) for a in (x, logch, logsh, ph))
+    outs = []
+    for c in range(nchunks):
+        if c and c % 64 == 0:
+            logger.info("pixel window scan: chunk %d/%d", c, nchunks)
+        outs.append(np.asarray(one_chunk(
+            jnp.asarray(xs[c]), jnp.asarray(lcs[c]), jnp.asarray(lss[c]),
+            jnp.asarray(phs[c]),
+        )))
+    out = np.stack(outs)
     return out.reshape((-1,) + out.shape[2:])[:nreps]
 
 
