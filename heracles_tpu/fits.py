@@ -310,21 +310,27 @@ class TableHDU:
         return sub[columns] if single else sub
 
     def _read_raw(self, start, stop):
-        """Row-range bytes into a reusable buffer (page-fault friendly).
+        """Row-range bytes into a fresh per-call buffer.
 
-        The buffer is recycled across reads, so steady-state paging does
-        not re-fault fresh allocations; every decode below copies out of
-        it before returning.
+        A fresh buffer per call keeps concurrent reads safe: catalogue
+        paging prefetches the next page on a worker thread while other
+        fields read the same HDU, so a shared recycled buffer would be
+        overwritten mid-decode (observed as silently corrupted pages).
+        Short reads (truncated file, rows beyond EOF) raise instead of
+        returning stale buffer contents.
         """
         rowsize = self._dtype.itemsize
         nbytes = max(0, stop - start) * rowsize
-        buf = getattr(self, "_rowbuf", None)
-        if buf is None or len(buf) < nbytes:
-            buf = self._rowbuf = bytearray(nbytes)
-        view = memoryview(buf)[:nbytes]
+        buf = bytearray(nbytes)
+        view = memoryview(buf)
         with self._fits._reader() as f:
             f.seek(self._offset + start * rowsize)
-            f.readinto(view)
+            got = f.readinto(view)
+        if got != nbytes:
+            raise OSError(
+                f"short read: wanted rows [{start}, {stop}) "
+                f"({nbytes} bytes), got {got} bytes"
+            )
         return view
 
     def _uniform_base(self):

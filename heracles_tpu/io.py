@@ -99,13 +99,21 @@ def _string_from_key(key):
     if isinstance(key, Sequence) and not isinstance(key, str):
         return "-".join(map(_string_from_key, key))
     out = []
+    in_run = False
     for ch in str(key):
         if ch in ("\\", "-"):
             out.append("\\" + ch)
+            in_run = False
         elif " " <= ch <= "~":
             out.append(ch)
-        elif not (out and out[-1] == "~"):
-            out.append("~")
+            in_run = False
+        else:
+            # each run of non-printables folds to ONE '~', never merging
+            # with a preceding literal '~' (matches the reference's
+            # re.sub(r"[^ -~]+", "~", ...) wire format)
+            if not in_run:
+                out.append("~")
+            in_run = True
     return "".join(out)
 
 
@@ -437,17 +445,27 @@ class FitsDict(MutableMapping):
 
     @property
     def fits(self):
-        # one scanned handle per mapping: appends update the HDU index
-        # incrementally, so streaming thousands of keys stays O(n)
-        if self._fits is None:
+        # one scanned handle per mapping: appends through THIS handle
+        # update the HDU index incrementally, so streaming thousands of
+        # keys stays O(n); if the file changed size through any OTHER
+        # handle (concurrent pipeline stage), drop and rescan
+        size = self.path.stat().st_size if self.path.exists() else -1
+        if self._fits is None or size != self._fits_size:
             self._fits = FitsFile(self.path, mode="rw")
+            self._fits_size = size
         return self._fits
+
+    def _sync_size(self):
+        self._fits_size = (
+            self.path.stat().st_size if self.path.exists() else -1
+        )
 
     def __init__(self, path, *, clobber=False):
         self.path = Path(path)
         if not self.path.exists() or clobber:
             FitsFile(self.path, mode="rw", clobber=True)
         self._fits = None
+        self._fits_size = -1
         self._cache = WeakValueDictionary()
 
     def __iter__(self):
@@ -477,6 +495,7 @@ class FitsDict(MutableMapping):
     def __setitem__(self, key, value):
         ext = _string_from_key(key)
         self.writer(self.fits, ext, value)
+        self._sync_size()
 
     def __delitem__(self, key):
         raise NotImplementedError("deleting FITS extensions is not supported")

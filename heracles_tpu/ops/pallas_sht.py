@@ -550,14 +550,13 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
     matching the jnp cross path (wigner.lambda_synthesis_scan_folded:
     S[L] accumulates a[P(L)]*lam[L], then GS = swap(S) * (-1)^m).
     """
-    mi = (pl.program_id(1) * m_chunk
-          + jax.lax.broadcasted_iota(jnp.int32, (1, m_chunk), 1))
-    msign = jnp.where(mi % 2 == 0, 1.0, -1.0).astype(jnp.float32)
     x = x_ref[...]
     logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
     logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
     m = seed_ref[7]
     j0 = seed_ref[6]
+    # (-1)^m from the planes' m row, so any m block works (sharded path)
+    msign = jnp.where(m - 2.0 * jnp.floor(m * 0.5) == 0.0, 1.0, -1.0)
     s2 = float(spin * spin)
 
     def seed_vals(lc_hi, lc_lo, sign, pc, ps):

@@ -38,9 +38,10 @@ logger = logging.getLogger(__name__)
 def _use_pallas():
     """Pallas kernels are auto-selected on TPU; HERACLES_TPU_NO_PALLAS=1
     forces the jnp scan fallbacks (debugging / numerics comparison)."""
+    flag = os.environ.get("HERACLES_TPU_NO_PALLAS", "").strip().lower()
     return (
         jax.default_backend() == "tpu"
-        and not os.environ.get("HERACLES_TPU_NO_PALLAS")
+        and flag in ("", "0", "false", "no")
     )
 
 __all__ = [
@@ -689,7 +690,6 @@ def alm2map_host(alm, nside, lmax=None, **kw):
     return np.asarray(_alm2map_planes(re, im, nside, lmax=lmax, **kw))
 
 
-@functools.lru_cache(maxsize=32)
 def pixel_window(nside, lmax, *, pol=False, method="auto"):
     """HEALPix pixel window w(l), l = 0..lmax (numpy, float64).
 
@@ -711,6 +711,9 @@ def pixel_window(nside, lmax, *, pol=False, method="auto"):
     """
     from . import pixwin as _pixwin
 
+    # resolve the env override and the auto choice OUTSIDE the lru cache,
+    # so a window table appearing later (precomputed in-session or by
+    # another process) is picked up instead of freezing the first choice
     method = os.environ.get("HERACLES_TPU_PIXWIN", method)
     if method == "auto":
         if nside <= 32 or _pixwin.find_cached(nside, lmax, pol) is not None:
@@ -722,6 +725,13 @@ def pixel_window(nside, lmax, *, pol=False, method="auto"):
                 "cap approximation (precompute with "
                 "heracles_tpu.ops.pixwin.pixel_window_exact)", nside,
             )
+    return _pixel_window_cached(int(nside), int(lmax), bool(pol), method)
+
+
+@functools.lru_cache(maxsize=32)
+def _pixel_window_cached(nside, lmax, pol, method):
+    from . import pixwin as _pixwin
+
     if method == "exact":
         return _pixwin.pixel_window_exact(nside, lmax, pol=pol)
     if method != "cap":

@@ -201,15 +201,34 @@ def _cross_grids(plan, lmax):
         s1, s2 = stacks[n1], stacks[n2]
         l1, l2 = _nlm2lmax(n1), _nlm2lmax(n2)
         lout = min(l1, l2) if lmax is None else min(lmax, l1, l2)
-        # real/imag planes: complex arrays cannot cross the jit boundary
-        # on some TPU transports
-        grids[n1, n2] = np.asarray(
-            _alm2cl_grid(
-                np.ascontiguousarray(s1.real), np.ascontiguousarray(s1.imag),
-                np.ascontiguousarray(s2.real), np.ascontiguousarray(s2.imag),
-                l1, l2, lout,
-            )
-        )
+        # chunk the plane stacks so the rectangular unpacked layouts stay
+        # within a fixed device budget per dispatch (~72 MB per plane at
+        # lmax=3000; a 50-bin tomographic stack would otherwise unpack
+        # several GB at once)
+        rect_bytes = 8 * (max(l1, l2) + 1) ** 2
+        per = max(1, int(512 * 2**20) // rect_bytes)
+        grid = None
+        for i0 in range(0, s1.shape[0], per):
+            b1 = s1[i0 : i0 + per]
+            for j0 in range(0, s2.shape[0], per):
+                b2 = s2[j0 : j0 + per]
+                # real/imag planes: complex arrays cannot cross the jit
+                # boundary on some TPU transports
+                block = np.asarray(
+                    _alm2cl_grid(
+                        np.ascontiguousarray(b1.real),
+                        np.ascontiguousarray(b1.imag),
+                        np.ascontiguousarray(b2.real),
+                        np.ascontiguousarray(b2.imag),
+                        l1, l2, lout,
+                    )
+                )
+                if grid is None:
+                    grid = np.empty(
+                        (s1.shape[0], s2.shape[0], lout + 1), block.dtype
+                    )
+                grid[i0 : i0 + per, j0 : j0 + per] = block
+        grids[n1, n2] = grid
     return grids, slot
 
 

@@ -91,3 +91,49 @@ def test_read_vmap_nested_ordering(tmp_path):
     f.write_table([nest_values], names=["VMAP"], extname="V", header=hdr)
     out = read_vmap(path)
     np.testing.assert_array_equal(out, ring_values)
+
+
+def test_concurrent_row_reads_are_isolated(tmp_path):
+    """Overlapping reads from two threads must not share a row buffer."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from heracles_tpu.fits import FitsFile
+
+    n = 50_000
+    data = np.zeros(n, dtype=[("A", ">f8"), ("B", ">f8")])
+    data["A"] = np.arange(n, dtype=np.float64)
+    data["B"] = 2.0 * np.arange(n, dtype=np.float64)
+    path = tmp_path / "cat.fits"
+    with FitsFile(path, mode="rw", clobber=True) as f:
+        f.write_table(data, extname="CAT")
+
+    hdu = FitsFile(path)[1]
+    spans = [(i * 5000, (i + 1) * 5000) for i in range(10)] * 4
+
+    def read(span):
+        cols = hdu.read_columns(["A", "B"], rows=span)
+        lo = np.arange(span[0], span[1], dtype=np.float64)
+        assert np.array_equal(cols["A"], lo)
+        assert np.array_equal(cols["B"], 2.0 * lo)
+
+    with ThreadPoolExecutor(4) as pool:
+        list(pool.map(read, spans))
+
+
+def test_short_read_raises(tmp_path):
+    """Truncated data segments raise instead of returning stale bytes."""
+    import pytest
+
+    from heracles_tpu.fits import FitsFile
+
+    n = 1000
+    data = np.zeros(n, dtype=[("A", ">f8")])
+    path = tmp_path / "trunc.fits"
+    with FitsFile(path, mode="rw", clobber=True) as f:
+        f.write_table(data, extname="CAT")
+    size = path.stat().st_size
+    with open(path, "r+b") as f:
+        f.truncate(size - 4000)
+    hdu = FitsFile(path)[1]
+    with pytest.raises(OSError, match="short read"):
+        hdu.read_columns(["A"], rows=(0, n))

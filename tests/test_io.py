@@ -157,3 +157,11 @@ def test_read_vmap(tmp_path):
     va = read_vmap(path, transform=True, lmax=4)
     assert np.iscomplexobj(va)
     assert va.size == 15
+
+
+def test_key_codec_run_folding_does_not_merge_literal_tilde():
+    """A non-printable run folds to one '~' even after a literal '~'."""
+    from heracles_tpu.io import _string_from_key
+
+    assert _string_from_key("a~\x00\x01b") == "a~~b"
+    assert _string_from_key("x\x00\x01y") == "x~y"
