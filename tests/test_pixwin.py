@@ -87,7 +87,7 @@ def test_polarization_window(tmp_path, monkeypatch):
 
 def test_sht_pixel_window_dispatch(tmp_path, monkeypatch):
     monkeypatch.setenv("HERACLES_TPU_CACHE", str(tmp_path))
-    sht.pixel_window.cache_clear()
+    sht._pixel_window_cached.cache_clear()
     # small nside -> auto=exact, pol cache reused for scalar lookups
     w = sht.pixel_window(16, 24)
     tp = sht.pixel_window(16, 24, pol=True)
@@ -95,4 +95,4 @@ def test_sht_pixel_window_dispatch(tmp_path, monkeypatch):
     np.testing.assert_allclose(tp[0], w, rtol=1e-8)
     cap = sht.pixel_window(16, 24, method="cap")
     assert np.max(np.abs(cap - w)) < 2e-2  # cap approx is percent-level
-    sht.pixel_window.cache_clear()
+    sht._pixel_window_cached.cache_clear()
