@@ -165,3 +165,22 @@ def test_key_codec_run_folding_does_not_merge_literal_tilde():
 
     assert _string_from_key("a~\x00\x01b") == "a~~b"
     assert _string_from_key("x\x00\x01y") == "x~y"
+
+
+def test_fitsdict_sees_appends_from_other_handles(tmp_path):
+    """A FitsDict must pick up extensions appended through another handle."""
+    from heracles_tpu.io import AlmFits
+
+    path = tmp_path / "alms.fits"
+    d = AlmFits(path, clobber=True)
+    alm = np.arange(6, dtype=complex)
+    d["POS", 0] = alm
+    assert ("POS", 0) in d
+
+    other = AlmFits(path)
+    other["POS", 1] = 2 * alm
+
+    # the first handle's index is stale on disk size change -> rescan
+    assert ("POS", 1) in d
+    assert set(d) == {("POS", 0), ("POS", 1)}
+    np.testing.assert_allclose(np.asarray(d["POS", 1]), 2 * alm)
