@@ -642,8 +642,10 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     nhalf = x.shape[0]
     nm_pad = alm_p.shape[-1]
     if ring_block is None:
-        # two double-buffered alm blocks + the (8, ring_block, m_chunk)
-        # out tile + 14 carries must fit the 16MB scoped-VMEM budget
+        # two double-buffered (2, lpad, m_chunk) alm blocks + the
+        # (8, ring_block, m_chunk) out tile + 14 carries; the alm blocks
+        # alone exceed Mosaic's default 16MB scoped-VMEM budget at
+        # production lmax, so the pallas_call below raises the limit
         ring_block = min(nhalf, 128 if lmax > 2048 else 256)
     nr_pad = -(-nhalf // ring_block) * ring_block
     pad = nr_pad - nhalf
@@ -692,6 +694,7 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
         out_shape=jax.ShapeDtypeStruct((B * 8, nr_pad, nm_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=_SEMANTICS,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xp, logchp, logshp, jnp.asarray(seed), prep(alm_p), prep(alm_m))
