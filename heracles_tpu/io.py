@@ -451,6 +451,8 @@ class FitsDict(MutableMapping):
         # handle (concurrent pipeline stage), drop and rescan
         size = self.path.stat().st_size if self.path.exists() else -1
         if self._fits is None or size != self._fits_size:
+            if self._fits is not None:
+                self._fits.close()
             self._fits = FitsFile(self.path, mode="rw")
             self._fits_size = size
         return self._fits

@@ -122,7 +122,9 @@ def transform(fields, data, *, out=None, progress=None, batch=8):
     for idx, (key, field, m) in enumerate(items):
         mapper = field.mapper_or_error
         if batch and batch > 1 and getattr(mapper, "batched_transform", False):
-            gkey = (id(mapper), field.spin, np.shape(m))
+            # dtype is part of the key: stacking f32 with f64 maps would
+            # promote both and change the batch=1 numerics
+            gkey = (id(mapper), field.spin, np.shape(m), np.asarray(m).dtype)
         else:
             gkey = ("solo", idx)
         groups.setdefault(gkey, []).append(idx)

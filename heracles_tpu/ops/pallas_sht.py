@@ -708,10 +708,23 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     return cplx(0, 1), cplx(2, 3), cplx(4, 5), cplx(6, 7)
 
 
+def _gammaln(x):
+    """Host-f64 log-gamma: scipy when available, math.lgamma otherwise.
+
+    scipy is only a [test] extra; the default TPU path must not require
+    it (XLA's TPU f32 lgamma is too lossy, so this always runs on host).
+    """
+    try:
+        from scipy.special import gammaln
+    except ImportError:  # pragma: no cover - depends on install
+        import math
+
+        gammaln = np.vectorize(math.lgamma, otypes=[np.float64])
+    return gammaln(x)
+
+
 def _seed_consts(mm, n):
     """(j0, sign, logC) of the Wigner seed d^{j0}_{-m, -n} (host numpy)."""
-    from scipy.special import gammaln
-
     mp = -mm.astype(np.int64)
     npar = int(-n)
     a = np.abs(mp)
@@ -719,7 +732,7 @@ def _seed_consts(mm, n):
     j0 = np.maximum(a, b)
     c = np.where(a >= b, npar, mp)
     logC = 0.5 * (
-        gammaln(2 * j0 + 1) - gammaln(j0 + c + 1) - gammaln(j0 - c + 1)
+        _gammaln(2 * j0 + 1) - _gammaln(j0 + c + 1) - _gammaln(j0 - c + 1)
     )
     k0 = np.where(
         a >= b,
@@ -735,16 +748,14 @@ def spin0_seed_planes(ms):
 
     ``ms``: the harmonic orders of the lanes (any contiguous block — the
     m-sharded path builds planes for all orders and shards them).  The
-    coefficients 0.5*(lgamma(2m+1) - 2 lgamma(m+1)) are computed with
-    scipy in f64 (XLA's TPU f32 lgamma loses ~1e-3 absolute at arguments
+    coefficients 0.5*(lgamma(2m+1) - 2 lgamma(m+1)) are computed on the
+    host in f64 (XLA's TPU f32 lgamma loses ~1e-3 absolute at arguments
     ~100) and split into an (hi, lo) f32 pair so the kernel's compensated
     seed evaluation keeps full f32 precision even where logC ~ m*ln4 is
     thousands.
     """
-    from scipy.special import gammaln
-
     mm = np.asarray(ms)
-    logc64 = 0.5 * (gammaln(2.0 * mm + 1.0) - 2.0 * gammaln(mm + 1.0))
+    logc64 = 0.5 * (_gammaln(2.0 * mm + 1.0) - 2.0 * _gammaln(mm + 1.0))
     hi = logc64.astype(np.float32)
     lo = (logc64 - hi.astype(np.float64)).astype(np.float32)
     msign = np.where(mm % 2 == 0, 1.0, -1.0).astype(np.float32)

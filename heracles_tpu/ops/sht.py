@@ -713,19 +713,31 @@ def pixel_window(nside, lmax, *, pol=False, method="auto"):
 
     # resolve the env override and the auto choice OUTSIDE the lru cache,
     # so a window table appearing later (precomputed in-session or by
-    # another process) is picked up instead of freezing the first choice
+    # another process) is picked up instead of freezing the first choice;
+    # once "exact" resolves, pin it (tables don't vanish mid-run) so a
+    # deconvolution-heavy pipeline doesn't re-glob the data dir per call
     method = os.environ.get("HERACLES_TPU_PIXWIN", method)
     if method == "auto":
-        if nside <= 32 or _pixwin.find_cached(nside, lmax, pol) is not None:
+        rkey = (int(nside), int(lmax), bool(pol))
+        if rkey in _pixwin_resolved_exact:
             method = "exact"
+        elif nside <= 32 or _pixwin.find_cached(nside, lmax, pol) is not None:
+            method = "exact"
+            _pixwin_resolved_exact.add(rkey)
         else:
             method = "cap"
-            logger.info(
-                "pixel_window(nside=%d): no exact window cached; using the "
-                "cap approximation (precompute with "
-                "heracles_tpu.ops.pixwin.pixel_window_exact)", nside,
-            )
+            if nside not in _pixwin_warned_nsides:
+                _pixwin_warned_nsides.add(nside)
+                logger.info(
+                    "pixel_window(nside=%d): no exact window cached; using "
+                    "the cap approximation (precompute with "
+                    "heracles_tpu.ops.pixwin.pixel_window_exact)", nside,
+                )
     return _pixel_window_cached(int(nside), int(lmax), bool(pol), method)
+
+
+_pixwin_resolved_exact = set()
+_pixwin_warned_nsides = set()
 
 
 @functools.lru_cache(maxsize=32)
