@@ -105,6 +105,63 @@ def _advance_pair(carry, ell, m, s2, mn, x, j0, seed_mant, seed_k):
     return (d_prev_new, d_new, k_new), d_new * emit * norm
 
 
+def _diag_end(m0, m_chunk, nblocks):
+    """Last 8-l block (exclusive) of the "diagonal" region of an m-chunk.
+
+    Blocks below it run the exact per-step seed/rescale logic; blocks at
+    or above it run the cheap bulk step with per-block deferred
+    rescaling.  The margin 128 + m0//32 l's beyond the chunk's top order
+    bounds the per-8-step mantissa growth to ~2^25 (the growth factor is
+    ~sqrt(2l/(l-m)) per step), so a deferred rescale can only miss
+    emissions below ~2^-35 — far under the f32 recurrence noise floor.
+    """
+    return jnp.minimum((m0 + m_chunk + 128 + m0 // 32) // 8, nblocks)
+
+
+def _bulk_coeffs_spin0(ell, m):
+    """(c1, c2) recurrence rows for l > m (no seed/guard logic needed)."""
+    lm1 = ell - 1.0
+    a_l = jnp.sqrt(ell * ell - m * m)
+    a_lm1 = jnp.sqrt(lm1 * lm1 - m * m)
+    inv = 1.0 / a_l
+    return (2.0 * ell - 1.0) * inv, a_lm1 * inv
+
+
+def _bulk_coeffs_pair(ell, m, s2, mn):
+    """(c0, cm, c2) rows for the pair recurrence at l > max(m, s).
+
+    d_new = c0 * (x * d_curr) - cm * d_curr - c2 * d_prev.
+    """
+    lm1 = ell - 1.0
+
+    def a_of(l):
+        return jnp.sqrt((l * l - m * m) * (l * l - s2)) / l
+
+    inv = 1.0 / a_of(ell)
+    c0 = (2.0 * ell - 1.0) * inv
+    cm = c0 * (mn / (lm1 * ell))
+    return c0, cm, a_of(lm1) * inv
+
+
+def _emit_of(k):
+    return jnp.where(k == 0.0, 1.0, jnp.where(k == -1.0, _INV_SCALE, 0.0))
+
+
+def _block_rescale(d_prev, d_curr, k):
+    """Deferred overflow check, once per 8-l block (exact binary scaling)."""
+    over = jnp.abs(d_curr) > _SCALE
+    d_curr = jnp.where(over, d_curr * _INV_SCALE, d_curr)
+    d_prev = jnp.where(over, d_prev * _INV_SCALE, d_prev)
+    return d_prev, d_curr, jnp.where(over, k + 1.0, k)
+
+
+def _norm_col(blk):
+    """(8, 1) column of sqrt((2l+1)/4pi) for the block's 8 l values."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(jnp.float32)
+    l_f = 8.0 * blk.astype(jnp.float32) + t
+    return jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
+
+
 def _two_sum(a, b):
     """Knuth two-sum: s + err == a + b exactly (f32)."""
     s = a + b
@@ -168,7 +225,15 @@ def _flatten_batch(arrays, core_ndim=2):
 
 def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
             m_chunk, ring_block):
-    """Grid: (B, n_mchunks, n_ringblocks); ring blocks accumulate into out."""
+    """Grid: (B, n_mchunks, n_ringblocks); ring blocks accumulate into out.
+
+    The l-loop is split per m-chunk: blocks below the chunk's lowest
+    order are skipped outright (lam = 0 for l < m — the triangle, ~2x at
+    production lmax), the "diagonal" region runs the exact per-step
+    seed/rescale logic, and the bulk region runs a stripped step with
+    per-block deferred rescaling and hoisted emit factors.
+    """
+    i = pl.program_id(1)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -187,7 +252,7 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
 
     # seed: slm includes a (-1)^m factor on the positive Wigner seed
     # d^m_{-m,0} = C (cos sin)^m (t/2); log C precomputed on the host
-    # (lgamma has no Pallas TPU lowering), compensated hi/lo evaluation
+    # (lgamma has no Mosaic lowering), compensated hi/lo evaluation
     frac, k0 = _comp_seed_frac(
         seed_ref[0], seed_ref[1], [(m, logsum_hi, logsum_lo)]
     )
@@ -199,7 +264,7 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     Fo_im = Fo_ref[1]
 
     # 8 l-steps per iteration: one aligned (8, m_chunk) store per plane
-    def body(blk, carry):
+    def diag_body(blk, carry):
         rows_re = []
         rows_im = []
         for t in range(8):
@@ -212,10 +277,35 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
         out_ref[1, sl, :] += jnp.concatenate(rows_im, axis=0)
         return carry
 
+    def bulk_body(blk, carry):
+        d_prev, d_curr, k = carry
+        emit = _emit_of(k)
+        rows_re = []
+        rows_im = []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            c1, c2 = _bulk_coeffs_spin0(ell, m)
+            d_new = c1 * (x * d_curr) - c2 * d_prev
+            lam = d_new * emit
+            Fr, Fi = (Fe_re, Fe_im) if t % 2 == 0 else (Fo_re, Fo_im)
+            rows_re.append(jnp.sum(lam * Fr, axis=0, keepdims=True))
+            rows_im.append(jnp.sum(lam * Fi, axis=0, keepdims=True))
+            d_prev, d_curr = d_curr, d_new
+        norm = _norm_col(blk)
+        sl = pl.ds(8 * blk, 8)
+        out_ref[0, sl, :] += jnp.concatenate(rows_re, axis=0) * norm
+        out_ref[1, sl, :] += jnp.concatenate(rows_im, axis=0) * norm
+        return _block_rescale(d_prev, d_curr, k)
+
     nblocks = (lmax + 8) // 8
+    m0 = i * m_chunk
+    diag_end = _diag_end(m0, m_chunk, nblocks)
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
-    jax.lax.fori_loop(0, nblocks, body, (zeros, zeros, kinit))
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body, (zeros, zeros, kinit)
+    )
+    jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
 
 
 def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
@@ -272,7 +362,7 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     FNm = (FNm_ref[0], FNm_ref[1])
     Sm = (Sm_ref[0], Sm_ref[1])
 
-    def body(blk, carry):
+    def diag_body(blk, carry):
         carry_p, carry_m = carry
         rows = [[], [], [], []]  # p_re, p_im, m_re, m_im
         for t in range(8):
@@ -296,10 +386,53 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             out_ref[plane, sl, :] += jnp.concatenate(rows[plane], axis=0)
         return carry_p, carry_m
 
+    def bulk_body(blk, carry):
+        (dp_prev, dp_curr, k_p), (dm_prev, dm_curr, k_m) = carry
+        emit_p = _emit_of(k_p)
+        emit_m = _emit_of(k_m)
+        rows = [[], [], [], []]
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
+            c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
+            dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
+            dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
+            lam_p = dp_new * emit_p
+            lam_m = dm_new * emit_m
+            for c in range(2):
+                tp = lam_p * FNp[c]
+                tm = lam_m * Sp[c]
+                rows[0 + c].append(jnp.sum(
+                    tp + tm if t % 2 == 0 else tp - tm,
+                    axis=0, keepdims=True,
+                ))
+                tp2 = lam_m * FNm[c]
+                tm2 = lam_p * Sm[c]
+                rows[2 + c].append(jnp.sum(
+                    tp2 + tm2 if t % 2 == 0 else tp2 - tm2,
+                    axis=0, keepdims=True,
+                ))
+            dp_prev, dp_curr = dp_curr, dp_new
+            dm_prev, dm_curr = dm_curr, dm_new
+        norm = _norm_col(blk)
+        sl = pl.ds(8 * blk, 8)
+        for plane in range(4):
+            out_ref[plane, sl, :] += jnp.concatenate(rows[plane], axis=0) * norm
+        return (
+            _block_rescale(dp_prev, dp_curr, k_p),
+            _block_rescale(dm_prev, dm_curr, k_m),
+        )
+
+    nblocks = (lmax + 8) // 8
+    m0 = pl.program_id(1) * m_chunk
+    diag_end = _diag_end(m0, m_chunk, nblocks)
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
     init = ((zeros, zeros, kinit), (zeros, zeros, kinit))
-    jax.lax.fori_loop(0, (lmax + 8) // 8, body, init)
+    # the pair seed sits at j0 = max(m, spin) >= m0 for every lane, so
+    # blocks below m0//8 contribute nothing for the whole chunk
+    carry = jax.lax.fori_loop(m0 // 8, diag_end, diag_body, init)
+    jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
 
 
 def pair_seed_planes(ms, spin):
@@ -439,7 +572,7 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
     )
     seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
-    def body(blk, carry):
+    def diag_body(blk, carry):
         state, GNr, GNi, Sr, Si = carry
         rows = alm_ref[:, pl.ds(8 * blk, 8), :]  # (2, 8, m_chunk)
         for t in range(8):
@@ -456,12 +589,39 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
                 Si = Si - a_im * lam
         return state, GNr, GNi, Sr, Si
 
+    def bulk_body(blk, carry):
+        (d_prev, d_curr, k), GNr, GNi, Sr, Si = carry
+        emit = _emit_of(k)
+        norm = _norm_col(blk)
+        rows = alm_ref[:, pl.ds(8 * blk, 8), :] * norm  # (2, 8, m_chunk)
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            c1, c2 = _bulk_coeffs_spin0(ell, m)
+            d_new = c1 * (x * d_curr) - c2 * d_prev
+            lam = d_new * emit
+            t_re = rows[0, t, :][None, :] * lam
+            t_im = rows[1, t, :][None, :] * lam
+            GNr = GNr + t_re
+            GNi = GNi + t_im
+            if t % 2 == 0:
+                Sr = Sr + t_re
+                Si = Si + t_im
+            else:
+                Sr = Sr - t_re
+                Si = Si - t_im
+            d_prev, d_curr = d_curr, d_new
+        return _block_rescale(d_prev, d_curr, k), GNr, GNi, Sr, Si
+
+    nblocks = (lmax + 8) // 8
+    m0 = pl.program_id(1) * m_chunk
+    diag_end = _diag_end(m0, m_chunk, nblocks)
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
-    _, GNr, GNi, Sr, Si = jax.lax.fori_loop(
-        0, (lmax + 8) // 8, body,
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body,
         ((zeros, zeros, kinit), zeros, zeros, zeros, zeros),
     )
+    _, GNr, GNi, Sr, Si = jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
     out_ref[0] = GNr
     out_ref[1] = GNi
     out_ref[2] = Sr * msign
@@ -575,7 +735,7 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
     mn_p = m * float(spin)
     mn_m = m * float(-spin)
 
-    def body(blk, carry):
+    def diag_body(blk, carry):
         state_p, state_m, acc = carry
         GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc
         rows_p = ap_ref[:, pl.ds(8 * blk, 8), :]  # (2, 8, m_chunk)
@@ -604,13 +764,68 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
         acc = (GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi)
         return state_p, state_m, acc
 
+    def bulk_body(blk, carry):
+        (dp_prev, dp_curr, k_p), (dm_prev, dm_curr, k_m), acc = carry
+        GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc
+        emit_p = _emit_of(k_p)
+        emit_m = _emit_of(k_m)
+        norm = _norm_col(blk)
+        rows_p = ap_ref[:, pl.ds(8 * blk, 8), :] * norm
+        rows_m = am_ref[:, pl.ds(8 * blk, 8), :] * norm
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
+            c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
+            dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
+            dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
+            lam_p = dp_new * emit_p
+            lam_m = dm_new * emit_m
+            apr = rows_p[0, t, :][None, :]
+            api = rows_p[1, t, :][None, :]
+            amr = rows_m[0, t, :][None, :]
+            ami = rows_m[1, t, :][None, :]
+            tpr = apr * lam_p
+            tpi = api * lam_p
+            tmr = amr * lam_m
+            tmi = ami * lam_m
+            GNpr = GNpr + tpr
+            GNpi = GNpi + tpi
+            GNmr = GNmr + tmr
+            GNmi = GNmi + tmi
+            xpr = apr * lam_m
+            xpi = api * lam_m
+            xmr = amr * lam_p
+            xmi = ami * lam_p
+            if t % 2 == 0:
+                Spr = Spr + xpr
+                Spi = Spi + xpi
+                Smr = Smr + xmr
+                Smi = Smi + xmi
+            else:
+                Spr = Spr - xpr
+                Spi = Spi - xpi
+                Smr = Smr - xmr
+                Smi = Smi - xmi
+            dp_prev, dp_curr = dp_curr, dp_new
+            dm_prev, dm_curr = dm_curr, dm_new
+        acc = (GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi)
+        return (
+            _block_rescale(dp_prev, dp_curr, k_p),
+            _block_rescale(dm_prev, dm_curr, k_m),
+            acc,
+        )
+
+    nblocks = (lmax + 8) // 8
+    m0 = pl.program_id(1) * m_chunk
+    diag_end = _diag_end(m0, m_chunk, nblocks)
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
     state0 = (zeros, zeros, kinit)
     acc0 = (zeros,) * 8
-    _, _, acc = jax.lax.fori_loop(
-        0, (lmax + 8) // 8, body, (state0, state0, acc0)
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body, (state0, state0, acc0)
     )
+    _, _, acc = jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
     GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc
     out_ref[0] = GNpr
     out_ref[1] = GNpi

@@ -306,3 +306,106 @@ def test_pallas_synthesis_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(GS), np.asarray(wantS), atol=2e-5 * scale, rtol=2e-4
     )
+
+
+def test_pallas_bulk_and_triangle_regions():
+    """Large lmax exercises the triangle skip + deferred-rescale bulk loop.
+
+    With m_chunk=128 and nm_pad=256 the second chunk starts its l-loop at
+    blk m0//8 = 16 (triangle skip), and blocks beyond the diagonal margin
+    run the stripped bulk step in all four kernels.
+    """
+    from heracles_tpu.ops.pallas_sht import (
+        analysis_pair_folded,
+        synthesis_pair_folded,
+        synthesis_spin0_folded,
+    )
+
+    nside, lmax, spin = 16, 420, 2
+    rng = np.random.default_rng(17)
+    nhalf = 2 * nside
+    nm_pad = 256
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+    ms = jnp.arange(nm_pad, dtype=jnp.int32)
+
+    def rand(*shape):
+        return (rng.normal(size=shape)
+                + 1j * rng.normal(size=shape)).astype(np.complex64)
+
+    # spin-0 analysis
+    Fe, Fo = rand(nhalf, nm_pad), rand(nhalf, nm_pad)
+    got = np.asarray(analysis_spin0_folded(
+        jnp.asarray(Fe), jnp.asarray(Fo), jnp.asarray(x),
+        jnp.asarray(logch), jnp.asarray(logsh), lmax,
+        ring_block=32, interpret=True,
+    ))
+    want = np.asarray(wigner.lambda_analysis_scan_folded(
+        ms, jnp.zeros(nm_pad, jnp.int32), jnp.asarray(x), jnp.asarray(logch),
+        jnp.asarray(logsh), lmax, jnp.asarray((Fe + Fo) / 2),
+        jnp.asarray((Fe - Fo) / 2), cross=False,
+    ))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=4e-5 * scale, rtol=4e-4)
+
+    # spin-0 synthesis
+    alm = rand(lmax + 1, nm_pad)
+    GN, GS = synthesis_spin0_folded(
+        jnp.asarray(alm), jnp.asarray(x), jnp.asarray(logch),
+        jnp.asarray(logsh), lmax, ring_block=32, interpret=True,
+    )
+    wantN, wantS = wigner.lambda_synthesis_scan_folded(
+        ms, jnp.zeros(nm_pad, jnp.int32), jnp.asarray(x), jnp.asarray(logch),
+        jnp.asarray(logsh), lmax, jnp.asarray(alm), cross=False,
+    )
+    scale = float(np.abs(np.asarray(wantN)).max())
+    np.testing.assert_allclose(
+        np.asarray(GN), np.asarray(wantN), atol=4e-5 * scale, rtol=4e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(GS), np.asarray(wantS), atol=4e-5 * scale, rtol=4e-4
+    )
+
+    # pair analysis
+    FNp, Sp, FNm, Sm = (rand(nhalf, nm_pad) for _ in range(4))
+    ap, am = analysis_pair_folded(
+        jnp.asarray(FNp), jnp.asarray(Sp), jnp.asarray(FNm), jnp.asarray(Sm),
+        jnp.asarray(x), jnp.asarray(logch), jnp.asarray(logsh), lmax, spin,
+        ring_block=32, interpret=True,
+    )
+    ms2 = jnp.tile(ms, 2)
+    ns2 = jnp.repeat(jnp.asarray([spin, -spin], jnp.int32), nm_pad)
+    want2 = np.asarray(wigner.lambda_analysis_scan_folded(
+        ms2, ns2, jnp.asarray(x), jnp.asarray(logch), jnp.asarray(logsh),
+        lmax, jnp.concatenate([jnp.asarray(FNp), jnp.asarray(FNm)], axis=-1),
+        jnp.concatenate([jnp.asarray(Sm), jnp.asarray(Sp)], axis=-1),
+        cross=True,
+    ))
+    scale2 = np.abs(want2).max()
+    np.testing.assert_allclose(
+        np.asarray(ap), want2[:, :nm_pad], atol=5e-5 * scale2, rtol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(am), want2[:, nm_pad:], atol=5e-5 * scale2, rtol=5e-4
+    )
+
+    # pair synthesis
+    a_p, a_m = rand(lmax + 1, nm_pad), rand(lmax + 1, nm_pad)
+    GNp, GSp, GNm, GSm = synthesis_pair_folded(
+        jnp.asarray(a_p), jnp.asarray(a_m), jnp.asarray(x),
+        jnp.asarray(logch), jnp.asarray(logsh), lmax, spin,
+        ring_block=32, interpret=True,
+    )
+    wantN2, wantS2 = wigner.lambda_synthesis_scan_folded(
+        ms2, ns2, jnp.asarray(x), jnp.asarray(logch), jnp.asarray(logsh),
+        lmax, jnp.concatenate([jnp.asarray(a_p), jnp.asarray(a_m)], axis=-1),
+        cross=True,
+    )
+    wantN2 = np.asarray(wantN2)
+    wantS2 = np.asarray(wantS2)
+    scale3 = np.abs(wantN2).max()
+    kw = dict(atol=5e-5 * scale3, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(GNp), wantN2[..., :nm_pad], **kw)
+    np.testing.assert_allclose(np.asarray(GNm), wantN2[..., nm_pad:], **kw)
+    np.testing.assert_allclose(np.asarray(GSp), wantS2[..., :nm_pad], **kw)
+    np.testing.assert_allclose(np.asarray(GSm), wantS2[..., nm_pad:], **kw)
