@@ -37,7 +37,7 @@ import numpy as np
 
 from ..healpix import nside2npix
 
-__all__ = ["ring_analysis", "ring_synthesis", "ring_plan"]
+__all__ = ["ring_analysis", "ring_synthesis", "ring_plan", "chirp_fft_planes"]
 
 
 def _next_pow2(n):
@@ -45,7 +45,7 @@ def _next_pow2(n):
 
 
 @functools.lru_cache(maxsize=32)
-def ring_plan(nside):
+def ring_plan(nside, mext=None):
     """Host-side static plan of ring buckets for a given nside.
 
     Returns a tuple of bucket dicts, in north-to-south ring order, each with
@@ -56,6 +56,13 @@ def ring_plan(nside):
     - ``phi0``:  numpy array of first-pixel azimuths
     - ``L``:     the common FFT length for the bucket
     - ``belt``:  True for the equatorial belt (direct FFT, no chirp)
+
+    With ``mext`` (the number of harmonic orders, m0 + nm), cap rings are
+    bucketed by the Bluestein transform length they actually need —
+    ``next_pow2(nph + mext + 1)`` (data extent + output extent) — which
+    both tightens the padded lengths (the octave rule pads the largest
+    cap rings 2x beyond need at production lmax) and makes ``L`` directly
+    usable by the chirp transforms with no further adjustment.
     """
     nside = int(nside)
     nr = 4 * nside - 1
@@ -76,7 +83,12 @@ def ring_plan(nside):
 
     def add_bucket(r0, r1, belt):
         n_max = int(nph[r0:r1].max())
-        L = 4 * nside if belt else _next_pow2(2 * n_max)
+        if belt:
+            L = 4 * nside
+        elif mext is not None:
+            L = _next_pow2(n_max + int(mext) + 1)
+        else:
+            L = _next_pow2(2 * n_max)
         buckets.append(
             {
                 "rings": (int(r0), int(r1)),
@@ -88,15 +100,19 @@ def ring_plan(nside):
             }
         )
 
-    # cap grouping: rings whose nph fits within a factor `stride` share a
-    # bucket (fewer, larger batched FFTs; padding waste is bounded by the
-    # smallest rings, which hold few pixels)
+    # cap grouping: without mext, rings whose nph fits within a factor
+    # `stride` share a bucket (fewer, larger batched FFTs; padding waste
+    # is bounded by the smallest rings, which hold few pixels); with
+    # mext, group by the needed transform length directly
     stride = 4
 
     # north cap: rings 0 .. nside-2, nph ascending
     r = 0
     while r < nside - 1:
-        g = _next_pow2(int(nph[r])) * (stride // 2)
+        if mext is not None:
+            g = _next_pow2(int(nph[r]) + int(mext) + 1) - int(mext) - 1
+        else:
+            g = _next_pow2(int(nph[r])) * (stride // 2)
         r1 = r
         while r1 < nside - 1 and nph[r1] <= g:
             r1 += 1
@@ -135,28 +151,116 @@ def _chirp_from_index(q, nph, sign, rdt):
     return jnp.exp(1j * sign * ang)
 
 
-def _bluestein_dft(vals, nph, L, *, sign):
+def _chirp_rows(nph, L, T, b_sign, rdt):
+    """Chirp sequence b[idx] = e^{b_sign i pi j^2 / nph}, split at ``T``.
+
+    ``j = idx`` for idx < T (the positive offsets k - p, k the output
+    index) and ``j = idx - L`` for idx >= T (the negative offsets; the
+    chirp is even, so |j| = L - idx is used).  Validity needs only
+    T >= output extent and L - T >= data extent - 1, i.e.
+    L >= data extent + output extent - 1 — not the 2*max(extents) that a
+    mid-split (T = L/2) would require.
+    """
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    j = jnp.where(idx < T, idx, L - idx)
+    return _chirp_from_index(j, nph, b_sign, rdt)
+
+
+def _bluestein_dft(vals, nph, L, *, sign, out_extent=None, fftb=None):
     """Per-row chirp transform with per-row modulus ``nph``.
 
     vals: (..., R, L) complex, zero beyond each row's data extent.
     nph:  (R,) int32 moduli.  Returns (..., R, L) complex where entry k
-    holds sum_p vals[r, p] * exp(sign * 2j*pi*k*p/nph[r]) — for ALL k < L
-    whose circular distance to every nonzero p is < L/2 (i.e. data extent
-    + output extent <= L).  Entries k >= nph[r] evaluate the aliased
-    series exactly (e^{2pi i kp/n} is periodic in k mod n).
+    holds sum_p vals[r, p] * exp(sign * 2j*pi*k*p/nph[r]) for every
+    output index k < ``out_extent`` (default L//2), provided
+    L >= data extent + out_extent - 1.  Entries k >= nph[r] evaluate the
+    aliased series exactly (e^{2pi i kp/n} is periodic in k mod n).
+
+    ``fftb``: optional precomputed ``fft(b)`` for this bucket, split
+    point and sign (see :func:`chirp_fft_planes`) — passed as a jit
+    *argument* so the chirp FFT (a third of the cap cost) runs once per
+    session instead of once per call; big device constants cannot be
+    closed over on this platform (literal embedding is prohibitively
+    slow over the tunnel).
     """
     rdt = _real_dtype(vals.dtype)
     nphc = nph[:, None]
     p = jnp.arange(L, dtype=jnp.int32)[None, :]
-    pd = jnp.minimum(p, L - p)
     # e^{sigma 2pi i kp/n} = w_k w_p b_{k-p} with w_x = e^{sigma i pi x^2/n},
-    # b_j = e^{-sigma i pi j^2/n} (b stored at circular distance |j|)
+    # b_j = e^{-sigma i pi j^2/n}
     w = _chirp_from_index(p, nphc, sign, rdt)
-    b = _chirp_from_index(pd, nphc, -sign, rdt)
-    conv = jnp.fft.ifft(
-        jnp.fft.fft(vals * w, axis=-1) * jnp.fft.fft(b, axis=-1), axis=-1
-    )
+    if fftb is None:
+        T = L // 2 if out_extent is None else out_extent
+        b = _chirp_rows(nphc, L, T, -sign, rdt)
+        fftb = jnp.fft.fft(b, axis=-1)
+    conv = jnp.fft.ifft(jnp.fft.fft(vals * w, axis=-1) * fftb, axis=-1)
     return conv * w
+
+
+def _build_chirp_fft(nph, T, L, rdt_str):
+    """fft(b) planes for one cap bucket, chirp sign +1 (serves sign=-1).
+
+    Returns (2, R, L) float planes [re, im] as a device array.  The
+    other sign's spectrum is the conjugate-reflected one (see
+    :func:`_fftb_of_sign`), so only one is stored.  ``nph`` and ``T``
+    are traced (not static) so mirror buckets and both split kinds
+    share one compilation per (R, L) shape — compiles are ~30 s each
+    over the TPU tunnel.
+    """
+    rdt = jnp.dtype(rdt_str)
+    fb = jnp.fft.fft(_chirp_rows(nph[:, None], L, T, 1, rdt), axis=-1)
+    return jnp.stack([fb.real, fb.imag]).astype(rdt)
+
+
+_build_chirp_fft_jit = jax.jit(
+    _build_chirp_fft, static_argnames=("L", "rdt_str")
+)
+
+
+@functools.lru_cache(maxsize=16)
+def chirp_fft_planes(nside, mext, rdt_str="float32", kind="analysis"):
+    """Device-resident fft(chirp) planes per cap bucket of the plan.
+
+    One entry per bucket of ``ring_plan(nside, mext)`` (None for the
+    belt), each a (2, R, L) float array of [re, im] planes of
+    ``fft(b)`` for chirp sign +1.  Pass the result to
+    :func:`ring_analysis` (``kind="analysis"``) or
+    :func:`ring_synthesis` (``kind="synthesis"``) as ``chirps=`` —
+    through a jit boundary as a regular argument, NOT a closure.
+
+    The two directions need different chirp split points (the output
+    extent is the harmonic orders for analysis but the ring length for
+    synthesis), hence the ``kind`` key.
+    """
+    plan = ring_plan(int(nside), int(mext))
+    out = []
+    for b in plan:
+        if b["belt"]:
+            out.append(None)
+        else:
+            T = int(mext) if kind == "analysis" else int(b["nph"].max())
+            fb = _build_chirp_fft_jit(
+                np.asarray(b["nph"], np.int32), np.int32(T), b["L"], rdt_str
+            )
+            fb.block_until_ready()
+            out.append(fb)
+    return tuple(out)
+
+
+def _fftb_of_sign(planes, sign):
+    """Complex fft(b) for the requested transform sign from stored planes.
+
+    Stored planes hold fft(b) with chirp sign +1 (used by transform
+    sign=-1).  The opposite chirp is the conjugate sequence, whose
+    spectrum is the conjugated, index-reflected one:
+    fft(conj(b))[k] = conj(fft(b)[(-k) mod L]).
+    """
+    fb = planes[0] + 1j * planes[1]
+    if sign == -1:
+        return fb
+    head = fb[..., :1]
+    tail = jnp.flip(fb[..., 1:], axis=-1)
+    return jnp.conj(jnp.concatenate([head, tail], axis=-1))
 
 
 def _gather_rows(maps, pix0, nph_np, L):
@@ -183,7 +287,7 @@ def _gather_rows(maps, pix0, nph_np, L):
     return jnp.where(p < nph[:, None], rows, 0)
 
 
-def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
+def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None):
     """Per-ring Fourier coefficients F[..., r, m] = sum_p v_p e^{-i m phi_p}.
 
     ``maps``: (..., npix) real or complex, RING ordering.  The ``nm``
@@ -195,18 +299,24 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
     Aliased orders (m >= nph of the small polar rings) are produced
     directly by the chirp transform (its modulus is the ring length, its
     output extent the order range), so there are no gathers on this path.
+
+    ``chirps``: optional output of ``chirp_fft_planes(nside, m0 + nm)``
+    passed through the enclosing jit as an argument — skips the
+    per-call chirp FFT of every cap bucket (a third of the cap cost).
     """
-    if plan is None:
-        plan = ring_plan(nside)
     complex_in = jnp.iscomplexobj(maps)
     cdt = _complex_dtype(maps.dtype)
     rdt = _real_dtype(maps.dtype)
     static_m0 = isinstance(m0, int)
+    if plan is None:
+        plan = ring_plan(nside, m0 + nm if static_m0 else None)
+    if chirps is None:
+        chirps = (None,) * len(plan)
     m = (jnp.asarray(m0, jnp.int32) + jnp.arange(nm, dtype=jnp.int32))[None, :]
 
     out_pos = []
     out_neg = []
-    for b in plan:
+    for b, fbp in zip(plan, chirps):
         nph = jnp.asarray(b["nph"], dtype=jnp.int32)
         L = b["L"]
         nph_min = int(b["nph"].min())
@@ -218,6 +328,16 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
             p0, p1 = b["pix"]
             nr_b = b["rings"][1] - b["rings"][0]
             rows = maps[..., p0:p1].reshape(maps.shape[:-1] + (nr_b, L))
+            if (
+                not complex_in
+                and static_m0
+                and m0 + nm <= L // 2 + 1
+            ):
+                # real input: half-spectrum FFT covers every order
+                C = jnp.fft.rfft(rows.astype(rdt), axis=-1)
+                Cm = jax.lax.slice_in_dim(C, m0, m0 + nm, axis=-1)
+                out_pos.append(Cm.astype(cdt) * phase)
+                continue
             C = jnp.fft.fft(rows.astype(cdt), axis=-1)
             if static_m0 and m0 + nm <= nph_min:
                 Cm = jax.lax.slice_in_dim(C, m0, m0 + nm, axis=-1)
@@ -255,16 +375,25 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0):
                     )
             continue
         # cap buckets: direct chirp transform; the transform length must
-        # cover data extent + output extent
+        # cover data extent + output extent (mext-aware plans already
+        # size L to nph_max + m0 + nm + 1)
         if static_m0:
-            L_eff = max(L, _next_pow2(2 * (m0 + nm)))
+            L_eff = max(L, _next_pow2(b["nph"].max() + m0 + nm + 1))
+            if L_eff != L:
+                fbp = None
             rows = _gather_rows(maps, b["pix"][0], b["nph"], L_eff).astype(cdt)
-            C = _bluestein_dft(rows, nph, L_eff, sign=-1)
+            C = _bluestein_dft(
+                rows, nph, L_eff, sign=-1, out_extent=m0 + nm,
+                fftb=None if fbp is None else _fftb_of_sign(fbp, -1),
+            )
             out_pos.append(
                 jax.lax.slice_in_dim(C, m0, m0 + nm, axis=-1) * phase
             )
             if complex_in:
-                Cn = _bluestein_dft(rows, nph, L_eff, sign=+1)
+                Cn = _bluestein_dft(
+                    rows, nph, L_eff, sign=+1, out_extent=m0 + nm,
+                    fftb=None if fbp is None else _fftb_of_sign(fbp, +1),
+                )
                 out_neg.append(
                     jax.lax.slice_in_dim(Cn, m0, m0 + nm, axis=-1)
                     * jnp.conj(phase)
@@ -310,7 +439,8 @@ def _write_rows(v, nph_np, L):
     return buf[..., :seg_len]
 
 
-def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
+def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True,
+                   chirps=None):
     """Inverse of :func:`ring_analysis`: evaluate per-ring Fourier series.
 
     v_p = sum_{m=0}^{nm-1} h_pos[..., r, m] e^{+i m phi_p}
@@ -321,16 +451,20 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
 
     Cap rings evaluate the +-m series directly with chirp transforms
     whose modulus is the ring length (orders m >= nph alias exactly), so
-    there are no scatters on this path.
+    there are no scatters on this path.  ``chirps``: optional
+    ``chirp_fft_planes(nside, nm)`` passed through the enclosing jit as
+    an argument (skips the per-call chirp FFTs).
     """
-    if plan is None:
-        plan = ring_plan(nside)
     nm = h_pos.shape[-1]
+    if plan is None:
+        plan = ring_plan(nside, nm)
+    if chirps is None:
+        chirps = (None,) * len(plan)
     rdt = _real_dtype(h_pos.dtype)
     m = jnp.arange(nm, dtype=jnp.int32)[None, :]
     pieces = []
     r0 = 0
-    for b in plan:
+    for b, fbp in zip(plan, chirps):
         nr_b = b["rings"][1] - b["rings"][0]
         nph = jnp.asarray(b["nph"], dtype=jnp.int32)[:, None]
         phi0 = jnp.asarray(b["phi0"], rdt)[:, None]
@@ -367,8 +501,13 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
         else:
             # cap rings: direct chirp evaluation (modulus nph, data
             # extent nm, output extent nph <= L)
-            L_eff = max(L, _next_pow2(2 * nm))
+            L_eff = max(L, _next_pow2(int(b["nph"].max()) + nm + 1))
+            if L_eff != L:
+                fbp = None
             nph32 = jnp.asarray(b["nph"], jnp.int32)
+
+            def fb_of(sign, fbp=fbp):
+                return None if fbp is None else _fftb_of_sign(fbp, sign)
 
             def pad_L(a, Le=L_eff):
                 return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, Le - nm)])
@@ -376,15 +515,21 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True):
             if h_neg is None:
                 # hn = conj(hp) (m > 0): v = hp_0 + 2 Re(B_+(hp, m>0))
                 hp_mask = hp.at[..., 0].set(0.0)
-                vb = 2.0 * _bluestein_dft(pad_L(hp_mask), nph32, L_eff,
-                                          sign=+1)
+                vb = 2.0 * _bluestein_dft(
+                    pad_L(hp_mask), nph32, L_eff, sign=+1,
+                    out_extent=int(b["nph"].max()), fftb=fb_of(+1),
+                )
                 v = (vb.real + hp[..., :1].real) if real_output else (
                     vb.real + hp[..., :1]
                 )
             else:
                 v = (
-                    _bluestein_dft(pad_L(hp), nph32, L_eff, sign=+1)
-                    + _bluestein_dft(pad_L(hn), nph32, L_eff, sign=-1)
+                    _bluestein_dft(pad_L(hp), nph32, L_eff, sign=+1,
+                                   out_extent=int(b["nph"].max()),
+                                   fftb=fb_of(+1))
+                    + _bluestein_dft(pad_L(hn), nph32, L_eff, sign=-1,
+                                     out_extent=int(b["nph"].max()),
+                                     fftb=fb_of(-1))
                 )
         if real_output:
             v = v.real

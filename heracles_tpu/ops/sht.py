@@ -506,7 +506,8 @@ def _weights_arr(nside, weights, dtype):
 
 
 def map2alm(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
-            iterations=0, m_chunk=DEFAULT_M_CHUNK, packed=True):
+            iterations=0, m_chunk=DEFAULT_M_CHUNK, packed=True,
+            fft_chirps=None, fft_chirps_synth=None):
     """Spin-0/2 spherical harmonic analysis of HEALPix RING maps.
 
     ``maps``: (..., npix) real for spin 0; (..., 2, npix) [Q, U] for spin 2.
@@ -521,18 +522,19 @@ def map2alm(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
     spin 2 (packed=False returns rectangular (..., lmax+1, mmax+1)).
     """
     out = _map2alm_once(maps, lmax, mmax, spin=spin, weights=weights,
-                        m_chunk=m_chunk, packed=False)
+                        m_chunk=m_chunk, packed=False,
+                        fft_chirps=fft_chirps)
     if iterations:
         nside = npix2nside(jnp.shape(maps)[-1])
         lmax_r = resolve_lmax(nside, lmax)
         for _ in range(int(iterations)):
             resid = jnp.asarray(maps) - alm2map(
                 out, nside, lmax=lmax_r, mmax=mmax, spin=spin,
-                m_chunk=m_chunk, packed=False,
+                m_chunk=m_chunk, packed=False, fft_chirps=fft_chirps_synth,
             )
             out = out + _map2alm_once(
                 resid, lmax, mmax, spin=spin, weights=weights,
-                m_chunk=m_chunk, packed=False,
+                m_chunk=m_chunk, packed=False, fft_chirps=fft_chirps,
             )
     if packed:
         lmax_r = resolve_lmax(npix2nside(jnp.shape(maps)[-1]), lmax)
@@ -542,7 +544,7 @@ def map2alm(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
 
 
 def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
-                  m_chunk=DEFAULT_M_CHUNK, packed=True):
+                  m_chunk=DEFAULT_M_CHUNK, packed=True, fft_chirps=None):
     """Single-pass analysis (no refinement)."""
     maps = jnp.asarray(maps)
     spin = abs(int(spin))
@@ -562,7 +564,8 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
         return jnp.pad(F, [(0, 0)] * (F.ndim - 1) + [(0, nm_pad - (mmax + 1))])
 
     if spin == 0:
-        F, _ = ringfft.ring_analysis(maps, nside, mmax + 1)
+        F, _ = ringfft.ring_analysis(maps, nside, mmax + 1,
+                                     chirps=fft_chirps)
         (alm,) = _analysis_rect(
             (pad_m(F * w),), x, logch, logsh, lmax, mmax, (0,), m_chunk,
             geom_lo=geom_lo,
@@ -571,7 +574,8 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
         out = alm
     else:
         u = maps[..., 0, :] + 1j * maps[..., 1, :]
-        F, Fneg = ringfft.ring_analysis(u, nside, mmax + 1)
+        F, Fneg = ringfft.ring_analysis(u, nside, mmax + 1,
+                                        chirps=fft_chirps)
         # a_{+s,lm} = sum_r w slm(l,m,+s) F_m(r): engine column ns=+s
         # a_{-s,lm} = sum_r w slm(l,m,-s) conj(F_{-m}(r)): column ns=-s
         a_p, a_m = _analysis_rect(
@@ -590,7 +594,7 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
 
 
 def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
-            m_chunk=DEFAULT_M_CHUNK, packed=True):
+            m_chunk=DEFAULT_M_CHUNK, packed=True, fft_chirps=None):
     """Spin-0/2 spherical harmonic synthesis onto a HEALPix RING map.
 
     ``alm``: packed (..., nlm) (spin 0) or (..., 2, nlm) (E, B) (spin 2);
@@ -624,7 +628,7 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
             geom_lo=geom_lo,
         )
         G = G[..., : mmax + 1]
-        return ringfft.ring_synthesis(G, None, nside)
+        return ringfft.ring_synthesis(G, None, nside, chirps=fft_chirps)
     alm_e = alm[..., 0, :, :]
     alm_b = alm[..., 1, :, :]
     a_p = -(alm_e + 1j * alm_b)  # a_{+spin}
@@ -639,7 +643,8 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
     )
     Gp = Gp[..., : mmax + 1]
     Gm = Gm[..., : mmax + 1]
-    u = ringfft.ring_synthesis(Gp, Gm, nside, real_output=False)
+    u = ringfft.ring_synthesis(Gp, Gm, nside, real_output=False,
+                               chirps=fft_chirps)
     return jnp.stack([u.real, u.imag], axis=-2)
 
 
@@ -668,7 +673,7 @@ _map2alm_planes = jax.jit(
     static_argnames=(
         "lmax", "mmax", "spin", "weights", "iterations", "m_chunk", "packed"
     ),
-)
+)  # fft_chirps rides through **kw as a traced pytree argument
 
 _alm2map_planes = jax.jit(
     lambda re, im, nside, **kw: alm2map(re + 1j * im, nside, **kw),
@@ -676,15 +681,50 @@ _alm2map_planes = jax.jit(
 )
 
 
+def _host_chirps(npix_or_nside, lmax, mmax, dtype, *, from_npix,
+                 kind="analysis"):
+    """Cached device fft(chirp) planes for the host wrappers."""
+    nside = npix2nside(npix_or_nside) if from_npix else npix_or_nside
+    lmax_r = resolve_lmax(nside, lmax)
+    mext = (lmax_r if mmax is None else int(mmax)) + 1
+    fdt = (
+        "float64"
+        if np.dtype(dtype) in (np.float64, np.complex128)
+        else "float32"
+    )
+    return ringfft.chirp_fft_planes(nside, mext, fdt, kind)
+
+
 def map2alm_host(maps, lmax=None, **kw):
     """map2alm for host (numpy) callers; returns numpy complex alms."""
-    planes = np.asarray(_map2alm_planes(np.asarray(maps), lmax=lmax, **kw))
+    maps = np.asarray(maps)
+    if "fft_chirps" not in kw:
+        kw["fft_chirps"] = _host_chirps(
+            maps.shape[-1], lmax, kw.get("mmax"), maps.dtype, from_npix=True
+        )
+        if kw.get("iterations"):
+            kw["fft_chirps_synth"] = _host_chirps(
+                maps.shape[-1], lmax, kw.get("mmax"), maps.dtype,
+                from_npix=True, kind="synthesis",
+            )
+    planes = np.asarray(_map2alm_planes(maps, lmax=lmax, **kw))
     return np.ascontiguousarray(planes[0] + 1j * planes[1])
 
 
 def alm2map_host(alm, nside, lmax=None, **kw):
     """alm2map for host (numpy) callers; input numpy complex alms."""
     alm = np.asarray(alm)
+    if "fft_chirps" not in kw:
+        lmax_r = lmax
+        if lmax_r is None and kw.get("packed", True):
+            nlm = alm.shape[-1]
+            lmax_r = int((np.sqrt(8 * nlm + 1) - 3) / 2 + 0.5)
+        elif lmax_r is None:
+            lmax_r = alm.shape[-2] - 1
+        kw["fft_chirps"] = _host_chirps(
+            int(nside), lmax_r, kw.get("mmax"), alm.real.dtype,
+            from_npix=False, kind="synthesis",
+        )
     re = np.ascontiguousarray(alm.real)
     im = np.ascontiguousarray(alm.imag)
     return np.asarray(_alm2map_planes(re, im, nside, lmax=lmax, **kw))
