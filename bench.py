@@ -53,6 +53,13 @@ def _cl_power(alm_rect):
     return p.sum(axis=-1) / (2 * ells + 1)
 
 
+def _chirps(nside, lmax, kind="analysis"):
+    """Session-cached fft(chirp) planes (passed as jit arguments)."""
+    from heracles_tpu.ops import ringfft
+
+    return ringfft.chirp_fft_planes(nside, lmax + 1, "float32", kind)
+
+
 def build_spin0(nside, lmax):
     import jax
     import jax.numpy as jnp
@@ -63,10 +70,13 @@ def build_spin0(nside, lmax):
     maps = jax.device_put(
         rng.normal(size=12 * nside * nside).astype(np.float32)
     )
+    ch = _chirps(nside, lmax)
     fn = jax.jit(
-        lambda m: jnp.sum(_cl_power(sht.map2alm(m, lmax=lmax, packed=False)))
+        lambda m, c: jnp.sum(_cl_power(
+            sht.map2alm(m, lmax=lmax, packed=False, fft_chirps=c)
+        ))
     )
-    return lambda: float(fn(maps))
+    return lambda: float(fn(maps, ch))
 
 
 def build_spin2_masked(nside, lmax):
@@ -81,12 +91,14 @@ def build_spin2_masked(nside, lmax):
     mask = jax.device_put(
         (rng.uniform(size=npix) < 0.6).astype(np.float32)
     )
+    ch = _chirps(nside, lmax)
     fn = jax.jit(
-        lambda m, w: jnp.sum(
-            _cl_power(sht.map2alm(m * w, lmax=lmax, spin=2, packed=False))
+        lambda m, w, c: jnp.sum(
+            _cl_power(sht.map2alm(m * w, lmax=lmax, spin=2, packed=False,
+                                  fft_chirps=c))
         )
     )
-    return lambda: float(fn(qu, mask))
+    return lambda: float(fn(qu, mask, ch))
 
 
 def build_mixmat_eb(lmax):
@@ -135,10 +147,13 @@ def build_alm2map(nside, lmax):
     nlm = sht.alm_size(lmax)
     re = jax.device_put(rng.normal(size=nlm).astype(np.float32))
     im = jax.device_put(rng.normal(size=nlm).astype(np.float32))
+    ch = _chirps(nside, lmax, "synthesis")
     fn = jax.jit(
-        lambda r, i: jnp.sum(sht.alm2map(r + 1j * i, nside, lmax=lmax) ** 2)
+        lambda r, i, c: jnp.sum(
+            sht.alm2map(r + 1j * i, nside, lmax=lmax, fft_chirps=c) ** 2
+        )
     )
-    return lambda: float(fn(re, im))
+    return lambda: float(fn(re, im, ch))
 
 
 def _ingest_file(nrows=2_000_000, ncols=8):
@@ -192,12 +207,15 @@ def build_dices_regions(nside, lmax, njk):
         np.stack([(labels != k).astype(np.float32) for k in range(1, njk + 1)])
     )
 
-    def step(m, w):
-        alms = sht.map2alm(m[None, :] * w, lmax=lmax, packed=False)
+    ch = _chirps(nside, lmax)
+
+    def step(m, w, c):
+        alms = sht.map2alm(m[None, :] * w, lmax=lmax, packed=False,
+                           fft_chirps=c)
         return jnp.sum(rect_pair_grid(alms, alms, jnp.arange(lmax + 1)))
 
     fn = jax.jit(step)
-    return lambda: float(fn(maps, masks))
+    return lambda: float(fn(maps, masks, ch))
 
 
 # -- benchmark configurations ----------------------------------------------
