@@ -65,6 +65,7 @@ from .transforms import cl2corr, corr2cl
 from .twopoint import (
     alm2cl,
     angular_power_spectra,
+    angular_power_spectra_samples,
     apply_mixing_matrix,
     debias_cls,
     invert_mixing_matrix,
@@ -105,6 +106,7 @@ __all__ = [
     "Weights",
     "alm2cl",
     "angular_power_spectra",
+    "angular_power_spectra_samples",
     "apply_mixing_matrix",
     "binned",
     "cl2corr",

@@ -38,7 +38,7 @@ from ..mapping import transform
 from ..progress import NoProgress
 from ..result import Result, binned, get_result_array
 from ..transforms import cl2corr
-from ..twopoint import angular_power_spectra
+from ..twopoint import angular_power_spectra, angular_power_spectra_samples
 from ..unmixing import _naturalspice
 from ..utils import add_to_Cls, sub_to_Cls
 
@@ -72,13 +72,19 @@ def jackknife_cls(
     nd=1,
     dir="./dices",
     progress=None,
+    mesh=None,
 ):
-    """Spectra of all delete-``nd`` jackknife samples (cached to ``dir``)."""
+    """Spectra of all delete-``nd`` jackknife samples (cached to ``dir``).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with ("batch", "m") axes;
+    region-masked SHT batches and the sample-stacked spectra grids then
+    shard across its devices (results identical to single-device).
+    """
     if progress is None:
         progress = NoProgress()
 
     compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir=dir,
-                    progress=progress)
+                    progress=progress, mesh=mesh)
     return compute_jk_cls_from_alms(
         jk_map,
         fields,
@@ -87,11 +93,12 @@ def jackknife_cls(
         nd=nd,
         dir=dir,
         progress=progress,
+        mesh=mesh,
     )
 
 
 def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
-                    progress=None, region_batch=8):
+                    progress=None, region_batch=8, mesh=None):
     """Compute and cache the alms of every jackknife region (and the full sky).
 
     TPU-native fast path: regions are processed in batches of
@@ -107,6 +114,10 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
     os.makedirs(dir, exist_ok=True)
     njk = _n_regions(jk_map)
     progress.update(0, njk + 1)
+    if mesh is not None:
+        # fill the mesh: whole multiples of the batch axis per dispatch
+        nb = mesh.shape["batch"]
+        region_batch = max(region_batch, nb) // nb * nb
     if region_batch <= 1:
         for k in range(njk + 1):
             with progress.task(f"ALMs {k}"):
@@ -115,7 +126,8 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
         return
     # full-footprint alms (k = 0)
     with progress.task("ALMs 0"):
-        _compute_single_jk_alm(0, data_maps, vis_maps, jk_map, fields, dir)
+        _compute_single_jk_alm(0, data_maps, vis_maps, jk_map, fields, dir,
+                               mesh=mesh)
     progress.update(1, njk + 1)
     pending = [
         k
@@ -130,12 +142,14 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
     for start in range(0, len(pending), region_batch):
         ks = pending[start : start + region_batch]
         with progress.task(f"ALMs {ks[0]}..{ks[-1]}"):
-            _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir)
+            _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields,
+                                     dir, mesh=mesh)
         done += len(ks)
         progress.update(1 + done, njk + 1)
 
 
-def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir):
+def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
+                             mesh=None):
     """One batched SHT over a group of region-masked map sets."""
     masks = np.stack(
         [(np.asarray(jk_map) == float(k)).astype(float) for k in ks]
@@ -152,7 +166,13 @@ def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir):
             update_metadata(stacked, **md)
             field = fields[key[0]]
             spin = field.spin
-            out_per_key[key] = field.mapper_or_error.transform(stacked, spin=spin)
+            mapper = field.mapper_or_error
+            if mesh is not None and hasattr(mapper, "transform_sharded"):
+                out_per_key[key] = mapper.transform_sharded(
+                    mesh, stacked, spin=spin
+                )
+            else:
+                out_per_key[key] = mapper.transform(stacked, spin=spin)
         return out_per_key
 
     data_batched = batched_transform(data_maps)
@@ -168,17 +188,22 @@ def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir):
                        clobber=True)
 
 
-def _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir):
+def _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir,
+                           mesh=None):
     data_path = os.path.join(dir, f"data_alms_{k}.fits")
     vis_path = os.path.join(dir, f"vis_alms_{k}.fits")
     if os.path.exists(data_path) and os.path.exists(vis_path):
         return k, False
     if k == 0:
-        data_alms = transform(fields, data_maps)
-        vis_alms = transform(fields, vis_maps)
+        data_alms = transform(fields, data_maps, mesh=mesh)
+        vis_alms = transform(fields, vis_maps, mesh=mesh)
     else:
-        data_alms = transform(fields, _get_region_maps(data_maps, jk_map, k))
-        vis_alms = transform(fields, _get_region_maps(vis_maps, jk_map, k))
+        data_alms = transform(
+            fields, _get_region_maps(data_maps, jk_map, k), mesh=mesh
+        )
+        vis_alms = transform(
+            fields, _get_region_maps(vis_maps, jk_map, k), mesh=mesh
+        )
     write_alms(data_path, data_alms, clobber=True)
     write_alms(vis_path, vis_alms, clobber=True)
     return k, True
@@ -192,11 +217,21 @@ def compute_jk_cls_from_alms(
     nd=1,
     dir="./dices",
     progress=None,
+    sample_batch=16,
+    mesh=None,
 ):
-    """Spectra of every delete-``nd`` region combination from cached alms."""
+    """Spectra of every delete-``nd`` region combination from cached alms.
+
+    Samples are processed ``sample_batch`` at a time: the delete-k alm
+    sets stack over a leading sample axis and every sample's whole pair
+    grid computes in one batched device dispatch
+    (:func:`heracles_tpu.twopoint.angular_power_spectra_samples`) — the
+    reference dispatches one :func:`angular_power_spectra` per sample
+    (jackknife.py:179-246).  The per-sample FITS cache is unchanged.
+    """
     if nd == 0:
         data_alms_full = read_alms(os.path.join(dir, "data_alms_0.fits"))
-        return {(): angular_power_spectra(data_alms_full)}
+        return {(): angular_power_spectra(data_alms_full, mesh=mesh)}
     if nd < 1 or nd > 2:
         raise ValueError("number of deletions must be 1 or 2")
     if progress is None:
@@ -206,12 +241,76 @@ def compute_jk_cls_from_alms(
     all_regions = list(combinations(range(1, njk + 1), nd))
     cls = {}
     progress.update(0, len(all_regions))
-    for idx, regions in enumerate(all_regions):
-        with progress.task(f"Cls {regions}"):
-            cls[regions] = _compute_single_jk_cls(
-                regions, jk_map, fields, mask_correction, unmixed, dir
+
+    def tag_path(regions):
+        tag = "_".join(map(str, regions))
+        return os.path.join(dir, f"cls_{tag}_unmixed_{unmixed}.fits")
+
+    pending = [r for r in all_regions if not os.path.exists(tag_path(r))]
+    for regions in all_regions:
+        if regions not in pending:
+            cls[regions] = read(tag_path(regions))
+    done = len(all_regions) - len(pending)
+    progress.update(done, len(all_regions))
+    if not pending:
+        return cls
+
+    data_alms_full = read_alms(os.path.join(dir, "data_alms_0.fits"))
+    vis_alms_full = read_alms(os.path.join(dir, "vis_alms_0.fits"))
+    mls0 = (
+        angular_power_spectra(vis_alms_full, mesh=mesh)
+        if mask_correction == "Full" else None
+    )
+
+    for start in range(0, len(pending), max(1, sample_batch)):
+        batch = pending[start : start + max(1, sample_batch)]
+        with progress.task(f"Cls {batch[0]}..{batch[-1]}"):
+            # linearity of the SHT: delete-k alms = full - sum of regions
+            data_samples = [
+                _subtract_alms(
+                    data_alms_full,
+                    _accumulate_alms(
+                        os.path.join(dir, f"data_alms_{r}.fits")
+                        for r in regions
+                    ),
+                )
+                for regions in batch
+            ]
+            cls_samples = angular_power_spectra_samples(
+                data_samples, mesh=mesh
             )
-        progress.update(idx + 1, len(all_regions))
+            if mask_correction == "Full":
+                vis_samples = [
+                    _subtract_alms(
+                        vis_alms_full,
+                        _accumulate_alms(
+                            os.path.join(dir, f"vis_alms_{r}.fits")
+                            for r in regions
+                        ),
+                    )
+                    for regions in batch
+                ]
+                mm_samples = angular_power_spectra_samples(
+                    vis_samples, mesh=mesh
+                )
+            for i, regions in enumerate(batch):
+                cls_jk = correct_bias(cls_samples[i], jk_map, fields, *regions)
+                if mask_correction == "Full":
+                    cls_jk = correct_footprint_naturalspice(
+                        cls_jk, mm_samples[i], mls0, fields, unmixed=unmixed
+                    )
+                elif mask_correction == "Fast":
+                    cls_jk = correct_footprint_fsky(
+                        cls_jk, jk_map, *regions, unmixed=unmixed
+                    )
+                else:
+                    raise ValueError(
+                        "mask_correction must be 'Fast' or 'Full'"
+                    )
+                write(tag_path(regions), cls_jk, clobber=True)
+                cls[regions] = cls_jk
+        done += len(batch)
+        progress.update(done, len(all_regions))
     return cls
 
 

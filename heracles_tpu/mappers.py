@@ -131,17 +131,8 @@ class HealpixMapper:
 
     # -- harmonic transform ------------------------------------------------
 
-    def transform(self, data, spin=0):
-        """Spin-0/2 spherical harmonic analysis with quadrature weights.
-
-        Spin-0 input may carry leading batch axes; spin-2 input is
-        (..., 2, npix) [Q, U] and returns (..., 2, nlm) (E, B), matching
-        the reference's dropped-T-row convention (healpy.py:175-199).
-        """
-        md = dict(getattr(data.dtype, "metadata", None) or {})
-        arr = np.asarray(data)
-        alm = sht.map2alm_host(arr, lmax=self._lmax, spin=spin,
-                               weights="ring")
+    def _finish_alm(self, alm, md, spin):
+        """Shared post-processing: pixel-window deconvolution + metadata."""
         if self._deconv:
             s = abs(spin)
             # spin-2 maps deconvolve with the polarization window, like
@@ -156,6 +147,51 @@ class HealpixMapper:
         alm = np.ascontiguousarray(alm)
         update_metadata(alm, **{**md, "deconv": self._deconv})
         return alm
+
+    def transform(self, data, spin=0):
+        """Spin-0/2 spherical harmonic analysis with quadrature weights.
+
+        Spin-0 input may carry leading batch axes; spin-2 input is
+        (..., 2, npix) [Q, U] and returns (..., 2, nlm) (E, B), matching
+        the reference's dropped-T-row convention (healpy.py:175-199).
+        """
+        md = dict(getattr(data.dtype, "metadata", None) or {})
+        arr = np.asarray(data)
+        alm = sht.map2alm_host(arr, lmax=self._lmax, spin=spin,
+                               weights="ring")
+        return self._finish_alm(alm, md, spin)
+
+    def transform_sharded(self, mesh, data, spin=0):
+        """Batched analysis sharded over a device mesh (public mesh path).
+
+        ``data``: (B, npix) spin-0 or (B, 2, npix) [Q, U] stacked maps;
+        the batch shards over the mesh's "batch" axis and each
+        transform's harmonic orders over its "m" axis (SURVEY section
+        2.3's two first-class axes).  Returns packed alms (B[, 2], nlm)
+        identical to :meth:`transform` of the same stack.
+        """
+        from . import parallel
+
+        md = dict(getattr(data.dtype, "metadata", None) or {})
+        arr = np.asarray(data)
+        nb = mesh.shape["batch"]
+        B = arr.shape[0]
+        pad = (-B) % nb
+        if pad:
+            arr = np.concatenate(
+                [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]
+            )
+        spec = parallel.P(*(("batch",) + (None,) * (arr.ndim - 1)))
+        dev = jax.device_put(
+            jnp.asarray(arr), parallel.NamedSharding(mesh, spec)
+        )
+        rect = parallel.map2alm_sharded(
+            mesh, dev, self._lmax, spin=spin, weights="ring"
+        )
+        re, im = jax.device_get((jnp.real(rect), jnp.imag(rect)))
+        rect_np = (re + 1j * im)[..., : self._lmax + 1]
+        alm = sht.pack_alm(rect_np, self._lmax, self._lmax)[:B]
+        return self._finish_alm(alm, md, spin)
 
     def synthesize(self, alm, spin=0):
         """Inverse transform (alm -> map); the TPU build's alm2map."""

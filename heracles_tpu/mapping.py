@@ -79,7 +79,7 @@ def map_catalogs(
     return out
 
 
-def transform(fields, data, *, out=None, progress=None, batch=8):
+def transform(fields, data, *, out=None, progress=None, batch=8, mesh=None):
     """Transform maps to alms via each field's mapper.
 
     Fills in missing spin metadata from the field and raises on a
@@ -92,6 +92,12 @@ def transform(fields, data, *, out=None, progress=None, batch=8):
     which matters on accelerators where each dispatch carries fixed
     overhead.  ``batch=1`` restores the sequential behaviour.  Per-map
     metadata is preserved on the batched path.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` with ("batch", "m") axes
+    (see :func:`heracles_tpu.parallel.make_mesh`).  Groups then shard
+    their stacked maps over the mesh's "batch" axis and each SHT's
+    harmonic orders over "m" (results are identical to the single-device
+    path); whole groups go out in one sharded dispatch.
     """
     if out is None:
         out = TocDict()
@@ -121,7 +127,10 @@ def transform(fields, data, *, out=None, progress=None, batch=8):
     groups = {}
     for idx, (key, field, m) in enumerate(items):
         mapper = field.mapper_or_error
-        if batch and batch > 1 and getattr(mapper, "batched_transform", False):
+        if (
+            (mesh is not None or (batch and batch > 1))
+            and getattr(mapper, "batched_transform", False)
+        ):
             # dtype is part of the key: stacking f32 with f64 maps would
             # promote both and change the batch=1 numerics
             gkey = (id(mapper), field.spin, np.shape(m), np.asarray(m).dtype)
@@ -134,7 +143,10 @@ def transform(fields, data, *, out=None, progress=None, batch=8):
     current, total = 0, len(items)
     progress.update(0, total)
     for gkey, idxs in groups.items():
-        if gkey[0] == "solo" or len(idxs) == 1:
+        solo_ok = mesh is None or not hasattr(
+            items[idxs[0]][1].mapper_or_error, "transform_sharded"
+        )
+        if gkey[0] == "solo" or (len(idxs) == 1 and solo_ok):
             for idx in idxs:
                 key, field, m = items[idx]
                 with progress.task("(" + ", ".join(map(str, key)) + ")"):
@@ -147,13 +159,18 @@ def transform(fields, data, *, out=None, progress=None, batch=8):
         field0 = items[idxs[0]][1]
         mapper = field0.mapper_or_error
         spin = field0.spin
-        for start in range(0, len(idxs), batch):
-            chunk = idxs[start : start + batch]
+        use_mesh = mesh is not None and hasattr(mapper, "transform_sharded")
+        group_step = len(idxs) if use_mesh else batch
+        for start in range(0, len(idxs), group_step):
+            chunk = idxs[start : start + group_step]
             stack = np.stack([np.asarray(items[idx][2]) for idx in chunk])
             update_metadata(stack, spin=spin)
             labels = ", ".join(str(items[idx][0]) for idx in chunk)
             with progress.task(f"[{labels}]"):
-                alms = mapper.transform(stack, spin=spin)
+                if use_mesh:
+                    alms = mapper.transform_sharded(mesh, stack, spin=spin)
+                else:
+                    alms = mapper.transform(stack, spin=spin)
             extra = dict(alms.dtype.metadata or {})
             for row, idx in enumerate(chunk):
                 key, field, m = items[idx]

@@ -211,7 +211,7 @@ def _lane_setup(lmax, pol):
     return ms, ns, weights
 
 
-def _rep_powers(th, ph, lmax, pol, chunk=16, rings=None):
+def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None):
     """(nreps, K, lmax+1) lane-weighted powers, chunked device passes.
 
     Reps are processed in fixed-size chunks, one jitted dispatch per

@@ -188,10 +188,14 @@ def _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, carry_extra, fdt, xs_e
     ells = jnp.arange(lmax + 1, dtype=jnp.int32)
     if xs_extra is None:
         xs_extra = ells  # placeholder of matching leading dim
+    # unroll: the per-step arrays can be small (e.g. the pixel-window
+    # chunks), where per-iteration dispatch overhead dominates; fusing 8
+    # l-steps per scan iteration amortises it at no cost to big steps
     (_, _, _, extra), ys = jax.lax.scan(
         step,
         (d_prev, d_curr, k, carry_extra),
         (ells, xs_extra),
+        unroll=8,
     )
     return ys, extra
 

@@ -179,13 +179,18 @@ def _stack_planes(arrays):
     return stacks, slot
 
 
-def _cross_grids(plan, lmax):
+def _cross_grids(plan, lmax, mesh=None):
     """Compute every needed (nlm1 x nlm2) spectra grid in O(1) dispatches.
 
     ``plan`` is a list of (key, alm1, alm2) work items; the return value
     is ``(grids, slot)`` with ``grids[nlm1, nlm2]`` the host (nA, nB,
     lout+1) array and ``slot`` the plane locator from
     :func:`_stack_planes`.
+
+    With ``mesh``, the first plane stack of each grid is sharded over
+    every mesh device and the second replicated, so XLA partitions the
+    whole pair-grid contraction across the mesh (pure data parallelism,
+    no collectives beyond the output gather).
     """
     stacks, slot = _stack_planes(
         [a for _, alm1, alm2 in plan for a in (alm1, alm2)]
@@ -206,7 +211,10 @@ def _cross_grids(plan, lmax):
         # lmax=3000; a 50-bin tomographic stack would otherwise unpack
         # several GB at once)
         rect_bytes = 8 * (max(l1, l2) + 1) ** 2
-        per = max(1, int(512 * 2**20) // rect_bytes)
+        budget = int(512 * 2**20)
+        if mesh is not None:
+            budget *= mesh.devices.size  # per-device budget, sharded rows
+        per = max(1, budget // rect_bytes)
         grid = None
         for i0 in range(0, s1.shape[0], per):
             b1 = s1[i0 : i0 + per]
@@ -214,15 +222,19 @@ def _cross_grids(plan, lmax):
                 b2 = s2[j0 : j0 + per]
                 # real/imag planes: complex arrays cannot cross the jit
                 # boundary on some TPU transports
-                block = np.asarray(
-                    _alm2cl_grid(
-                        np.ascontiguousarray(b1.real),
-                        np.ascontiguousarray(b1.imag),
-                        np.ascontiguousarray(b2.real),
-                        np.ascontiguousarray(b2.imag),
-                        l1, l2, lout,
-                    )
+                args = (
+                    np.ascontiguousarray(b1.real),
+                    np.ascontiguousarray(b1.imag),
+                    np.ascontiguousarray(b2.real),
+                    np.ascontiguousarray(b2.imag),
                 )
+                if mesh is not None:
+                    args, nrows = _shard_grid_args(mesh, args)
+                block = np.asarray(
+                    _alm2cl_grid(*args, l1, l2, lout)
+                )
+                if mesh is not None:
+                    block = block[:nrows]
                 if grid is None:
                     grid = np.empty(
                         (s1.shape[0], s2.shape[0], lout + 1), block.dtype
@@ -230,6 +242,138 @@ def _cross_grids(plan, lmax):
                 grid[i0 : i0 + per, j0 : j0 + per] = block
         grids[n1, n2] = grid
     return grids, slot
+
+
+@partial(jax.jit, static_argnames=("lmax1", "lmax2", "lout"))
+def _alm2cl_grid_batched(re1, im1, re2, im2, lmax1, lmax2, lout):
+    """Per-sample pair grids: (S, nA, nlm1) x (S, nB, nlm2) -> (S, nA, nB, l).
+
+    The sample axis is batched (NOT an outer product): sample s's planes
+    only pair with sample s's planes — the device pass for a whole
+    batch of jackknife samples costs S x one sample, not S^2.
+    """
+    a1 = sht.unpack_alm(re1 + 1j * im1, lmax1)[..., : lout + 1, : lout + 1]
+    a2 = sht.unpack_alm(re2 + 1j * im2, lmax2)[..., : lout + 1, : lout + 1]
+    ms = jnp.arange(lout + 1)
+    eps = jnp.where(ms == 0, 1.0, 2.0).astype(jnp.real(a1).dtype)
+    grid = jnp.einsum("salm,sblm->sabl", a1.real * eps, a2.real)
+    grid += jnp.einsum("salm,sblm->sabl", a1.imag * eps, a2.imag)
+    ells = jnp.arange(a1.shape[-2], dtype=grid.dtype)
+    return grid / (2 * ells + 1)
+
+
+def _cross_grids_samples(plan, nsamples, lmax, mesh=None):
+    """Sample-batched version of :func:`_cross_grids`.
+
+    ``plan`` items are (key, alm1, alm2) where each alm is an
+    (S, ..., nlm) stack over samples; grids come back as
+    (S, nA, nB, lout+1) host arrays, all samples in one device dispatch
+    per (nlm1, nlm2) group (SURVEY section 3.4's sample-stacking win).
+    """
+    rows = {}
+    slot = {}
+    for arr in (a for _, a1, a2 in plan for a in (a1, a2)):
+        if id(arr) in slot:
+            continue
+        a = np.asanyarray(arr)
+        nlm = a.shape[-1]
+        group = rows.setdefault(nlm, [])
+        slot[id(arr)] = (nlm, sum(p.shape[1] for p in group), a.shape[1:-1])
+        group.append(a.reshape(nsamples, -1, nlm))
+    stacks = {
+        nlm: np.ascontiguousarray(np.concatenate(group, axis=1))
+        for nlm, group in rows.items()
+    }
+    wanted = {(a1.shape[-1], a2.shape[-1]) for _, a1, a2 in plan}
+    grids = {}
+    for n1, n2 in wanted:
+        if (n2, n1) in grids:
+            grids[n1, n2] = grids[n2, n1].transpose(0, 2, 1, 3)
+            continue
+        s1, s2 = stacks[n1], stacks[n2]
+        l1, l2 = _nlm2lmax(n1), _nlm2lmax(n2)
+        lout = min(l1, l2) if lmax is None else min(lmax, l1, l2)
+        rect_bytes = 8 * (max(l1, l2) + 1) ** 2 * nsamples
+        budget = int(512 * 2**20)
+        if mesh is not None:
+            budget *= mesh.devices.size
+        per = max(1, budget // rect_bytes)
+        grid = None
+        for i0 in range(0, s1.shape[1], per):
+            b1 = s1[:, i0 : i0 + per]
+            for j0 in range(0, s2.shape[1], per):
+                b2 = s2[:, j0 : j0 + per]
+                args = (
+                    np.ascontiguousarray(b1.real),
+                    np.ascontiguousarray(b1.imag),
+                    np.ascontiguousarray(b2.real),
+                    np.ascontiguousarray(b2.imag),
+                )
+                if mesh is not None:
+                    args, ns = _shard_sample_args(mesh, args)
+                block = np.asarray(_alm2cl_grid_batched(*args, l1, l2, lout))
+                if mesh is not None:
+                    block = block[:ns]
+                if grid is None:
+                    grid = np.empty(
+                        (nsamples, s1.shape[1], s2.shape[1], lout + 1),
+                        block.dtype,
+                    )
+                grid[:, i0 : i0 + per, j0 : j0 + per] = block
+        grids[n1, n2] = grid
+    return grids, slot
+
+
+def _shard_sample_args(mesh, args):
+    """Shard every stack's leading sample axis over all mesh devices.
+
+    Samples are zero-padded to the device count (padded grids are
+    discarded by the caller); each device computes its samples' grids
+    independently — pure data parallelism.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_dev = mesh.devices.size
+    flat = jax.sharding.Mesh(mesh.devices.reshape(-1), ("s",))
+    S = args[0].shape[0]
+    pad = (-S) % n_dev
+    out = []
+    for a in args:
+        if pad:
+            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+        sh = NamedSharding(flat, PartitionSpec(*(("s",) + (None,) * (a.ndim - 1))))
+        out.append(jax.device_put(a, sh))
+    return tuple(out), S
+
+
+def _shard_grid_args(mesh, args):
+    """Row-shard (re1, im1) over every mesh device; replicate (re2, im2).
+
+    Rows are zero-padded to the device count; jit partitions the grid
+    contraction over the sharded rows (GSPMD), and the caller trims the
+    padded output rows.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_dev = mesh.devices.size
+    flat = jax.sharding.Mesh(mesh.devices.reshape(-1), ("rows",))
+    re1, im1, re2, im2 = args
+    nrows = re1.shape[0]
+    pad = (-nrows) % n_dev
+    if pad:
+        z = np.zeros((pad,) + re1.shape[1:], re1.dtype)
+        re1 = np.concatenate([re1, z])
+        im1 = np.concatenate([im1, z])
+    row_sh = NamedSharding(flat, PartitionSpec("rows", None))
+    rep_sh = NamedSharding(flat, PartitionSpec(None, None))
+    return (
+        jax.device_put(re1, row_sh),
+        jax.device_put(im1, row_sh),
+        jax.device_put(re2, rep_sh),
+        jax.device_put(im2, rep_sh),
+    ), nrows
 
 
 def _grid_block(grids, slot, alm1, alm2):
@@ -305,12 +449,17 @@ def angular_power_spectra(
     include=None,
     exclude=None,
     out=None,
+    mesh=None,
 ):
     """All auto/cross angular power spectra of a set of alms.
 
     Keys of ``alms`` are (field, bin); results are keyed
     (field1, field2, bin1, bin2) with symmetric-pair dedup and canonical
     field ordering (reference twopoint.py:199-239).
+
+    ``mesh``: optional ``jax.sharding.Mesh``; the batched pair-grid
+    contraction then shards its plane stacks across every mesh device
+    (results identical to the single-device path).
     """
     logger.info(
         "computing cls for %d%s alm(s)",
@@ -344,7 +493,7 @@ def angular_power_spectra(
         twopoint_names.add((k1, k2))
 
     # pass 2 (device): the whole pair grid in O(1) batched dispatches
-    grids, slot = _cross_grids(plan, lmax)
+    grids, slot = _cross_grids(plan, lmax, mesh)
 
     # pass 3 (host): metadata, noise bias, Result assembly
     for (k1, k2, i1, i2), alm1, alm2 in plan:
@@ -382,6 +531,100 @@ def angular_power_spectra(
         timedelta(seconds=(time.monotonic() - t)),
     )
     return cls
+
+
+def angular_power_spectra_samples(
+    alms_list,
+    *,
+    lmax=None,
+    debias=True,
+    bins=None,
+    weights=None,
+    include=None,
+    exclude=None,
+    mesh=None,
+):
+    """:func:`angular_power_spectra` for many alm sets in one device pass.
+
+    ``alms_list``: a sequence of alm dicts sharing the same keys (e.g.
+    the delete-k jackknife samples).  Each key's alms are stacked over a
+    leading sample axis and the whole (sample x pair x ell) grid is
+    computed batched — sample s's planes only pair with sample s's
+    (SURVEY section 3.4 names this sample stacking as the TPU rebuild's
+    biggest DICES win).  Returns a list of cls dicts, one per input,
+    identical to mapping :func:`angular_power_spectra` over the list.
+
+    ``mesh``: optional device mesh; samples then shard across devices.
+    """
+    if not alms_list:
+        return []
+    nsamples = len(alms_list)
+    base = alms_list[0]
+
+    # pass 1 (host): canonical pair plan on the shared key structure
+    twopoint_names = set()
+    plan_keys = []
+    for (k1, i1), (k2, i2) in combinations_with_replacement(base, 2):
+        if (k1, k2) not in twopoint_names and (k2, k1) in twopoint_names:
+            k1, k2, i1, i2 = k2, k1, i2, i1
+        if not toc_match((k1, k2, i1, i2), include, exclude):
+            continue
+        plan_keys.append((k1, k2, i1, i2))
+        twopoint_names.add((k1, k2))
+
+    # stack each needed key's alms over samples
+    stacked = {}
+    for k1, k2, i1, i2 in plan_keys:
+        for k, i in ((k1, i1), (k2, i2)):
+            if (k, i) not in stacked:
+                stacked[k, i] = np.stack(
+                    [np.asanyarray(al[k, i]) for al in alms_list]
+                )
+    plan = [
+        ((k1, k2, i1, i2), stacked[k1, i1], stacked[k2, i2])
+        for k1, k2, i1, i2 in plan_keys
+    ]
+
+    # pass 2 (device): every sample's pair grid, batched
+    grids, slot = _cross_grids_samples(plan, nsamples, lmax, mesh)
+
+    # pass 3 (host): per-sample metadata, bias, Result assembly
+    outs = [TocDict() for _ in alms_list]
+    for (k1, k2, i1, i2), a1, a2 in plan:
+        n1, row, shape1 = slot[id(a1)]
+        n2, col, shape2 = slot[id(a2)]
+        g = grids[n1, n2]
+        nc1 = int(np.prod(shape1, dtype=int))
+        nc2 = int(np.prod(shape2, dtype=int))
+        block = g[:, row : row + nc1, col : col + nc2]
+        block = block.reshape((nsamples,) + shape1 + shape2 + (g.shape[-1],))
+        for s, alms in enumerate(alms_list):
+            cl = np.array(block[s])
+            md1 = alms[k1, i1].dtype.metadata or {}
+            md2 = alms[k2, i2].dtype.metadata or {}
+            s1, s2 = md1.get("spin"), md2.get("spin")
+            if s1 is None or s2 is None:
+                raise ValueError(f"missing spin metadata for {k1} or {k2}")
+            md = {f"{key}_1": value for key, value in md1.items()}
+            md.update({f"{key}_2": value for key, value in md2.items()})
+            bias = None
+            if k1 == k2 and i1 == i2:
+                fsky = md1.get("fsky")
+                musq = md1.get("musq")
+                dens = md1.get("dens")
+                if fsky is not None and musq is not None and dens is not None:
+                    factor = 0.5 if s1 == s2 == 2 else 1.0
+                    bias = factor * fsky * musq / dens
+            if bias is not None:
+                md["bias"] = bias
+            if debias and bias is not None:
+                _debias_cl(cl, bias, md, inplace=True)
+            update_metadata(cl, **md)
+            result = Result(cl, spin=(s1, s2), axis=-1)
+            if bins is not None:
+                result = binned(result, bins, weights)
+            outs[s][k1, k2, i1, i2] = result
+    return outs
 
 
 def debias_cls(cls, bias=None, *, inplace=False):

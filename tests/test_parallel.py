@@ -108,3 +108,145 @@ def test_sharded_pallas_engine_matches_jnp(mesh, spin):
     )
     scale = np.abs(a_jnp).max()
     np.testing.assert_allclose(a_pl, a_jnp, atol=5e-6 * scale, rtol=1e-4)
+
+
+def test_public_transform_with_mesh_matches_single_device():
+    """transform(fields, data, mesh=...) == transform(fields, data)."""
+    import numpy as np
+
+    from heracles_tpu import HealpixMapper, transform
+    from heracles_tpu.core import update_metadata
+    from heracles_tpu.fields import Positions, Shears
+    from heracles_tpu.parallel import make_mesh
+
+    nside, lmax = 16, 24
+    rng = np.random.default_rng(33)
+    mapper = HealpixMapper(nside, lmax=lmax, deconvolve=False)
+    fields = {
+        "POS": Positions(mapper, "RA", "DEC", overdensity=False),
+        "SHE": Shears(mapper, "RA", "DEC", "G1", "G2", "W"),
+    }
+    npix = 12 * nside * nside
+    data = {}
+    for b in range(3):
+        m = rng.normal(size=npix)
+        update_metadata(m, spin=0)
+        data["POS", b] = m
+        qu = rng.normal(size=(2, npix))
+        update_metadata(qu, spin=2)
+        data["SHE", b] = qu
+
+    want = transform(fields, dict(data))
+    mesh = make_mesh()
+    got = transform(fields, dict(data), mesh=mesh)
+    assert set(got.keys()) == set(want.keys())
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=5e-11, atol=5e-11
+        )
+        assert (got[k].dtype.metadata or {}).get("spin") == (
+            want[k].dtype.metadata or {}
+        ).get("spin")
+
+
+def test_angular_power_spectra_with_mesh_matches_single_device():
+    import numpy as np
+
+    from heracles_tpu import angular_power_spectra
+    from heracles_tpu.core import update_metadata
+    from heracles_tpu.ops import sht
+    from heracles_tpu.parallel import make_mesh
+
+    lmax = 24
+    nlm = sht.alm_size(lmax)
+    rng = np.random.default_rng(44)
+    alms = {}
+    for b in range(3):
+        a = rng.normal(size=nlm) + 1j * rng.normal(size=nlm)
+        update_metadata(a, spin=0)
+        alms["POS", b] = a
+        e = rng.normal(size=(2, nlm)) + 1j * rng.normal(size=(2, nlm))
+        update_metadata(e, spin=2)
+        alms["SHE", b] = e
+
+    want = angular_power_spectra(alms)
+    got = angular_power_spectra(alms, mesh=make_mesh())
+    assert set(got.keys()) == set(want.keys())
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k].array), np.asarray(want[k].array),
+            rtol=1e-12, atol=1e-12,
+        )
+
+
+def test_angular_power_spectra_samples_matches_per_sample():
+    import numpy as np
+
+    from heracles_tpu import angular_power_spectra
+    from heracles_tpu.core import update_metadata
+    from heracles_tpu.ops import sht
+    from heracles_tpu.twopoint import angular_power_spectra_samples
+    from heracles_tpu.parallel import make_mesh
+
+    lmax = 16
+    nlm = sht.alm_size(lmax)
+    rng = np.random.default_rng(55)
+    samples = []
+    for s in range(5):
+        alms = {}
+        for b in range(2):
+            a = rng.normal(size=nlm) + 1j * rng.normal(size=nlm)
+            update_metadata(a, spin=0, fsky=0.5, musq=1.0, dens=100.0)
+            alms["POS", b] = a
+        samples.append(alms)
+
+    want = [angular_power_spectra(al) for al in samples]
+    for mesh in (None, make_mesh()):
+        got = angular_power_spectra_samples(samples, mesh=mesh)
+        assert len(got) == len(want)
+        for w, g in zip(want, got):
+            assert set(g.keys()) == set(w.keys())
+            for k in w:
+                np.testing.assert_allclose(
+                    np.asarray(g[k].array), np.asarray(w[k].array),
+                    rtol=1e-12, atol=1e-12,
+                )
+
+
+def test_jackknife_cls_with_mesh_matches_single_device(tmp_path):
+    import numpy as np
+
+    from heracles_tpu import HealpixMapper
+    from heracles_tpu.core import update_metadata
+    from heracles_tpu.dices import jackknife_cls
+    from heracles_tpu.fields import Positions
+    from heracles_tpu.parallel import make_mesh
+
+    nside, lmax, njk = 16, 16, 4
+    npix = 12 * nside * nside
+    rng = np.random.default_rng(66)
+    mapper = HealpixMapper(nside, lmax=lmax, deconvolve=False)
+    fields = {"POS": Positions(mapper, "RA", "DEC", overdensity=False)}
+
+    m = rng.normal(size=npix) + 1.0
+    update_metadata(m, spin=0, fsky=1.0)
+    v = np.ones(npix)
+    update_metadata(v, spin=0, fsky=1.0)
+    data_maps = {("POS", 0): m}
+    vis_maps = {("POS", 0): v}
+    jk_map = (np.arange(npix) * njk // npix + 1).astype(float)
+
+    want = jackknife_cls(
+        data_maps, vis_maps, jk_map, fields, dir=str(tmp_path / "a")
+    )
+    got = jackknife_cls(
+        data_maps, vis_maps, jk_map, fields, dir=str(tmp_path / "b"),
+        mesh=make_mesh(),
+    )
+    assert set(got.keys()) == set(want.keys())
+    for k in want:
+        for key in want[k]:
+            np.testing.assert_allclose(
+                np.asarray(got[k][key].array), np.asarray(want[k][key].array),
+                rtol=1e-9, atol=1e-11,
+            )
