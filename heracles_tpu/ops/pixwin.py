@@ -259,17 +259,29 @@ def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None):
     logsh = np.log(np.sin(th_rows / 2)).astype(fdt)
     ph_pts = ph_pts.astype(fdt)
     row_of = row_of.astype(np.int32)
+    # seed planes in host f64: the device f32 log/lgamma error floors bias
+    # the seed magnitudes ~1e-4..1e-3 at production m (see wigner_seed_host).
+    # The f64 (CPU) path computes equally-accurate seeds on device already.
+    use_host_seeds = fdt == np.float32
+    if use_host_seeds:
+        seed_m = np.empty((nreps,) + (ms.size, th_rows.shape[1]), np.float32)
+        seed_k = np.empty(seed_m.shape, np.int32)
+        for r in range(nreps):
+            seed_m[r], seed_k[r] = wigner.wigner_seed_host(ms, ns, th_rows[r])
+    else:
+        seed_m = np.zeros((nreps, 1, 1), np.float32)
+        seed_k = np.zeros((nreps, 1, 1), np.int32)
 
     pad = (-nreps) % chunk
     if pad:
-        x, logch, logsh, ph_pts, row_of = (
+        x, logch, logsh, ph_pts, row_of, seed_m, seed_k = (
             np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
-            for a in (x, logch, logsh, ph_pts, row_of)
+            for a in (x, logch, logsh, ph_pts, row_of, seed_m, seed_k)
         )
     nchunks = x.shape[0] // chunk
 
     def reshape(a):
-        return a.reshape(nchunks, chunk, -1)
+        return a.reshape((nchunks, chunk) + a.shape[1:])
 
     ms_j = jnp.asarray(ms, jnp.int32)
     ns_j = jnp.asarray(ns, jnp.int32)
@@ -278,23 +290,30 @@ def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None):
     nm_blocks = ms.size // (lmax + 1)
 
     @jax.jit
-    def one_chunk(xx, lc, ls, pp, ro):
+    def one_chunk(xx, lc, ls, pp, ro, sm, sk):
         def one(args):
-            xi, lci, lsi, ppi, roi = args
+            xi, lci, lsi, ppi, roi, smi, ski = args
             expm = jnp.exp(-1j * mf[None, :] * ppi[:, None])  # (nch, lmax+1)
             onehot = (
                 roi[:, None] == jnp.arange(NR, dtype=jnp.int32)[None, :]
             ).astype(fdt)
-            Frow = v * jnp.einsum("cn,cl->nl", onehot, expm)  # (NR, lmax+1)
+            # HIGHEST: the TPU's default f32 einsum runs bf16 MXU passes,
+            # which biased every lane by ~8e-5 (visible as w[0] != 1)
+            Frow = v * jnp.einsum(
+                "cn,cl->nl", onehot, expm,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (NR, lmax+1)
             Fw = jnp.concatenate([Frow] * nm_blocks, axis=-1)
+            seed = (smi, ski) if use_host_seeds else None
             return wigner.lambda_power_scan(
-                ms_j, ns_j, xi, lci, lsi, lmax, Fw, w_j
+                ms_j, ns_j, xi, lci, lsi, lmax, Fw, w_j, seed=seed
             )
 
-        return jax.vmap(one)((xx, lc, ls, pp, ro))
+        return jax.vmap(one)((xx, lc, ls, pp, ro, sm, sk))
 
-    xs, lcs, lss, phs, ros = (
-        reshape(a) for a in (x, logch, logsh, ph_pts, row_of)
+    xs, lcs, lss, phs, ros, sms, sks = (
+        reshape(a)
+        for a in (x, logch, logsh, ph_pts, row_of, seed_m, seed_k)
     )
     outs = []
     for c in range(nchunks):
@@ -303,6 +322,7 @@ def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None):
         outs.append(np.asarray(one_chunk(
             jnp.asarray(xs[c]), jnp.asarray(lcs[c]), jnp.asarray(lss[c]),
             jnp.asarray(phs[c]), jnp.asarray(ros[c]),
+            jnp.asarray(sms[c]), jnp.asarray(sks[c]),
         )))
     out = np.stack(outs)
     return out.reshape((-1,) + out.shape[2:])[:nreps]

@@ -31,11 +31,14 @@ is never materialised.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "wigner_seed_host",
     "wigner_seed_log",
     "wigner_table",
     "lambda_analysis_scan",
@@ -114,6 +117,71 @@ def _seed_scaled(sign, logval):
     return mant, k
 
 
+@functools.lru_cache(maxsize=8)
+def _log_factorials(n):
+    """log(k!) for k = 0..n-1, host f64 (no scipy dependency)."""
+    lf = np.zeros(n)
+    np.cumsum(np.log(np.arange(1, n)), out=lf[1:])
+    return lf
+
+
+def wigner_seed_host(ms, ns, theta):
+    """Host-f64 seed planes (mant, k) for the device scans.
+
+    Seed value per (lane, ring) = ``mant * 2^(60*k)`` — the same split the
+    scans derive on device from ``wigner_seed_log``.  Compute it here when
+    the scan runs on the TPU: the device f32 ``log``/``lgamma`` carry
+    absolute-error floors (~6e-5, growing with argument), and the seed
+    log-magnitudes O(m ln 4) cancel catastrophically in f32 — measured
+    1.5e-3 relative lambda error at m = 3000 with device-evaluated seeds,
+    against ~1e-7 with these host planes.  This is the jnp-scan analog of
+    the Pallas kernels' compensated host seeds (pallas_sht._comp_seed_frac).
+
+    ``theta``: (nr,) colatitudes, float64.  Returns ``mant`` (lanes, nr)
+    float32 (sign folded in, incl. the (-1)^m slm factor) and ``k``
+    (lanes, nr) int32.
+    """
+    ms = np.asarray(ms, dtype=np.int64)
+    ns = np.asarray(ns, dtype=np.int64)
+    theta = np.asarray(theta, dtype=np.float64)
+    mp = -ms
+    npar = -ns
+    a = np.abs(mp)
+    b = np.abs(npar)
+    j0 = np.maximum(a, b)
+    c = np.where(a >= b, npar, mp)
+    lf = _log_factorials(int(2 * j0.max()) + 2)
+    logC = 0.5 * (lf[2 * j0] - lf[j0 + c] - lf[j0 - c])
+    pc = np.abs(mp + npar).astype(np.float64)
+    ps = np.abs(mp - npar).astype(np.float64)
+    k0 = np.where(
+        a >= b,
+        np.where(mp >= 0, mp - npar, 0),
+        np.where(npar > 0, 0, mp + b),
+    )
+    sign = np.where((k0 + ms) % 2 == 0, 1.0, -1.0)
+    with np.errstate(divide="ignore"):
+        logch = np.log(np.cos(theta / 2.0))
+        logsh = np.log(np.sin(theta / 2.0))
+    # 0 * log(0) is a unit factor (sin^0 = 1), not a zero one: guard the
+    # exact poles lane-wise (the device path nans there, latent only
+    # because HEALPix ring centres never sit exactly on a pole)
+    logval = (
+        logC[:, None]
+        + np.where(pc[:, None] == 0, 0.0, pc[:, None] * logch[None, :])
+        + np.where(ps[:, None] == 0, 0.0, ps[:, None] * logsh[None, :])
+    )
+    ls = logval / (np.log(2.0) * _SCALE_LOG2)
+    with np.errstate(invalid="ignore"):
+        k = np.floor(ls)
+    tiny = ~np.isfinite(k)  # exact poles: sin or cos of theta/2 is 0
+    k = np.where(tiny, -(2**30), k).astype(np.int32)
+    mant = np.where(
+        tiny, 0.0, sign[:, None] * np.exp2((ls - k) * _SCALE_LOG2)
+    ).astype(np.float32)
+    return mant, k
+
+
 def _recurrence_coeffs(ell, mp, npar, fdt):
     """Coefficients taking (d^{ell-1}, d^{ell-2}) -> d^{ell} per lane.
 
@@ -144,26 +212,20 @@ def _emit_factor(k):
     return jnp.where(k == 0, 1.0, jnp.where(k == -1, _INV_SCALE, 0.0))
 
 
-def _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, carry_extra, fdt, xs_extra=None):
+def _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, carry_extra, fdt,
+               xs_extra=None, seed=None):
     """Shared scan skeleton: iterate l = 0..lmax updating scaled d-values.
 
     ``step_extra(l, lam, xs, extra)`` consumes the emitted lambda row
     (lanes, nr) plus the per-step slice of ``xs_extra`` and returns
     (ys, new_extra).
     """
-    mp = -jnp.asarray(ms, dtype=jnp.int32)
-    npar = -jnp.asarray(ns, dtype=jnp.int32)
-    j0, sign, logval = wigner_seed_log(mp, npar, logch, logsh)
-    # fold the (-1)^m Condon-Shortley-style factor of slm into the seed sign
-    msign = jnp.where(jnp.asarray(ms, jnp.int32) % 2 == 0, 1.0, -1.0).astype(fdt)
-    seed_mant, seed_k = _seed_scaled(sign * msign, logval)
-
-    # derive the initial carry from the seeds so its sharding "vma" type
+    # the initial carry derives from the seeds so its sharding "vma" type
     # (varying over shard_map axes, e.g. the m-sharded SHT) matches the
     # per-step values
-    d_prev = jnp.zeros_like(seed_mant)
-    d_curr = jnp.zeros_like(seed_mant)
-    k = jnp.full_like(seed_k, -(2**30))
+    mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k = _prepare_scan(
+        ms, ns, x, logch, logsh, fdt, seed=seed
+    )
 
     def step(carry, scan_xs):
         ell, xs = scan_xs
@@ -200,13 +262,25 @@ def _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, carry_extra, fdt, xs_e
     return ys, extra
 
 
-def _prepare_scan(ms, ns, x, logch, logsh, fdt):
-    """Seeds and initial scaled state shared by all scan variants."""
+def _prepare_scan(ms, ns, x, logch, logsh, fdt, seed=None):
+    """Seeds and initial scaled state shared by all scan variants.
+
+    ``seed``: optional host-precomputed (mant, k) planes from
+    :func:`wigner_seed_host`; on TPU these avoid the device f32
+    log/lgamma error floors in the seed magnitudes.
+    """
     mp = -jnp.asarray(ms, dtype=jnp.int32)
     npar = -jnp.asarray(ns, dtype=jnp.int32)
-    j0, sign, logval = wigner_seed_log(mp, npar, logch, logsh)
-    msign = jnp.where(jnp.asarray(ms, jnp.int32) % 2 == 0, 1.0, -1.0).astype(fdt)
-    seed_mant, seed_k = _seed_scaled(sign * msign, logval)
+    j0 = jnp.maximum(jnp.abs(mp), jnp.abs(npar))
+    if seed is not None:
+        seed_mant = jnp.asarray(seed[0], fdt)
+        seed_k = jnp.asarray(seed[1], jnp.int32)
+    else:
+        j0_, sign, logval = wigner_seed_log(mp, npar, logch, logsh)
+        msign = jnp.where(
+            jnp.asarray(ms, jnp.int32) % 2 == 0, 1.0, -1.0
+        ).astype(fdt)
+        seed_mant, seed_k = _seed_scaled(sign * msign, logval)
     d_prev = jnp.zeros_like(seed_mant)
     d_curr = jnp.zeros_like(seed_mant)
     k = jnp.full_like(seed_k, -(2**30))
@@ -241,7 +315,7 @@ def _swap_blocks(arr, axis=-1):
 
 
 def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
-                                cross=False):
+                                cross=False, seed=None):
     """Ring-pair-folded analysis: half the rings, parity-split spectra.
 
     The N/S mirror symmetry slm^{(n)}(pi-t) = (-1)^{l+m} slm^{(-n)}(t)
@@ -260,7 +334,7 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
     """
     fdt = x.dtype
     mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k = _prepare_scan(
-        ms, ns, x, logch, logsh, fdt
+        ms, ns, x, logch, logsh, fdt, seed=seed
     )
     niter = (lmax + 2) // 2
 
@@ -304,7 +378,7 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
 
 
 def lambda_synthesis_scan_folded(ms, ns, x, logch, logsh, lmax, alm,
-                                 cross=False):
+                                 cross=False, seed=None):
     """Ring-pair-folded synthesis.
 
     Returns (GN, GS) of shape (..., nhalf, lanes): the ring spectra on
@@ -315,7 +389,7 @@ def lambda_synthesis_scan_folded(ms, ns, x, logch, logsh, lmax, alm,
     """
     fdt = x.dtype
     mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k = _prepare_scan(
-        ms, ns, x, logch, logsh, fdt
+        ms, ns, x, logch, logsh, fdt, seed=seed
     )
     niter = (lmax + 2) // 2
     nlanes = mp.shape[0]
@@ -358,7 +432,7 @@ def lambda_synthesis_scan_folded(ms, ns, x, logch, logsh, lmax, alm,
     return jnp.swapaxes(GN, -1, -2), jnp.swapaxes(GS, -1, -2)
 
 
-def lambda_analysis_scan(ms, ns, x, logch, logsh, lmax, Fw):
+def lambda_analysis_scan(ms, ns, x, logch, logsh, lmax, Fw, seed=None):
     """alm[l, lane] = sum_r slm(l, m_lane; theta_r) * Fw[..., r, lane].
 
     ``ms``/``ns``: (lanes,) harmonic orders and spins (column index) per lane;
@@ -371,12 +445,14 @@ def lambda_analysis_scan(ms, ns, x, logch, logsh, lmax, Fw):
         out = jnp.einsum("lr,...rl->...l", lam, Fw)
         return out, extra
 
-    ys, _ = _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, 0, fdt)
+    ys, _ = _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, 0, fdt,
+                       seed=seed)
     # ys: (lmax+1, ..., lanes) -> (..., lmax+1, lanes)
     return jnp.moveaxis(ys, 0, -2)
 
 
-def lambda_power_scan(ms, ns, x, logch, logsh, lmax, Fw, weights):
+def lambda_power_scan(ms, ns, x, logch, logsh, lmax, Fw, weights,
+                      seed=None):
     """Per-l lane-weighted power of the analysis, fully reduced in-scan.
 
     out[..., k, l] = sum_lane weights[k, lane] * |a_l,lane|^2 with
@@ -391,16 +467,20 @@ def lambda_power_scan(ms, ns, x, logch, logsh, lmax, Fw, weights):
     fdt = x.dtype
 
     def step_extra(ell, lam, xs, extra):
-        a = jnp.einsum("lr,...rl->...l", lam, Fw)
+        # HIGHEST: default-precision f32 einsums route via bf16 MXU
+        # passes on TPU, biasing every lane (seen as w_pix(0) != 1)
+        hi = jax.lax.Precision.HIGHEST
+        a = jnp.einsum("lr,...rl->...l", lam, Fw, precision=hi)
         power = a.real**2 + a.imag**2
-        return jnp.einsum("kl,...l->...k", weights, power), extra
+        return jnp.einsum("kl,...l->...k", weights, power, precision=hi), extra
 
-    ys, _ = _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, 0, fdt)
+    ys, _ = _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, 0, fdt,
+                       seed=seed)
     # ys: (lmax+1, ..., K) -> (..., K, lmax+1)
     return jnp.moveaxis(ys, 0, -1)
 
 
-def wigner_table(m, n, x, logch, logsh, lmax):
+def wigner_table(m, n, x, logch, logsh, lmax, seed=None):
     """Raw Wigner-d table d^l_{-m,-n}(theta) for l = 0..lmax, all thetas.
 
     Single (m, n) pair; returns (lmax+1, nr).  Used by the mixing-matrix
@@ -414,7 +494,7 @@ def wigner_table(m, n, x, logch, logsh, lmax):
     ys, _ = _scan_core(
         jnp.asarray([m], jnp.int32),
         jnp.asarray([n], jnp.int32),
-        x, logch, logsh, lmax, step_extra, 0, fdt,
+        x, logch, logsh, lmax, step_extra, 0, fdt, seed=seed,
     )
     # undo the slm normalisation: slm = (-1)^m sqrt((2l+1)/4pi) d
     ells = jnp.arange(lmax + 1, dtype=fdt)
@@ -423,7 +503,7 @@ def wigner_table(m, n, x, logch, logsh, lmax):
     return ys * (sign / norm)[:, None]
 
 
-def lambda_synthesis_scan(ms, ns, x, logch, logsh, lmax, alm):
+def lambda_synthesis_scan(ms, ns, x, logch, logsh, lmax, alm, seed=None):
     """G[..., r, lane] = sum_l alm[..., l, lane] * slm(l, m_lane; theta_r).
 
     ``alm``: (..., lmax+1, lanes) complex.  Returns (..., nr, lanes) complex.
@@ -441,6 +521,7 @@ def lambda_synthesis_scan(ms, ns, x, logch, logsh, lmax, alm):
         return 0, G
 
     _, G = _scan_core(
-        ms, ns, x, logch, logsh, lmax, step_extra, G0, fdt, xs_extra=alm_t
+        ms, ns, x, logch, logsh, lmax, step_extra, G0, fdt, xs_extra=alm_t,
+        seed=seed,
     )
     return jnp.swapaxes(G, -1, -2)  # (..., nr, lanes)

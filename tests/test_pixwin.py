@@ -85,6 +85,30 @@ def test_polarization_window(tmp_path, monkeypatch):
     assert np.all(ratio < 1.0) and np.all(ratio > 0.99)
 
 
+def test_packaged_production_windows(tmp_path, monkeypatch):
+    """Exact polarized windows ship for nside 512..4096 (north star incl.).
+
+    The reference deconvolves with healpy's exact tables at every nside
+    (healpy.py:170-196); these packaged tables make method="auto" exact
+    with no cap fallback at production resolutions.
+    """
+    monkeypatch.setenv("HERACLES_TPU_CACHE", str(tmp_path))  # no user cache
+    sht._pixel_window_cached.cache_clear()
+    sht._pixwin_resolved_exact.clear()
+    for nside in (512, 1024, 2048, 4096):
+        lmax = min(3 * nside // 2, 3000)
+        assert pixwin.find_cached(nside, lmax, True) is not None, nside
+        tp = sht.pixel_window(nside, lmax, pol=True)
+        assert tp.shape == (2, lmax + 1)
+        assert tp[0, 0] == pytest.approx(1.0, abs=1e-9)
+        assert np.all(np.diff(tp[0]) < 0)
+        # exact windows differ measurably from the cap approximation
+        cap = sht.pixel_window(nside, lmax, method="cap")
+        assert np.max(np.abs(tp[0] - cap)) > 1e-4
+    sht._pixel_window_cached.cache_clear()
+    sht._pixwin_resolved_exact.clear()
+
+
 def test_sht_pixel_window_dispatch(tmp_path, monkeypatch):
     monkeypatch.setenv("HERACLES_TPU_CACHE", str(tmp_path))
     sht._pixel_window_cached.cache_clear()

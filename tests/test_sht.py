@@ -113,6 +113,39 @@ def test_lambda_scaled_seed_high_m():
     assert got == pytest.approx(want, rel=1e-10)
 
 
+def test_wigner_seed_host_matches_device_seed():
+    # host-f64 seed planes (the TPU accuracy path: device f32 log/lgamma
+    # carry absolute-error floors) must agree with the f64 device seeds
+    # to f32 mantissa accuracy, including pole handling and signs
+    import jax.numpy as jnp
+
+    lmax = 50
+    theta = np.array([0.0, 0.01, 0.8, np.pi / 2, 2.7, np.pi])
+    ms = np.array([0, 1, 5, 30, 50, -3, 7])
+    ns = np.array([0, 2, -2, 0, 2, 2, -2])
+    mant, k = wigner.wigner_seed_host(ms, ns, theta)
+    assert mant.dtype == np.float32 and k.dtype == np.int32
+    assert np.all(np.isfinite(mant))  # incl. the exact poles
+
+    # exact poles excluded: the device seed path nans there (0 * log 0),
+    # latent only because ring centres never sit exactly on a pole
+    inner = slice(1, -1)
+    x = jnp.asarray(np.cos(theta[inner]))
+    logch = jnp.asarray(np.log(np.cos(theta[inner] / 2)))
+    logsh = jnp.asarray(np.log(np.sin(theta[inner] / 2)))
+    alm = jnp.zeros((lmax + 1, ms.size), dtype=jnp.complex128)
+    alm = alm.at[lmax].set(1.0)
+    ref = np.asarray(wigner.lambda_synthesis_scan(
+        jnp.asarray(ms), jnp.asarray(ns), x, logch, logsh, lmax, alm
+    ).real)
+    got = np.asarray(wigner.lambda_synthesis_scan(
+        jnp.asarray(ms), jnp.asarray(ns), x, logch, logsh, lmax, alm,
+        seed=(jnp.asarray(mant[:, inner]), jnp.asarray(k[:, inner])),
+    ).real)
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got, ref, atol=2e-7 * scale)
+
+
 def test_map2alm_matches_dense_adjoint():
     """The fast path must equal the dense a_lm = sum_p w_p f_p Ylm*(p).
 
