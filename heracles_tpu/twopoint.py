@@ -128,8 +128,11 @@ def rect_pair_grid(a1, a2, ms):
     spectra.
     """
     eps = jnp.where(ms == 0, 1.0, 2.0).astype(jnp.real(a1).dtype)
-    grid = jnp.einsum("alm,blm->abl", a1.real * eps, a2.real)
-    grid += jnp.einsum("alm,blm->abl", a1.imag * eps, a2.imag)
+    # HIGHEST: default f32 einsums round inputs to bf16 on the MXU
+    # (measured 4e-3 relative on the GL mixmat integral before pinning)
+    hi = jax.lax.Precision.HIGHEST
+    grid = jnp.einsum("alm,blm->abl", a1.real * eps, a2.real, precision=hi)
+    grid += jnp.einsum("alm,blm->abl", a1.imag * eps, a2.imag, precision=hi)
     ells = jnp.arange(a1.shape[-2], dtype=grid.dtype)
     return grid / (2 * ells + 1)
 
@@ -256,8 +259,9 @@ def _alm2cl_grid_batched(re1, im1, re2, im2, lmax1, lmax2, lout):
     a2 = sht.unpack_alm(re2 + 1j * im2, lmax2)[..., : lout + 1, : lout + 1]
     ms = jnp.arange(lout + 1)
     eps = jnp.where(ms == 0, 1.0, 2.0).astype(jnp.real(a1).dtype)
-    grid = jnp.einsum("salm,sblm->sabl", a1.real * eps, a2.real)
-    grid += jnp.einsum("salm,sblm->sabl", a1.imag * eps, a2.imag)
+    hi = jax.lax.Precision.HIGHEST
+    grid = jnp.einsum("salm,sblm->sabl", a1.real * eps, a2.real, precision=hi)
+    grid += jnp.einsum("salm,sblm->sabl", a1.imag * eps, a2.imag, precision=hi)
     ells = jnp.arange(a1.shape[-2], dtype=grid.dtype)
     return grid / (2 * ells + 1)
 
@@ -683,7 +687,10 @@ def _mixmat_gl(cl3, l1max, l2max, s1, s2, eb):
     # mask correlation at the nodes: xi = sum (2l+1)/4pi cl3 P_l(x)
     P3 = wigner_table(0, 0, x, logch, logsh, l3max, seed=seed((0, 0)))
     ells3 = jnp.arange(l3max + 1, dtype=fdt)
-    xi = ((2 * ells3 + 1) / (4 * jnp.pi) * cl3) @ P3  # (nx,)
+    hi = jax.lax.Precision.HIGHEST
+    xi = jnp.matmul(
+        (2 * ells3 + 1) / (4 * jnp.pi) * cl3, P3, precision=hi
+    )  # (nx,)
 
     # d tables: wigner_table(m, n, ...) = d^l_{-m,-n}
     D1 = wigner_table(
@@ -699,7 +706,7 @@ def _mixmat_gl(cl3, l1max, l2max, s1, s2, eb):
     def integral(xi_nodes):
         return jnp.einsum(
             "ax,x,bx->ab", D1, w * xi_nodes, D2,
-            preferred_element_type=fdt,
+            preferred_element_type=fdt, precision=hi,
         )
 
     I_full = integral(xi) * pref[None, :]
@@ -813,12 +820,31 @@ def mixing_matrices(
     return out
 
 
+@partial(jax.jit, static_argnames=("refine",))
+def _pinv_batch(a, rcond, refine):
+    """Batched rcond-cut pseudo-inverse on the default device.
+
+    One dispatch inverts a whole (k, n, m) stack — the spin-2 blocks
+    (M+, M-, EB) factorise into three independent pinvs that batch
+    through one SVD call.  ``refine``: one Newton-Schulz step
+    X' = 2X - X A X (two MXU matmuls) knocks the f32 SVD noise floor
+    down toward the cond * eps limit; used on f32 runs.
+    """
+    out = jnp.linalg.pinv(a, rcond)
+    if refine:
+        out = 2.0 * out - out @ a @ out
+    return out
+
+
 def invert_mixing_matrix(M, rcond=1e-5, progress=None):
     """Pseudo-inverses of mixing matrices.
 
     For spin2 x spin2, the (EE, BB) sector is block-diagonalised by the
     M+ = M_EE + M_BB / M- = M_EE - M_BB transformation before pinv and
     recombined; EB inverts independently (reference twopoint.py:404-481).
+    The pinvs run batched on the default jax device (one SVD dispatch
+    per key) instead of the reference's sequential host LAPACK calls —
+    at lmax=3000 the host SVDs dominate the whole mixmats stage.
     """
     from collections.abc import Mapping as _Mapping
 
@@ -840,15 +866,22 @@ def invert_mixing_matrix(M, rcond=1e-5, progress=None):
         else:
             rc = rcond
         with progress.task(f"invert {key}"):
+            adev = jnp.asarray(arr)
+            refine = adev.dtype == jnp.float32
             if s1 != 0 and s2 != 0:
-                inv_p = np.linalg.pinv(arr[0] + arr[1], rcond=rc)
-                inv_m = np.linalg.pinv(arr[0] - arr[1], rcond=rc)
+                blocks = jnp.stack(
+                    [adev[0] + adev[1], adev[0] - adev[1], adev[2]]
+                )
+                inv_p, inv_m, inv_eb = np.asarray(
+                    _pinv_batch(blocks, rc, refine)
+                )
                 inv_ee = (inv_p + inv_m) / 2
                 inv_bb = (inv_p - inv_m) / 2
-                inv_eb = np.linalg.pinv(arr[2], rcond=rc)
                 arr_inv = np.array([inv_ee, inv_bb, inv_eb])
             else:
-                arr_inv = np.linalg.pinv(arr, rcond=rc)
+                arr_inv = np.asarray(
+                    _pinv_batch(adev[None], rc, refine)[0]
+                )
             if n != m:
                 # pinv swaps input/output ell axes; rebuild angular arrays
                 axis = value.axis[0]
