@@ -371,6 +371,11 @@ def pixel_window_exact(nside, lmax, *, pol=False, factor=16, cap_samples=16):
     # of the fine grid's own window; multiply it back in (second-moment
     # model, exact to O((l/nside_hi)^4) — see _subcell_moment)
     w *= _subcell_window(nside * factor, lmax)
+    # w(l=0) = 1 analytically (Y_00 is constant over the pixel); the
+    # device-f32 scan leaves a common-mode scale residual ~1e-7, which
+    # dividing by the measured l=0 value removes from every lane
+    if w[0, 0] > 0:
+        w /= w[0, 0]
 
     if pol:
         w[1, : min(2, lmax + 1)] = 0.0
