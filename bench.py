@@ -192,6 +192,136 @@ def build_ingest(ncols_read, nrows=2_000_000, ncols=8):
     return run
 
 
+def _pipeline_catalog(nrows):
+    """Synthetic position+shear FITS catalogue (cached)."""
+    cache = os.environ.get("HERACLES_TPU_CACHE", "/tmp/heracles_tpu_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"bench_pipeline_cat_{nrows}.fits")
+    if not os.path.exists(path):
+        from heracles_tpu.fits import FitsFile
+
+        rng = np.random.default_rng(8)
+        tab = {
+            "RA": rng.uniform(0, 360, nrows),
+            "DEC": np.degrees(np.arcsin(rng.uniform(-1, 1, nrows))),
+            "G1": rng.normal(0, 0.1, nrows),
+            "G2": rng.normal(0, 0.1, nrows),
+            "W": rng.uniform(0.5, 1.0, nrows),
+        }
+        with FitsFile(path, mode="rw", clobber=True) as f:
+            f.write_table(tab, extname="CATALOG")
+    return path
+
+
+def build_pipeline(nside, lmax, nrows=5_000_000, nbins=2):
+    """Full catalogue -> maps -> alms -> Cl -> mixing-matrix pipeline.
+
+    BASELINE.md configs 3+5 measured as one wall-clock: FITS ingestion,
+    positions + shear mapping for ``nbins`` tomographic bins, spin-0 and
+    spin-2 SHTs, the all-pairs spectra grid, and the mask mixing
+    matrices (incl. the spin-2 E/B blocks).
+    """
+    import heracles_tpu as h
+    from heracles_tpu.catalog import FitsCatalog
+    from heracles_tpu.core import update_metadata
+    from heracles_tpu.mapping import map_catalogs, transform
+    from heracles_tpu.twopoint import angular_power_spectra, mixing_matrices
+
+    path = _pipeline_catalog(nrows)
+    mapper = h.HealpixMapper(nside, lmax)
+    fields = {
+        "POS": h.Positions(mapper, "RA", "DEC", mask="VIS",
+                           overdensity=False),
+        "SHE": h.Spin2Field(mapper, "RA", "DEC", "G1", "G2", "W",
+                            mask="VIS"),
+        "VIS": h.Visibility(mapper),
+    }
+    catalogs = {i: FitsCatalog(path) for i in range(nbins)}
+    npix = 12 * nside * nside
+    # 60% band mask as the survey visibility
+    ring = np.arange(npix)
+    vis_template = ((ring > npix // 5) & (ring < 4 * npix // 5)).astype(
+        np.float64
+    )
+
+    def run():
+        maps = map_catalogs(
+            fields, catalogs, include=[("POS", ...), ("SHE", ...)]
+        )
+        for i in range(nbins):
+            vis = mapper.create(spin=0)
+            vis[:] = vis_template
+            update_metadata(vis, fsky=0.6)
+            maps["VIS", i] = vis
+        alms = transform(fields, maps)
+        cls = angular_power_spectra(alms)
+        mask_cls = {k: v for k, v in cls.items() if k[:2] == ("VIS", "VIS")}
+        mms = mixing_matrices(fields, mask_cls, l3max=lmax)
+        tot = 0.0
+        for v in mms.values():
+            tot += float(np.asarray(v).ravel()[0])
+        for v in cls.values():
+            tot += float(np.asarray(v).ravel()[0])
+        return tot
+
+    return run
+
+
+def build_dices_real(nside, lmax, njk):
+    """The real DICES jackknife stage: region alms + delete-1 spectra.
+
+    Exercises the production path end-to-end — batched region-masked
+    SHTs (spin-0 + spin-2), the per-region FITS caches, and the
+    sample-stacked all-pairs spectra grids — at realistic region counts,
+    unlike ``dices_regions8_n256`` which times only the inner loop.
+    Each rep starts from a fresh cache dir (cold run).
+    """
+    import shutil
+    import tempfile
+
+    import heracles_tpu as h
+    from heracles_tpu import dices
+    from heracles_tpu.core import update_metadata
+
+    rng = np.random.default_rng(9)
+    npix = 12 * nside * nside
+    mapper = h.HealpixMapper(nside, lmax, deconvolve=False)
+    fields = {
+        "POS": h.Positions(mapper, "RA", "DEC", mask="VIS"),
+        "SHE": h.Spin2Field(mapper, "RA", "DEC", "G1", "G2", mask="VIS"),
+        "VIS": h.Visibility(mapper),
+    }
+    pos = mapper.create(spin=0)
+    pos[:] = rng.normal(size=npix)
+    update_metadata(pos, fsky=1.0, musq=1.0, dens=100.0)
+    she = mapper.create(2, spin=2)
+    she[:] = rng.normal(size=(2, npix))
+    update_metadata(she, fsky=1.0, musq=1.0, dens=100.0)
+    vis = mapper.create(spin=0)
+    vis[:] = 1.0
+    update_metadata(vis, fsky=1.0)
+    jk = np.zeros(npix)
+    edges = np.linspace(0, npix, njk + 1).astype(int)
+    for k in range(njk):
+        jk[edges[k] : edges[k + 1]] = k + 1
+    data_maps = {("POS", 0): pos, ("SHE", 0): she}
+    vis_maps = {("VIS", 0): vis}
+
+    def run():
+        d = tempfile.mkdtemp(prefix="dices_bench_")
+        try:
+            cls1 = dices.jackknife_cls(
+                data_maps, vis_maps, jk, fields, nd=1, dir=d
+            )
+            first = next(iter(cls1.values()))
+            arr = np.asarray(next(iter(first.values())))
+            return float(arr.ravel()[0])
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    return run
+
+
 def build_dices_regions(nside, lmax, njk):
     import jax
     import jax.numpy as jnp
@@ -243,6 +373,20 @@ CONFIGS = {
         reps=3,
         cpu=("spin2_masked_n512_l768", _sht_scale(4096, 3000, 512, 768)),
     ),
+    "pipeline_n4096_l3000": dict(
+        build=lambda: build_pipeline(4096, 3000),
+        reps=2,
+        # dominated by 2 spin-0 + 2 spin-2 + 2 mask SHTs: scale by the
+        # SHT work ratio from the same pipeline measured at nside=512
+        cpu=("pipeline_n512_l768", _sht_scale(4096, 3000, 512, 768)),
+    ),
+    "dices_njk50_n1024": dict(
+        build=lambda: build_dices_real(1024, 1536, 50),
+        reps=2,
+        # work ~ njk * (nside * lmax^2): measured at njk=8, nside=256
+        cpu=("dices_njk8_n256_real",
+             (50 / 8) * _sht_scale(1024, 1536, 256, 384)),
+    ),
     "spin0_cl_n128_l256": dict(
         build=lambda: build_spin0(128, 256),
         reps=5,
@@ -287,6 +431,8 @@ CONFIGS = {
 
 # CPU baseline measurements (sizes small enough for one host core).
 CPU_CONFIGS = {
+    "pipeline_n512_l768": lambda: build_pipeline(512, 768, nrows=1_000_000),
+    "dices_njk8_n256_real": lambda: build_dices_real(256, 384, 8),
     "spin0_cl_n128_l256": lambda: build_spin0(128, 256),
     "spin2_masked_n512_l768": lambda: build_spin2_masked(512, 768),
     "mixmat_eb_l1000": lambda: build_mixmat_eb(1000),
