@@ -38,7 +38,12 @@ O(N * w^2) spread cost instead of O(N * lmax^2).
 
 from __future__ import annotations
 
+import ctypes
 import functools
+import hashlib
+import logging
+import os
+import subprocess
 
 import jax
 import jax.numpy as jnp
@@ -46,10 +51,80 @@ import numpy as np
 
 from . import sht
 
+logger = logging.getLogger(__name__)
+
 __all__ = ["adjoint_gridded", "kernel_width", "grid_shape"]
 
 SIGMA = 2.0  # oversampling factor of the spread grid
 _SPREAD_CHUNK = 1 << 20  # points per host spreading block
+
+
+@functools.lru_cache(maxsize=1)
+def _native_spread():
+    """ctypes handle of the C++ ES spreading kernel, or None.
+
+    Compiled on first use from ``_spread.cpp`` next to this module into
+    $HERACLES_TPU_CACHE (content-addressed, so source edits recompile).
+    ``HERACLES_TPU_NO_NATIVE=1`` forces the numpy fallback.
+    """
+    if os.environ.get("HERACLES_TPU_NO_NATIVE"):
+        return None
+    src = os.path.join(os.path.dirname(__file__), "_spread.cpp")
+    try:
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache = os.environ.get("HERACLES_TPU_CACHE", "/tmp/heracles_tpu_cache")
+        os.makedirs(cache, exist_ok=True)
+        lib = os.path.join(cache, f"heracles_spread_{tag}.so")
+        if not os.path.exists(lib):
+            tmp = lib + f".build{os.getpid()}"
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", tmp, src],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, lib)
+        dll = ctypes.CDLL(lib)
+    except (OSError, subprocess.SubprocessError) as exc:
+        logger.warning("native spread kernel unavailable (%s); "
+                       "falling back to numpy", exc)
+        return None
+    fn = dll.spread_es
+    p64 = ctypes.POINTER(ctypes.c_double)
+    fn.argtypes = [ctypes.c_int64, p64, p64, ctypes.c_int64,
+                   ctypes.c_int64, p64, p64, ctypes.c_int64,
+                   ctypes.c_int64, ctypes.c_int32, ctypes.c_double]
+    fn.restype = None
+    return fn
+
+
+def _spread_native(fn, theta, phi, values, lmax, w, grid):
+    """Spread via the C++ kernel into a wrap-padded scratch, then fold."""
+    ntheta, nphi = grid_shape(lmax)
+    beta = _es_beta(w)
+    complex_vals = np.iscomplexobj(values)
+    ncomp = 2 if complex_vals else 1
+    nrows = values.shape[0]
+    theta = np.ascontiguousarray(theta, np.float64)
+    phi = np.ascontiguousarray(phi, np.float64)
+    vals = np.ascontiguousarray(
+        values, np.complex128 if complex_vals else np.float64
+    )
+    pad = np.zeros((nrows, ntheta + w, nphi + w, ncomp))
+    p64 = ctypes.POINTER(ctypes.c_double)
+    fn(theta.size,
+       theta.ctypes.data_as(p64), phi.ctypes.data_as(p64),
+       nrows, ncomp, vals.view(np.float64).ctypes.data_as(p64),
+       pad.ctypes.data_as(p64), ntheta, nphi, w, beta)
+    # torus wrap: fold padded rows, then padded columns
+    pad[:, :w] += pad[:, ntheta:]
+    pad = pad[:, :ntheta]
+    pad[:, :, :w] += pad[:, :, nphi:]
+    pad = np.ascontiguousarray(pad[:, :, :nphi])
+    if complex_vals:
+        pad = pad.view(np.complex128)
+    grid += pad.reshape(grid.shape)
+    return grid
 
 
 def kernel_width(epsilon):
@@ -119,6 +194,10 @@ def spread_torus(theta, phi, values, lmax, w, grid=None):
         )
     else:
         grid = grid.reshape(values.shape[0], ntheta * nphi)
+    native = _native_spread()
+    if native is not None:
+        _spread_native(native, theta, phi, values, lmax, w, grid)
+        return grid.reshape(values.shape[0], ntheta, nphi)
     ht = 2.0 * np.pi / ntheta
     hp = 2.0 * np.pi / nphi
     offs = np.arange(w)
