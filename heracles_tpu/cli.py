@@ -146,7 +146,9 @@ def mapper_from_config(config, section):
         from .mappers import DiscreteMapper
 
         lmax = config.getint(section, "lmax", fallback=None)
-        return DiscreteMapper(lmax)
+        epsilon = config.getfloat(section, "epsilon", fallback=None)
+        method = config.get(section, "method", fallback="auto")
+        return DiscreteMapper(lmax, epsilon=epsilon, method=method)
     return None
 
 

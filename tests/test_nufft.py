@@ -48,6 +48,46 @@ def test_adjoint_gridded_spin2(points):
     assert err / np.max(np.abs(exact)) < 1e-11
 
 
+def test_paged_gridded_mapping_matches_exact():
+    """map_catalogs with the gridded DiscreteMapper == exact, incl. spin-2.
+
+    Drives the accumulation interface (begin/add/finish): the torus grid
+    accumulates across catalogue pages and reduces once.
+    """
+    import heracles_tpu as h
+    from heracles_tpu.catalog import ArrayCatalog
+    from heracles_tpu.mapping import map_catalogs
+
+    rng = np.random.default_rng(7)
+    n, lmax = 3000, 32
+    cat = ArrayCatalog(
+        np.rec.fromarrays(
+            [rng.uniform(0, 360, n),
+             np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+             rng.normal(0, 0.1, n), rng.normal(0, 0.1, n), np.ones(n)],
+            names=["RA", "DEC", "G1", "G2", "W"],
+        ),
+    )
+    cat.page_size = 1000  # several pages -> exercises grid accumulation
+    out = {}
+    for tag, mapper in [
+        ("gridded", DiscreteMapper(lmax, method="gridded")),
+        ("exact", DiscreteMapper(lmax, method="exact", point_block=1024)),
+    ]:
+        fields = {
+            "POS": h.Positions(mapper, "RA", "DEC", overdensity=False),
+            "SHE": h.Spin2Field(mapper, "RA", "DEC", "G1", "G2", "W"),
+        }
+        out[tag] = map_catalogs(fields, {0: cat})
+    for k in out["gridded"]:
+        a = np.asarray(out["gridded"][k])
+        b = np.asarray(out["exact"][k])
+        assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 1e-10
+        assert set(dict(out["gridded"][k].dtype.metadata or {})) == set(
+            dict(out["exact"][k].dtype.metadata or {})
+        )
+
+
 def test_incremental_spread_matches_single_pass(points):
     theta, phi, rng = points
     lmax = 16
