@@ -8,6 +8,16 @@ angular power spectra -> mask spectra -> mixing matrices -> unmixing ->
 jackknife covariance with shrinkage.
 """
 
+import os
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # some patched jax builds pin the platform before env vars apply
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if os.environ["JAX_PLATFORMS"] == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 import heracles_tpu as h
