@@ -18,11 +18,11 @@ module computes the same quantity from scratch, TPU-first:
 * the residual smoothing of the point sum (itself the fine grid's pixel
   window) is divided out with the cap-approximation window at nside_hi,
   where the cap model's error is second order;
-* pixel congruence classes keep the work at O(nside) transforms:
-  all 4*nside pixels of a belt ring are congruent (phi translations),
-  so one representative per ring; polar-cap pixel shapes vary along the
-  ring, so up to ``cap_samples`` quadrant positions are sampled per cap
-  ring with multiplicity weights; N/S mirror symmetry halves everything.
+* pixel congruence classes keep the work at O(nside) transforms: every
+  ring's pixels are congruent up to an azimuthal rotation (belt rings by
+  phi translation, cap rings by the 2pi/(4i) boundary-curve shift), and
+  the azimuthal power average is rotation-invariant — one representative
+  per ring; N/S mirror symmetry halves everything.
 
 Windows cache to $HERACLES_TPU_CACHE like the quadrature ring weights.
 """
@@ -105,9 +105,14 @@ def cap_window(nside, lmax):
 def _pixel_classes(nside, cap_samples):
     """Representative pixels (RING indices) and their multiplicities.
 
-    Total multiplicity equals 12 nside^2.  Belt rings contribute one
-    exact representative; cap rings are sampled at up to ``cap_samples``
-    quadrant positions, each standing in for its nearest neighbours.
+    Total multiplicity equals 12 nside^2.  Every ring's pixels are
+    congruent up to an azimuthal rotation (belt rings by phi
+    translation; cap rings repeat the same boundary curves shifted by
+    2pi/(4i)), and the azimuthally-averaged power |a_lm|^2 is invariant
+    under that rotation — so ONE representative per ring is exact.
+    ``cap_samples > 1`` samples extra quadrant positions per cap ring
+    (verified redundant: results are bit-identical for cap_samples
+    1..32 at nside 64/128).
     """
     pix, wts = [], []
     # rings with position-dependent pixel shapes: the polar cap rings
@@ -138,7 +143,7 @@ def _pixel_classes(nside, cap_samples):
 
 
 @functools.lru_cache(maxsize=16)
-def _subcell_moment(nside, factor=8, cap_samples=4):
+def _subcell_moment(nside, factor=8, cap_samples=1):
     """Mean squared angular distance of pixel mass from the pixel centre.
 
     The midpoint point-sum over a fine grid *divides* the true integral
@@ -349,7 +354,7 @@ def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None):
 
 
 @functools.lru_cache(maxsize=16)
-def pixel_window_exact(nside, lmax, *, pol=False, factor=16, cap_samples=16):
+def pixel_window_exact(nside, lmax, *, pol=False, factor=16, cap_samples=1):
     """Exact azimuthally-averaged pixel window(s) for ``nside``.
 
     Returns (lmax+1,) for ``pol=False``; (2, lmax+1) [temperature,
