@@ -216,7 +216,7 @@ def _lane_setup(lmax, pol):
     return ms, ns, weights
 
 
-def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None):
+def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None, cache_key=None):
     """(nreps, K, lmax+1) lane-weighted powers, chunked device passes.
 
     Reps are processed in fixed-size chunks, one jitted dispatch per
@@ -272,19 +272,27 @@ def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None):
     # nreps * NR — dedupe before the expensive host seed evaluation
     # (at nside = 2048 this is ~30x less work and ~40x less memory).
     use_host_seeds = fdt == np.float32
+    _seed_tables = {}
+
+    def seed_tables():
+        # lazy: a resumed build with all chunks checkpointed never pays
+        # the ~minutes-long host seed evaluation
+        if "mu" not in _seed_tables:
+            mu = np.empty((ms.size, _uniq.size), np.float32)
+            ku = np.empty(mu.shape, np.int32)
+            for s in range(0, _uniq.size, 8192):
+                mu[:, s : s + 8192], ku[:, s : s + 8192] = (
+                    wigner.wigner_seed_host(ms, ns, _uniq[s : s + 8192])
+                )
+            _seed_tables["mu"] = mu
+            _seed_tables["ku"] = ku
+        return _seed_tables["mu"], _seed_tables["ku"]
+
     if use_host_seeds:
-        uniq, seed_of = np.unique(th_rows, return_inverse=True)
+        _uniq, seed_of = np.unique(th_rows, return_inverse=True)
         seed_of = seed_of.reshape(th_rows.shape).astype(np.int32)
-        seed_mu = np.empty((ms.size, uniq.size), np.float32)
-        seed_ku = np.empty(seed_mu.shape, np.int32)
-        for s in range(0, uniq.size, 8192):
-            seed_mu[:, s : s + 8192], seed_ku[:, s : s + 8192] = (
-                wigner.wigner_seed_host(ms, ns, uniq[s : s + 8192])
-            )
     else:
         seed_of = np.zeros((nreps, 1), np.int32)
-        seed_mu = np.zeros((ms.size, 1), np.float32)
-        seed_ku = np.zeros(seed_mu.shape, np.int32)
 
     pad = (-nreps) % chunk
     if pad:
@@ -329,11 +337,28 @@ def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None):
         reshape(a)
         for a in (x, logch, logsh, ph_pts, row_of, seed_of)
     )
+    # per-chunk checkpoints: the remote TPU worker can crash mid-build
+    # (20+ min at production nside), and a fresh process resumes here
+    ck_path = None
+    if cache_key is not None:
+        try:
+            os.makedirs(_cache_dir(), exist_ok=True)
+            ck_path = os.path.join(_cache_dir(), f"pwchunk_{cache_key}")
+        except OSError:
+            ck_path = None
+
     outs = []
     for c in range(nchunks):
-        if c and c % 64 == 0:
+        if c and c % 16 == 0:
             logger.info("pixel window scan: chunk %d/%d", c, nchunks)
+        if ck_path and os.path.exists(f"{ck_path}_{c}.npy"):
+            try:
+                outs.append(np.load(f"{ck_path}_{c}.npy"))
+                continue
+            except (OSError, ValueError):
+                pass
         if use_host_seeds:
+            seed_mu, seed_ku = seed_tables()
             idx = sos[c]  # (chunk, NR)
             sm = np.ascontiguousarray(
                 seed_mu[:, idx].transpose(1, 0, 2)
@@ -349,6 +374,19 @@ def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None):
             jnp.asarray(phs[c]), jnp.asarray(ros[c]),
             jnp.asarray(sm), jnp.asarray(sk),
         )))
+        if ck_path:
+            try:
+                np.save(f"{ck_path}_{c}.npy", outs[-1])
+            except OSError:
+                ck_path = None
+    if ck_path:
+        import glob as _glob
+
+        for f in _glob.glob(f"{ck_path}_*.npy"):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
     out = np.stack(outs)
     return out.reshape((-1,) + out.shape[2:])[:nreps]
 
@@ -385,7 +423,10 @@ def pixel_window_exact(nside, lmax, *, pol=False, factor=16, cap_samples=1):
     )
     pix, wts = _pixel_classes(nside, cap_samples)
     th, ph, rings = _children_angles_rings(nside, pix, factor)
-    powers = _rep_powers(th, ph, lmax, pol, rings=rings)  # (nreps, K, l+1)
+    powers = _rep_powers(
+        th, ph, lmax, pol, rings=rings,
+        cache_key=f"{nside}_{lmax}_{int(pol)}_{factor}_{cap_samples}",
+    )  # (nreps, K, l+1)
 
     ells = np.arange(lmax + 1)
     npix = 12.0 * nside * nside
