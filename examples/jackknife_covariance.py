@@ -12,6 +12,7 @@ Run on TPU:  python examples/jackknife_covariance.py
 """
 
 import os
+import tempfile
 
 import jax
 
@@ -71,16 +72,20 @@ edges = np.linspace(0, npix, njk + 1).astype(int)
 for k in range(njk):
     jk_map[edges[k] : edges[k + 1]] = k + 1
 
+# per-region alm/cls caches go to a scratch dir (the default ``./dices``
+# writes into the current directory, like the reference)
+workdir = tempfile.mkdtemp(prefix="dices_example_")
+
 # -- two-point statistics ----------------------------------------------------
 # nd=0: the full-footprint spectra (one "sample" with no deletions)
-cls0 = dices.jackknife_cls(data_maps, vis_maps, jk_map, fields, nd=0)[()]
+cls0 = dices.jackknife_cls(data_maps, vis_maps, jk_map, fields, nd=0, dir=workdir)[()]
 print("cls0 keys:", len(cls0))
 
 # -- ensemble computation -----------------------------------------------------
 # nd=1: the delete-one ensemble — per-region alms are computed once (one
 # batched SHT pass), cached, and each sample is full - region by alm
 # linearity
-cls1 = dices.jackknife_cls(data_maps, vis_maps, jk_map, fields, nd=1)
+cls1 = dices.jackknife_cls(data_maps, vis_maps, jk_map, fields, nd=1, dir=workdir)
 print("delete-1 samples:", len(cls1))
 
 # bin for numerical stability
@@ -95,7 +100,7 @@ print("delete-1 cov diag:", np.diag(cov_jk[key])[:3])
 
 # -- debiasing -------------------------------------------------------------
 # jackknife errors are biased high; the delete-2 ensemble measures the bias
-cls2 = dices.jackknife_cls(data_maps, vis_maps, jk_map, fields, nd=2)
+cls2 = dices.jackknife_cls(data_maps, vis_maps, jk_map, fields, nd=2, dir=workdir)
 cqs2 = {k: h.binned(v, ledges) for k, v in cls2.items()}
 debiased_cov_jk = dices.debias_covariance(cov_jk, cqs0, cqs1, cqs2)
 print("debiased cov diag:", np.diag(debiased_cov_jk[key])[:3])

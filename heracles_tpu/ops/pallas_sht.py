@@ -155,6 +155,20 @@ def _block_rescale(d_prev, d_curr, k):
     return d_prev, d_curr, jnp.where(over, k + 1.0, k)
 
 
+def _rsum(a):
+    """Sum over axis 0 to (1, lanes) via halving tree.
+
+    A flat reduce lowers to a serial accumulate over all sublane tiles
+    (latency-bound chain); pairwise halving keeps the same add count but
+    a log-depth dependency chain, and is also ~half an ulp more accurate.
+    """
+    n = a.shape[0]
+    while n > 8 and n % 2 == 0:
+        n //= 2
+        a = a[:n] + a[n:]
+    return jnp.sum(a, axis=0, keepdims=True)
+
+
 def _norm_col(blk):
     """(8, 1) column of sqrt((2l+1)/4pi) for the block's 8 l values."""
     t = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(jnp.float32)
@@ -213,6 +227,17 @@ def _comp_seed_frac(lc_hi, lc_lo, terms):
     return frac, k0
 
 
+def _vmem_limit(*words):
+    """Mosaic VMEM budget (bytes) for f32 word-count estimates.
+
+    Doubled for compiler temporaries, clamped to [64 MB, 96 MB] — 64 MB
+    is known to compile on the target chips (synthesis_pair at
+    lmax=3000 has always run with it).
+    """
+    b = 8 * sum(int(w) for w in words)
+    return int(min(max(b, 64 * 2**20), 96 * 2**20))
+
+
 def _flatten_batch(arrays, core_ndim=2):
     """Flatten leading dims of each array to one batch axis; return meta."""
     batch = arrays[0].shape[:-core_ndim]
@@ -224,14 +249,21 @@ def _flatten_batch(arrays, core_ndim=2):
 
 
 def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
-            m_chunk, ring_block):
-    """Grid: (B, n_mchunks, n_ringblocks); ring blocks accumulate into out.
+            m_chunk, ring_block, nb=1):
+    """Grid: (B//nb, n_mchunks, n_ringblocks); ring blocks accumulate.
 
     The l-loop is split per m-chunk: blocks below the chunk's lowest
     order are skipped outright (lam = 0 for l < m — the triangle, ~2x at
     production lmax), the "diagonal" region runs the exact per-step
     seed/rescale logic, and the bulk region runs a stripped step with
     per-block deferred rescaling and hoisted emit factors.
+
+    ``nb`` maps share one program: the Wigner recurrence (the dominant
+    VPU cost) runs once per (m-chunk, ring-block) tile and its lam
+    contracts against all ``nb`` maps' ring spectra — batched DICES
+    regions and multi-bin transforms pay the recurrence once, not per
+    map.  Refs carry the maps on a leading axis of size nb*2 (re/im
+    plane pairs per map); out is (1, nb*2, lpad, m_chunk).
     """
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -258,43 +290,46 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     )
     seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
-    Fe_re = Fe_ref[0]
-    Fe_im = Fe_ref[1]
-    Fo_re = Fo_ref[0]
-    Fo_im = Fo_ref[1]
+    def F_planes(q, t):
+        ref = Fe_ref if t % 2 == 0 else Fo_ref
+        return ref[0, 2 * q], ref[0, 2 * q + 1]
 
     # 8 l-steps per iteration: one aligned (8, m_chunk) store per plane
     def diag_body(blk, carry):
-        rows_re = []
-        rows_im = []
+        rows = [[] for _ in range(2 * nb)]
         for t in range(8):
             carry, lam = _advance_spin0(carry, 8 * blk + t, m, x, seed_mant, k0)
-            Fr, Fi = (Fe_re, Fe_im) if t % 2 == 0 else (Fo_re, Fo_im)
-            rows_re.append(jnp.sum(lam * Fr, axis=0, keepdims=True))
-            rows_im.append(jnp.sum(lam * Fi, axis=0, keepdims=True))
+            for q in range(nb):
+                Fr, Fi = F_planes(q, t)
+                rows[2 * q].append(_rsum(lam * Fr))
+                rows[2 * q + 1].append(
+                    _rsum(lam * Fi)
+                )
         sl = pl.ds(8 * blk, 8)
-        out_ref[0, sl, :] += jnp.concatenate(rows_re, axis=0)
-        out_ref[1, sl, :] += jnp.concatenate(rows_im, axis=0)
+        for p in range(2 * nb):
+            out_ref[0, p, sl, :] += jnp.concatenate(rows[p], axis=0)
         return carry
 
     def bulk_body(blk, carry):
         d_prev, d_curr, k = carry
         emit = _emit_of(k)
-        rows_re = []
-        rows_im = []
+        rows = [[] for _ in range(2 * nb)]
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
             c1, c2 = _bulk_coeffs_spin0(ell, m)
             d_new = c1 * (x * d_curr) - c2 * d_prev
             lam = d_new * emit
-            Fr, Fi = (Fe_re, Fe_im) if t % 2 == 0 else (Fo_re, Fo_im)
-            rows_re.append(jnp.sum(lam * Fr, axis=0, keepdims=True))
-            rows_im.append(jnp.sum(lam * Fi, axis=0, keepdims=True))
+            for q in range(nb):
+                Fr, Fi = F_planes(q, t)
+                rows[2 * q].append(_rsum(lam * Fr))
+                rows[2 * q + 1].append(
+                    _rsum(lam * Fi)
+                )
             d_prev, d_curr = d_curr, d_new
         norm = _norm_col(blk)
         sl = pl.ds(8 * blk, 8)
-        out_ref[0, sl, :] += jnp.concatenate(rows_re, axis=0) * norm
-        out_ref[1, sl, :] += jnp.concatenate(rows_im, axis=0) * norm
+        for p in range(2 * nb):
+            out_ref[0, p, sl, :] += jnp.concatenate(rows[p], axis=0) * norm
         return _block_rescale(d_prev, d_curr, k)
 
     nblocks = (lmax + 8) // 8
@@ -309,17 +344,21 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
 
 
 def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
-                 FNm_ref, Sm_ref, out_ref, *, lmax, spin, m_chunk, ring_block):
+                 FNm_ref, Sm_ref, out_ref, *, lmax, spin, m_chunk, ring_block,
+                 nb=1):
     """Spin-pair (cross) analysis: columns n = +s and n = -s together.
 
-    Grid (B, n_mchunks, n_ringblocks).  The two Wigner columns share the
-    recurrence coefficients up to the sign of the m*n term; the mirror
-    (southern) term of each column contributes to the *partner* column's
-    output with an alternating (-1)^l sign:
+    Grid (B//nb, n_mchunks, n_ringblocks).  The two Wigner columns share
+    the recurrence coefficients up to the sign of the m*n term; the
+    mirror (southern) term of each column contributes to the *partner*
+    column's output with an alternating (-1)^l sign:
         a_p[l] = sum lam_p FN_p + (-1)^l sum lam_m S_p
         a_m[l] = sum lam_m FN_m + (-1)^l sum lam_p S_m
     (S_* are the partner-paired, (-1)^m-signed southern rows built by the
-    caller, exactly as in the jnp cross path.)
+    caller, exactly as in the jnp cross path.)  ``nb`` maps share one
+    program — both Wigner recurrences run once per tile and contract
+    against every map's spectra (F refs carry nb*2 re/im planes, out is
+    (1, nb*4, lpad, m_chunk)).
     """
     j = pl.program_id(2)
 
@@ -357,14 +396,12 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     mn_p = m * float(spin)
     mn_m = m * float(-spin)
 
-    FNp = (FNp_ref[0], FNp_ref[1])
-    Sp = (Sp_ref[0], Sp_ref[1])
-    FNm = (FNm_ref[0], FNm_ref[1])
-    Sm = (Sm_ref[0], Sm_ref[1])
+    def F_of(ref, q):
+        return (ref[0, 2 * q], ref[0, 2 * q + 1])
 
     def diag_body(blk, carry):
         carry_p, carry_m = carry
-        rows = [[], [], [], []]  # p_re, p_im, m_re, m_im
+        rows = [[] for _ in range(4 * nb)]
         for t in range(8):
             ell = 8 * blk + t
             sgn = 1.0 if t % 2 == 0 else -1.0
@@ -374,23 +411,26 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             carry_m, lam_m = _advance_pair(
                 carry_m, ell, m, s2, mn_m, x, j0, seed_m, k0_m
             )
-            for c in range(2):
-                rows[0 + c].append(jnp.sum(
-                    lam_p * FNp[c] + sgn * lam_m * Sp[c], axis=0, keepdims=True
-                ))
-                rows[2 + c].append(jnp.sum(
-                    lam_m * FNm[c] + sgn * lam_p * Sm[c], axis=0, keepdims=True
-                ))
+            for q in range(nb):
+                FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
+                FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
+                for c in range(2):
+                    rows[4 * q + c].append(
+                        _rsum(lam_p * FNp[c] + sgn * lam_m * Sp[c])
+                    )
+                    rows[4 * q + 2 + c].append(
+                        _rsum(lam_m * FNm[c] + sgn * lam_p * Sm[c])
+                    )
         sl = pl.ds(8 * blk, 8)
-        for plane in range(4):
-            out_ref[plane, sl, :] += jnp.concatenate(rows[plane], axis=0)
+        for plane in range(4 * nb):
+            out_ref[0, plane, sl, :] += jnp.concatenate(rows[plane], axis=0)
         return carry_p, carry_m
 
     def bulk_body(blk, carry):
         (dp_prev, dp_curr, k_p), (dm_prev, dm_curr, k_m) = carry
         emit_p = _emit_of(k_p)
         emit_m = _emit_of(k_m)
-        rows = [[], [], [], []]
+        rows = [[] for _ in range(4 * nb)]
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
@@ -399,25 +439,28 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
             lam_p = dp_new * emit_p
             lam_m = dm_new * emit_m
-            for c in range(2):
-                tp = lam_p * FNp[c]
-                tm = lam_m * Sp[c]
-                rows[0 + c].append(jnp.sum(
-                    tp + tm if t % 2 == 0 else tp - tm,
-                    axis=0, keepdims=True,
-                ))
-                tp2 = lam_m * FNm[c]
-                tm2 = lam_p * Sm[c]
-                rows[2 + c].append(jnp.sum(
-                    tp2 + tm2 if t % 2 == 0 else tp2 - tm2,
-                    axis=0, keepdims=True,
-                ))
+            for q in range(nb):
+                FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
+                FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
+                for c in range(2):
+                    tp = lam_p * FNp[c]
+                    tm = lam_m * Sp[c]
+                    rows[4 * q + c].append(
+                        _rsum(tp + tm if t % 2 == 0 else tp - tm)
+                    )
+                    tp2 = lam_m * FNm[c]
+                    tm2 = lam_p * Sm[c]
+                    rows[4 * q + 2 + c].append(
+                        _rsum(tp2 + tm2 if t % 2 == 0 else tp2 - tm2)
+                    )
             dp_prev, dp_curr = dp_curr, dp_new
             dm_prev, dm_curr = dm_curr, dm_new
         norm = _norm_col(blk)
         sl = pl.ds(8 * blk, 8)
-        for plane in range(4):
-            out_ref[plane, sl, :] += jnp.concatenate(rows[plane], axis=0) * norm
+        for plane in range(4 * nb):
+            out_ref[0, plane, sl, :] += (
+                jnp.concatenate(rows[plane], axis=0) * norm
+            )
         return (
             _block_rescale(dp_prev, dp_curr, k_p),
             _block_rescale(dm_prev, dm_curr, k_m),
@@ -477,25 +520,31 @@ def _vec_pair(hi, lo, pad):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lmax", "spin", "m_chunk", "ring_block", "interpret"),
+    static_argnames=("lmax", "spin", "m_chunk", "ring_block", "nb",
+                     "interpret"),
 )
 def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
                          logch_lo=None, logsh_lo=None, seed_planes=None,
-                         m_chunk=128, ring_block=None, interpret=False):
+                         m_chunk=128, ring_block=None, nb=None,
+                         interpret=False):
     """Folded spin-pair analysis on the Pallas kernel.
 
     Inputs as built by the jnp cross path: FN* northern rows per branch,
     S* the partner-paired (-1)^m-signed southern rows, each with optional
     leading batch dims (..., nhalf, nm_pad).  ``logch_lo``/``logsh_lo``
     are the optional f32 residuals of the f64 ring geometry (compensated
-    seed path).  Returns (alm_p, alm_m) rectangular (..., lmax+1,
+    seed path).  Batched maps group ``nb`` per program (recurrence runs
+    once per tile).  Returns (alm_p, alm_m) rectangular (..., lmax+1,
     nm_pad) complex64.
     """
     B, batch, (FNp, Sp, FNm, Sm) = _flatten_batch((FNp, Sp, FNm, Sm))
+    if nb is None:
+        # out tiles are 2x the spin-0 ones: halve the map grouping
+        nb = _pick_nb(B, lmax, limit=4 if lmax <= 1600 else 2)
     nhalf, nm_pad = FNp.shape[-2:]
     if ring_block is None:
-        # 4 double-buffered F blocks + 6 carries + the (4, lmax+1, m)
-        # output block must fit the 16MB scoped-VMEM budget
+        # 4 double-buffered F blocks + 6 carries + the (nb*4, lmax+1, m)
+        # output block must fit the VMEM budget
         ring_block = min(nhalf, 128 if lmax > 2048 else 256)
     nr_pad = -(-nhalf // ring_block) * ring_block
     pad = nr_pad - nhalf
@@ -503,7 +552,7 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     def prep(F):
         planes = jnp.stack([F.real, F.imag], axis=1).astype(jnp.float32)
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        return planes.reshape(B * 2, nr_pad, nm_pad)
+        return planes.reshape(B // nb, nb * 2, nr_pad, nm_pad)
 
     # host-side seed constants per (m, branch): the Wigner-d seed
     # coefficient and sign at j0 = max(m, s) (lgamma-free in the kernel);
@@ -523,25 +572,34 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
                             memory_space=pltpu.VMEM)
     pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                              memory_space=pltpu.VMEM)
-    F_spec = pl.BlockSpec((2, ring_block, m_chunk), lambda b, i, j: (b, j, i),
+    F_spec = pl.BlockSpec((1, nb * 2, ring_block, m_chunk),
+                          lambda b, i, j: (b, 0, j, i),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _pair_kernel, lmax=lmax, spin=abs(int(spin)), m_chunk=m_chunk,
-            ring_block=ring_block,
+            ring_block=ring_block, nb=nb,
         ),
-        grid=(B, n_mchunks, n_rblocks),
+        grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
             vec_spec, pair_spec, pair_spec,
             pl.BlockSpec((8, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             F_spec, F_spec, F_spec, F_spec,
         ],
-        out_specs=pl.BlockSpec((4, lpad, m_chunk), lambda b, i, j: (b, 0, i),
+        out_specs=pl.BlockSpec((1, nb * 4, lpad, m_chunk),
+                               lambda b, i, j: (b, 0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * 4, lpad, nm_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B // nb, nb * 4, lpad, nm_pad), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=_SEMANTICS,
+            vmem_limit_bytes=_vmem_limit(
+                nb * 4 * lpad * m_chunk,
+                2 * 4 * nb * 2 * ring_block * m_chunk,
+                6 * ring_block * m_chunk,
+            ),
         ),
         interpret=interpret,
     )(xp, logchp, logshp, jnp.asarray(seed), prep(FNp), prep(Sp),
@@ -555,12 +613,15 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
 
 
 def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
-                  m_chunk, ring_block):
+                  m_chunk, ring_block, nb=1):
     """Folded spin-0 synthesis: G accumulates in VMEM, written once.
 
-    Grid (B, n_mchunks, n_ringblocks); outputs 4 planes [GN_re, GN_im,
-    GS_re, GS_im] per (ring-block, m-chunk) tile, with the (-1)^m order
-    sign already applied to GS (spin 0: the lane-block swap is trivial).
+    Grid (B//nb, n_mchunks, n_ringblocks); outputs 4 planes per map
+    [GN_re, GN_im, GS_re, GS_im] per (ring-block, m-chunk) tile, with
+    the (-1)^m order sign already applied to GS (spin 0: the lane-block
+    swap is trivial).  ``nb`` maps share one program: the recurrence
+    runs once per tile; alm_ref carries nb*2 re/im planes and out_ref
+    nb*4 planes.
     """
     m = seed_ref[3]
     msign = seed_ref[2]
@@ -573,81 +634,86 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
     seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
     def diag_body(blk, carry):
-        state, GNr, GNi, Sr, Si = carry
-        rows = alm_ref[:, pl.ds(8 * blk, 8), :]  # (2, 8, m_chunk)
+        state, acc = carry
+        rows = alm_ref[0, :, pl.ds(8 * blk, 8), :]  # (nb*2, 8, m_chunk)
         for t in range(8):
             state, lam = _advance_spin0(state, 8 * blk + t, m, x, seed_mant, k0)
-            a_re = rows[0, t, :][None, :]
-            a_im = rows[1, t, :][None, :]
-            GNr = GNr + a_re * lam
-            GNi = GNi + a_im * lam
-            if t % 2 == 0:
-                Sr = Sr + a_re * lam
-                Si = Si + a_im * lam
-            else:
-                Sr = Sr - a_re * lam
-                Si = Si - a_im * lam
-        return state, GNr, GNi, Sr, Si
+            sgn = 1.0 if t % 2 == 0 else -1.0
+            new = []
+            for q in range(nb):
+                GNr, GNi, Sr, Si = acc[q]
+                t_re = rows[2 * q, t, :][None, :] * lam
+                t_im = rows[2 * q + 1, t, :][None, :] * lam
+                new.append((GNr + t_re, GNi + t_im,
+                            Sr + sgn * t_re, Si + sgn * t_im))
+            acc = new
+        return state, acc
 
     def bulk_body(blk, carry):
-        (d_prev, d_curr, k), GNr, GNi, Sr, Si = carry
+        (d_prev, d_curr, k), acc = carry
         emit = _emit_of(k)
         norm = _norm_col(blk)
-        rows = alm_ref[:, pl.ds(8 * blk, 8), :] * norm  # (2, 8, m_chunk)
+        rows = alm_ref[0, :, pl.ds(8 * blk, 8), :] * norm  # (nb*2, 8, mc)
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
             c1, c2 = _bulk_coeffs_spin0(ell, m)
             d_new = c1 * (x * d_curr) - c2 * d_prev
             lam = d_new * emit
-            t_re = rows[0, t, :][None, :] * lam
-            t_im = rows[1, t, :][None, :] * lam
-            GNr = GNr + t_re
-            GNi = GNi + t_im
-            if t % 2 == 0:
-                Sr = Sr + t_re
-                Si = Si + t_im
-            else:
-                Sr = Sr - t_re
-                Si = Si - t_im
+            sgn = 1.0 if t % 2 == 0 else -1.0
+            new = []
+            for q in range(nb):
+                GNr, GNi, Sr, Si = acc[q]
+                t_re = rows[2 * q, t, :][None, :] * lam
+                t_im = rows[2 * q + 1, t, :][None, :] * lam
+                new.append((GNr + t_re, GNi + t_im,
+                            Sr + sgn * t_re, Si + sgn * t_im))
+            acc = new
             d_prev, d_curr = d_curr, d_new
-        return _block_rescale(d_prev, d_curr, k), GNr, GNi, Sr, Si
+        return _block_rescale(d_prev, d_curr, k), acc
 
     nblocks = (lmax + 8) // 8
     m0 = pl.program_id(1) * m_chunk
     diag_end = _diag_end(m0, m_chunk, nblocks)
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    acc0 = [(zeros, zeros, zeros, zeros) for _ in range(nb)]
     carry = jax.lax.fori_loop(
-        m0 // 8, diag_end, diag_body,
-        ((zeros, zeros, kinit), zeros, zeros, zeros, zeros),
+        m0 // 8, diag_end, diag_body, ((zeros, zeros, kinit), acc0)
     )
-    _, GNr, GNi, Sr, Si = jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
-    out_ref[0] = GNr
-    out_ref[1] = GNi
-    out_ref[2] = Sr * msign
-    out_ref[3] = Si * msign
+    _, acc = jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
+    for q in range(nb):
+        GNr, GNi, Sr, Si = acc[q]
+        out_ref[0, 4 * q + 0] = GNr
+        out_ref[0, 4 * q + 1] = GNi
+        out_ref[0, 4 * q + 2] = Sr * msign
+        out_ref[0, 4 * q + 3] = Si * msign
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lmax", "m_chunk", "ring_block", "interpret"),
+    static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret"),
 )
 def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
                            logsh_lo=None, seed_planes=None, m_chunk=128,
-                           ring_block=None, interpret=False):
+                           ring_block=None, nb=None, interpret=False):
     """Folded spin-0 synthesis: rectangular alm -> (GN, GS) ring spectra.
 
     ``alm``: (..., lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
     shape (..., nhalf, nm_pad) where nhalf = len(x) (northern rings) and
     GS is the mirrored-southern spectrum with the (-1)^m sign applied,
     matching :func:`heracles_tpu.ops.wigner.lambda_synthesis_scan_folded`.
+    Batched alms group ``nb`` per program (shared recurrence).
     """
     B, batch, (alm,) = _flatten_batch((alm,))
+    if nb is None:
+        # alm blocks double-buffer per map: stay below the spin-0
+        # analysis grouping
+        nb = _pick_nb(B, lmax, limit=4 if lmax <= 1600 else 2)
     nhalf = x.shape[0]
     nm_pad = alm.shape[-1]
     if ring_block is None:
-        # double-buffered alm block + (4, ring_block, m_chunk) out tile +
-        # 7 carries must fit the 16MB scoped-VMEM budget
+        # double-buffered alm block + (nb*4, ring_block, m_chunk) out
+        # tile + per-map accumulator carries must fit the VMEM budget
         ring_block = min(nhalf, 256 if lmax > 2048 else 512)
     nr_pad = -(-nhalf // ring_block) * ring_block
     pad = nr_pad - nhalf
@@ -655,7 +721,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
     lpad = -(-(lmax + 1) // 8) * 8 + 8  # one spare block for the 8-step tail
     planes = jnp.stack([alm.real, alm.imag], axis=1).astype(jnp.float32)
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, lpad - (lmax + 1)), (0, 0)))
-    planes = planes.reshape(B * 2, lpad, nm_pad)
+    planes = planes.reshape(B // nb, nb * 2, lpad, nm_pad)
 
     if seed_planes is None:
         seed_planes = spin0_seed_planes(np.arange(nm_pad))
@@ -667,9 +733,10 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
 
     out = pl.pallas_call(
         functools.partial(
-            _synth_kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block
+            _synth_kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block,
+            nb=nb,
         ),
-        grid=(B, n_mchunks, n_rblocks),
+        grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
             pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -677,16 +744,24 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, lpad, m_chunk), lambda b, i, j: (b, 0, i),
+            pl.BlockSpec((1, nb * 2, lpad, m_chunk),
+                         lambda b, i, j: (b, 0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (4, ring_block, m_chunk), lambda b, i, j: (b, j, i),
+            (1, nb * 4, ring_block, m_chunk), lambda b, i, j: (b, 0, j, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B * 4, nr_pad, nm_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B // nb, nb * 4, nr_pad, nm_pad), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=_SEMANTICS,
+            vmem_limit_bytes=_vmem_limit(
+                2 * nb * 2 * lpad * m_chunk,
+                nb * 4 * ring_block * m_chunk,
+                (4 * nb + 3) * ring_block * m_chunk,
+            ),
         ),
         interpret=interpret,
     )(xp, logsum, jnp.asarray(seed_planes), planes)
@@ -699,7 +774,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
 
 
 def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
-                       out_ref, *, lmax, spin, m_chunk, ring_block):
+                       out_ref, *, lmax, spin, m_chunk, ring_block, nb=1):
     """Folded spin-pair synthesis: both Wigner columns in one program.
 
     Grid (B, n_mchunks, n_ringblocks); outputs 8 planes per tile:
@@ -735,11 +810,26 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
     mn_p = m * float(spin)
     mn_m = m * float(-spin)
 
+    def step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc):
+        new = []
+        for q in range(nb):
+            GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
+            apr = rows_p[2 * q, t, :][None, :]
+            api = rows_p[2 * q + 1, t, :][None, :]
+            amr = rows_m[2 * q, t, :][None, :]
+            ami = rows_m[2 * q + 1, t, :][None, :]
+            new.append((
+                GNpr + apr * lam_p, GNpi + api * lam_p,
+                Spr + sgn * apr * lam_m, Spi + sgn * api * lam_m,
+                GNmr + amr * lam_m, GNmi + ami * lam_m,
+                Smr + sgn * amr * lam_p, Smi + sgn * ami * lam_p,
+            ))
+        return new
+
     def diag_body(blk, carry):
         state_p, state_m, acc = carry
-        GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc
-        rows_p = ap_ref[:, pl.ds(8 * blk, 8), :]  # (2, 8, m_chunk)
-        rows_m = am_ref[:, pl.ds(8 * blk, 8), :]
+        rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :]  # (nb*2, 8, m_chunk)
+        rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :]
         for t in range(8):
             ell = 8 * blk + t
             sgn = 1.0 if t % 2 == 0 else -1.0
@@ -749,66 +839,28 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
             state_m, lam_m = _advance_pair(
                 state_m, ell, m, s2, mn_m, x, j0, seed_m, k0_m
             )
-            apr = rows_p[0, t, :][None, :]
-            api = rows_p[1, t, :][None, :]
-            amr = rows_m[0, t, :][None, :]
-            ami = rows_m[1, t, :][None, :]
-            GNpr = GNpr + apr * lam_p
-            GNpi = GNpi + api * lam_p
-            GNmr = GNmr + amr * lam_m
-            GNmi = GNmi + ami * lam_m
-            Spr = Spr + sgn * apr * lam_m
-            Spi = Spi + sgn * api * lam_m
-            Smr = Smr + sgn * amr * lam_p
-            Smi = Smi + sgn * ami * lam_p
-        acc = (GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi)
+            acc = step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc)
         return state_p, state_m, acc
 
     def bulk_body(blk, carry):
         (dp_prev, dp_curr, k_p), (dm_prev, dm_curr, k_m), acc = carry
-        GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc
         emit_p = _emit_of(k_p)
         emit_m = _emit_of(k_m)
         norm = _norm_col(blk)
-        rows_p = ap_ref[:, pl.ds(8 * blk, 8), :] * norm
-        rows_m = am_ref[:, pl.ds(8 * blk, 8), :] * norm
+        rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+        rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :] * norm
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
+            sgn = 1.0 if t % 2 == 0 else -1.0
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
             dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
             dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
             lam_p = dp_new * emit_p
             lam_m = dm_new * emit_m
-            apr = rows_p[0, t, :][None, :]
-            api = rows_p[1, t, :][None, :]
-            amr = rows_m[0, t, :][None, :]
-            ami = rows_m[1, t, :][None, :]
-            tpr = apr * lam_p
-            tpi = api * lam_p
-            tmr = amr * lam_m
-            tmi = ami * lam_m
-            GNpr = GNpr + tpr
-            GNpi = GNpi + tpi
-            GNmr = GNmr + tmr
-            GNmi = GNmi + tmi
-            xpr = apr * lam_m
-            xpi = api * lam_m
-            xmr = amr * lam_p
-            xmi = ami * lam_p
-            if t % 2 == 0:
-                Spr = Spr + xpr
-                Spi = Spi + xpi
-                Smr = Smr + xmr
-                Smi = Smi + xmi
-            else:
-                Spr = Spr - xpr
-                Spi = Spi - xpi
-                Smr = Smr - xmr
-                Smi = Smi - xmi
+            acc = step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc)
             dp_prev, dp_curr = dp_curr, dp_new
             dm_prev, dm_curr = dm_curr, dm_new
-        acc = (GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi)
         return (
             _block_rescale(dp_prev, dp_curr, k_p),
             _block_rescale(dm_prev, dm_curr, k_m),
@@ -821,29 +873,32 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
     state0 = (zeros, zeros, kinit)
-    acc0 = (zeros,) * 8
+    acc0 = [(zeros,) * 8 for _ in range(nb)]
     carry = jax.lax.fori_loop(
         m0 // 8, diag_end, diag_body, (state0, state0, acc0)
     )
     _, _, acc = jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
-    GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc
-    out_ref[0] = GNpr
-    out_ref[1] = GNpi
-    out_ref[2] = Spr * msign
-    out_ref[3] = Spi * msign
-    out_ref[4] = GNmr
-    out_ref[5] = GNmi
-    out_ref[6] = Smr * msign
-    out_ref[7] = Smi * msign
+    for q in range(nb):
+        GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
+        out_ref[0, 8 * q + 0] = GNpr
+        out_ref[0, 8 * q + 1] = GNpi
+        out_ref[0, 8 * q + 2] = Spr * msign
+        out_ref[0, 8 * q + 3] = Spi * msign
+        out_ref[0, 8 * q + 4] = GNmr
+        out_ref[0, 8 * q + 5] = GNmi
+        out_ref[0, 8 * q + 6] = Smr * msign
+        out_ref[0, 8 * q + 7] = Smi * msign
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lmax", "spin", "m_chunk", "ring_block", "interpret"),
+    static_argnames=("lmax", "spin", "m_chunk", "ring_block", "nb",
+                     "interpret"),
 )
 def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
                           logch_lo=None, logsh_lo=None, seed_planes=None,
-                          m_chunk=128, ring_block=None, interpret=False):
+                          m_chunk=128, ring_block=None, nb=None,
+                          interpret=False):
     """Folded spin-pair synthesis on the Pallas kernel.
 
     ``alm_p``/``alm_m``: rectangular (..., lmax+1, nm_pad) complex alms
@@ -854,12 +909,16 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     spectra per branch, matching the jnp cross scan.
     """
     B, batch, (alm_p, alm_m) = _flatten_batch((alm_p, alm_m))
+    if nb is None:
+        # two alm-block streams double-buffer per map — halve the
+        # grouping relative to the spin-0 synthesis
+        nb = _pick_nb(B, lmax, limit=4 if lmax <= 1600 else 2)
     nhalf = x.shape[0]
     nm_pad = alm_p.shape[-1]
     if ring_block is None:
-        # two double-buffered (2, lpad, m_chunk) alm blocks + the
-        # (8, ring_block, m_chunk) out tile + 14 carries; the alm blocks
-        # alone exceed Mosaic's default 16MB scoped-VMEM budget at
+        # two double-buffered (nb*2, lpad, m_chunk) alm blocks + the
+        # (nb*8, ring_block, m_chunk) out tile + per-map carries; the alm
+        # blocks alone exceed Mosaic's default 16MB scoped-VMEM budget at
         # production lmax, so the pallas_call below raises the limit
         ring_block = min(nhalf, 128 if lmax > 2048 else 256)
     nr_pad = -(-nhalf // ring_block) * ring_block
@@ -872,7 +931,7 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
         planes = jnp.pad(
             planes, ((0, 0), (0, 0), (0, lpad - (lmax + 1)), (0, 0))
         )
-        return planes.reshape(B * 2, lpad, nm_pad)
+        return planes.reshape(B // nb, nb * 2, lpad, nm_pad)
 
     seed = (pair_seed_planes(np.arange(nm_pad), spin)
             if seed_planes is None else seed_planes)
@@ -888,14 +947,15 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
                             memory_space=pltpu.VMEM)
     pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                              memory_space=pltpu.VMEM)
-    alm_spec = pl.BlockSpec((2, lpad, m_chunk), lambda b, i, j: (b, 0, i),
+    alm_spec = pl.BlockSpec((1, nb * 2, lpad, m_chunk),
+                            lambda b, i, j: (b, 0, 0, i),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _synth_pair_kernel, lmax=lmax, spin=abs(int(spin)),
-            m_chunk=m_chunk, ring_block=ring_block,
+            m_chunk=m_chunk, ring_block=ring_block, nb=nb,
         ),
-        grid=(B, n_mchunks, n_rblocks),
+        grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
             vec_spec, pair_spec, pair_spec,
             pl.BlockSpec((8, 1, m_chunk), lambda b, i, j: (0, 0, i),
@@ -903,13 +963,19 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
             alm_spec, alm_spec,
         ],
         out_specs=pl.BlockSpec(
-            (8, ring_block, m_chunk), lambda b, i, j: (b, j, i),
+            (1, nb * 8, ring_block, m_chunk), lambda b, i, j: (b, 0, j, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B * 8, nr_pad, nm_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B // nb, nb * 8, nr_pad, nm_pad), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=_SEMANTICS,
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(
+                2 * 2 * nb * 2 * lpad * m_chunk,
+                nb * 8 * ring_block * m_chunk,
+                (8 * nb + 6) * ring_block * m_chunk,
+            ),
         ),
         interpret=interpret,
     )(xp, logchp, logshp, jnp.asarray(seed), prep(alm_p), prep(alm_m))
@@ -990,13 +1056,28 @@ def _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad):
     return jnp.stack([s, lo], axis=-1)
 
 
+def _pick_nb(B, lmax, limit=None):
+    """Maps per program: largest divisor of B whose VMEM footprint fits.
+
+    The recurrence amortizes across the nb maps of one program, so
+    bigger is better until the per-program output tiles (nb * 2 * lpad *
+    m_chunk f32) plus double-buffered F blocks blow the VMEM budget.
+    """
+    if limit is None:
+        limit = 8 if lmax <= 1600 else (4 if lmax <= 3200 else 2)
+    for nb in range(min(B, limit), 0, -1):
+        if B % nb == 0:
+            return nb
+    return 1
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("lmax", "m_chunk", "ring_block", "interpret"),
+    static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret"),
 )
 def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
                           logsh_lo=None, seed_planes=None, m_chunk=128,
-                          ring_block=None, interpret=False):
+                          ring_block=None, nb=None, interpret=False):
     """alm[l, m] = sum_r lam_{lm}(x_r) * F(e/o by l parity)[r, m].
 
     ``Fe``/``Fo``: (..., nhalf, nm_pad) complex64/128 parity-combined
@@ -1004,14 +1085,22 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
     ``x``/``logch``/``logsh``: (nhalf,) ring geometry, with optional
     ``logch_lo``/``logsh_lo`` f32 residuals of the f64 values (the
     compensated seed path; pass them for full accuracy at high m).
+    Batched maps are grouped ``nb`` per program (auto): the Wigner
+    recurrence runs once per tile for all nb maps.
     Returns (..., lmax+1, nm_pad) complex64.
     """
     B, batch, (Fe, Fo) = _flatten_batch((Fe, Fo))
+    if nb is None:
+        nb = _pick_nb(B, lmax)
     nhalf, nm_pad = Fe.shape[-2:]
     if ring_block is None:
         # keep the VMEM working set (double-buffered Fe/Fo blocks + the
-        # revisited (2, lmax+1, m_chunk) output block + carry) under 16MB
-        ring_block = min(nhalf, 512 if lmax > 2048 else 1024)
+        # revisited (nb*2, lmax+1, m_chunk) output block + carry) within
+        # the VMEM budget
+        if nb > 1:
+            ring_block = min(nhalf, 256)
+        else:
+            ring_block = min(nhalf, 512 if lmax > 2048 else 1024)
     # pad rings to a multiple of the block (zero rows contribute nothing:
     # their F is zero; lam of x=0 rows is finite)
     nr_pad = -(-nhalf // ring_block) * ring_block
@@ -1020,7 +1109,7 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
     def prep(F):
         planes = jnp.stack([F.real, F.imag], axis=1).astype(jnp.float32)
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        return planes.reshape(B * 2, nr_pad, nm_pad)
+        return planes.reshape(B // nb, nb * 2, nr_pad, nm_pad)
 
     Fe2 = prep(Fe)
     Fo2 = prep(Fo)
@@ -1033,13 +1122,14 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
     n_mchunks = nm_pad // m_chunk
     n_rblocks = nr_pad // ring_block
 
-    F_spec = pl.BlockSpec((2, ring_block, m_chunk), lambda b, i, j: (b, j, i),
+    F_spec = pl.BlockSpec((1, nb * 2, ring_block, m_chunk),
+                          lambda b, i, j: (b, 0, j, i),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block
+            _kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block, nb=nb
         ),
-        grid=(B, n_mchunks, n_rblocks),
+        grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
             pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -1050,11 +1140,19 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
             F_spec,
             F_spec,
         ],
-        out_specs=pl.BlockSpec((2, lpad, m_chunk), lambda b, i, j: (b, 0, i),
+        out_specs=pl.BlockSpec((1, nb * 2, lpad, m_chunk),
+                               lambda b, i, j: (b, 0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * 2, lpad, nm_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B // nb, nb * 2, lpad, nm_pad), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=_SEMANTICS,
+            vmem_limit_bytes=_vmem_limit(
+                nb * 2 * lpad * m_chunk,           # resident out tile
+                2 * 2 * nb * 2 * ring_block * m_chunk,  # dbuf Fe/Fo
+                4 * ring_block * m_chunk,          # recurrence carries
+            ),
         ),
         interpret=interpret,
     )(xp, logsum, jnp.asarray(seed_planes), Fe2, Fo2)

@@ -143,6 +143,55 @@ def test_pallas_batched_analysis_matches_unbatched():
         np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-6)
 
 
+def test_pallas_nb_grouped_maps_match_nb1():
+    """nb maps per program (shared recurrence) == one map per program."""
+    from heracles_tpu.ops.pallas_sht import (
+        analysis_pair_folded,
+        synthesis_pair_folded,
+        synthesis_spin0_folded,
+    )
+
+    nside, lmax, spin = 16, 24, 2
+    rng = np.random.default_rng(11)
+    nhalf, nm_pad, B = 2 * nside, 128, 2
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+
+    def crand(shape):
+        return (rng.normal(size=shape)
+                + 1j * rng.normal(size=shape)).astype(np.complex64)
+
+    Fs = [jnp.asarray(crand((B, nhalf, nm_pad))) for _ in range(4)]
+    alms = [jnp.asarray(crand((B, lmax + 1, nm_pad))) for _ in range(2)]
+
+    a1 = analysis_spin0_folded(Fs[0], Fs[1], x, logch, logsh, lmax,
+                               ring_block=16, nb=1, interpret=True)
+    a2 = analysis_spin0_folded(Fs[0], Fs[1], x, logch, logsh, lmax,
+                               ring_block=16, nb=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    p1 = analysis_pair_folded(*Fs, x, logch, logsh, lmax, spin,
+                              ring_block=16, nb=1, interpret=True)
+    p2 = analysis_pair_folded(*Fs, x, logch, logsh, lmax, spin,
+                              ring_block=16, nb=2, interpret=True)
+    for u, v in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+    s1 = synthesis_spin0_folded(alms[0], x, logch, logsh, lmax,
+                                ring_block=16, nb=1, interpret=True)
+    s2 = synthesis_spin0_folded(alms[0], x, logch, logsh, lmax,
+                                ring_block=16, nb=2, interpret=True)
+    for u, v in zip(s1, s2):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+    q1 = synthesis_pair_folded(alms[0], alms[1], x, logch, logsh, lmax,
+                               spin, ring_block=16, nb=1, interpret=True)
+    q2 = synthesis_pair_folded(alms[0], alms[1], x, logch, logsh, lmax,
+                               spin, ring_block=16, nb=2, interpret=True)
+    for u, v in zip(q1, q2):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
 def test_comp_seed_frac_high_m():
     """Compensated seed exponents keep f32 precision at m ~ 3000.
 
