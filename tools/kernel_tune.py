@@ -1,0 +1,140 @@
+"""Block-size tuning for the four Pallas SHT kernels at north-star size.
+
+Times each kernel directly (synthetic ring spectra / alms, geometry from
+the real nside=4096 ring layout) over a {ring_block, m_chunk} grid on
+the attached TPU, and writes tools/kernel_tune.json with the best
+configuration per kernel.  Compile failures (VMEM) are recorded as
+"fail".  Run on TPU hardware:
+
+    python tools/kernel_tune.py [--nside 4096] [--lmax 3000]
+
+Each timing is min-of-3 after a warm-up call, with a float readback to
+force execution through the tunnel (block_until_ready does not sync on
+the axon backend).
+"""
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nside", type=int, default=4096)
+    ap.add_argument("--lmax", type=int, default=3000)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from heracles_tpu.ops import pallas_sht, sht
+
+    nside, lmax = args.nside, args.lmax
+    nhalf = 2 * nside
+    nm_pad = -(-(lmax + 1) // 128) * 128
+
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+    x, logch, logsh = map(jnp.asarray, (x, logch, logsh))
+
+    rng = np.random.default_rng(0)
+
+    def crand(shape):
+        return jax.device_put(
+            (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(
+                np.complex64
+            )
+        )
+
+    F = [crand((nhalf, nm_pad)) for _ in range(4)]
+    A = [crand((lmax + 1, nm_pad)) for _ in range(2)]
+
+    def timeit(fn):
+        float(jnp.sum(jnp.abs(fn())))  # compile + warm
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(jnp.abs(fn())))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    grids = {
+        "analysis_spin0": (
+            lambda rb, mc: pallas_sht.analysis_spin0_folded(
+                F[0], F[1], x, logch, logsh, lmax,
+                ring_block=rb, m_chunk=mc,
+            ),
+            [256, 512, 1024],
+            [128, 256],
+        ),
+        "analysis_pair": (
+            lambda rb, mc: pallas_sht.analysis_pair_folded(
+                F[0], F[1], F[2], F[3], x, logch, logsh, lmax, 2,
+                ring_block=rb, m_chunk=mc,
+            )[0],
+            [128, 256, 512],
+            [128, 256],
+        ),
+        "synthesis_spin0": (
+            lambda rb, mc: pallas_sht.synthesis_spin0_folded(
+                A[0], x, logch, logsh, lmax, ring_block=rb, m_chunk=mc,
+            )[0],
+            [256, 512, 1024],
+            [128, 256],
+        ),
+        "synthesis_pair": (
+            lambda rb, mc: pallas_sht.synthesis_pair_folded(
+                A[0], A[1], x, logch, logsh, lmax, 2,
+                ring_block=rb, m_chunk=mc,
+            )[0],
+            [128, 256],
+            [128, 256],
+        ),
+    }
+
+    out_path = os.path.join(HERE, "kernel_tune.json")
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    key = f"n{nside}_l{lmax}"
+    results.setdefault(key, {})
+
+    for name, (build, rbs, mcs) in grids.items():
+        results[key].setdefault(name, {})
+        for rb, mc in itertools.product(rbs, mcs):
+            tag = f"rb{rb}_mc{mc}"
+            if tag in results[key][name]:
+                continue
+            try:
+                dt = timeit(lambda: build(rb, mc))
+                results[key][name][tag] = round(dt * 1e3, 2)
+                print(f"{name} {tag}: {dt * 1e3:.1f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001 - record and move on
+                results[key][name][tag] = f"fail: {type(e).__name__}"
+                print(f"{name} {tag}: FAIL {type(e).__name__}", flush=True)
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
+
+    for name in grids:
+        timed = {
+            k: v for k, v in results[key][name].items()
+            if isinstance(v, (int, float))
+        }
+        if timed:
+            best = min(timed, key=timed.get)
+            print(f"BEST {name}: {best} = {timed[best]} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
