@@ -137,6 +137,27 @@ def build_discrete(lmax, npts):
     )
 
 
+def build_discrete_gridded(lmax, npts):
+    """Large-N pixel-free alms via the gridded (type-1 NUFFT) path.
+
+    End-to-end cost per call: host ES-kernel spreading (C++), the torus
+    reduction on the device, and the packed-alm readback — the
+    production path for catalogue-scale point sets (reference analog:
+    ducc adjoint_synthesis_general, heracles/ducc.py:108-128).
+    """
+    from heracles_tpu.ops import nufft
+
+    rng = np.random.default_rng(4)
+    theta = np.arccos(rng.uniform(-1, 1, size=npts))
+    phi = rng.uniform(0, 2 * np.pi, size=npts)
+    values = rng.normal(size=(1, npts))
+    return lambda: float(
+        np.sum(np.abs(nufft.adjoint_gridded(
+            theta, phi, values, lmax, spin=0, epsilon=1e-5, f32=True,
+        )))
+    )
+
+
 def build_alm2map(nside, lmax):
     import jax
     import jax.numpy as jnp
@@ -409,6 +430,12 @@ CONFIGS = {
         # point-alm work ~ O(npts * lmax^2): measured at 8192 points
         cpu=("discrete_alm_l1000_n8192", 65536 / 8192),
     ),
+    "discrete_gridded_1e7_l1000": dict(
+        build=lambda: build_discrete_gridded(1000, 10_000_000),
+        reps=2,
+        # spreading is O(npts): the same gridded path on CPU at 1e6 pts
+        cpu=("discrete_gridded_1e6_l1000", 10.0),
+    ),
     "dices_regions8_n256": dict(
         build=lambda: build_dices_regions(256, 384, 8),
         reps=3,
@@ -437,6 +464,9 @@ CPU_CONFIGS = {
     "spin2_masked_n512_l768": lambda: build_spin2_masked(512, 768),
     "mixmat_eb_l1000": lambda: build_mixmat_eb(1000),
     "discrete_alm_l1000_n8192": lambda: build_discrete(1000, 8192),
+    "discrete_gridded_1e6_l1000": lambda: build_discrete_gridded(
+        1000, 1_000_000
+    ),
     "spin0_cl_n1024_l1536": lambda: build_spin0(1024, 1536),
     "dices_regions8_n256": lambda: build_dices_regions(256, 384, 8),
     "alm2map_n1024_l1536": lambda: build_alm2map(1024, 1536),
