@@ -1,0 +1,205 @@
+"""Double-single (two-float32) compensated contractions for the TPU.
+
+The TPU has no float64.  A plain f32 quadrature of the MASTER mixing
+matrices loses ~1e-4 relative accuracy at production degree: the
+Gauss-Legendre sum over ~4500 nodes cancels by orders of magnitude for
+far-off-diagonal (l1, l2), so both the f32 product rounding and the f32
+running-sum rounding are amplified ~1000x (measured 6.5e-4 row-relative
+matrix error at lmax=3000, tools/mixmat_accuracy.py).  The reference
+computes these sums in f64 throughout (convolvecl, used at reference
+twopoint.py:379-388).
+
+This module reaches f64-quality results on the f32-only chip with
+double-single arithmetic: every value is an unevaluated (hi, lo) f32
+pair, products use Dekker two-products (exact error terms), and sums use
+Knuth two-sums (compensated), so the only dropped terms are O(eps^2)
+relative — far below the cancellation amplification.
+
+:func:`gram_df32` computes the weighted Gram matrix
+
+    M[a, b] = sum_k A[k, a] * B[k, b] * u[k]
+
+with A, B, u given as (hi, lo) f32 pairs, as a Pallas kernel (VMEM
+resident accumulator tiles, compensated halving-tree reduction over the
+node axis) with a lax.scan reference implementation for CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_sht import _two_prod, _two_sum, _vmem_limit
+
+__all__ = ["split_f64", "gram_df32", "gram_df32_ref"]
+
+
+def split_f64(a):
+    """f64 array -> (hi, lo) f32 pair with hi + lo == a to f32^2 precision."""
+    a = np.asarray(a, np.float64)
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def _term_df32(ah, al, bh, bl, uh, ul):
+    """(hi, lo) of a*b*u for df32 operands (dropping O(eps^2) parts)."""
+    p, pe = _two_prod(ah, bh)
+    plo = pe + ah * bl + al * bh
+    q, qe = _two_prod(p, uh)
+    qlo = qe + p * ul + plo * uh
+    return q, qlo
+
+
+def _dd_add(h1, l1, h2, l2):
+    """Renormalised double-single add: |lo| stays below ulp(hi).
+
+    Without the final quick-two-sum renormalisation the lo stream grows
+    with the running compensation terms and its plain-f32 rounding
+    re-introduces an ~n^1.5 eps^2 error (measured 2e-10 on a 300-term
+    synthetic sum; 1.6e-11 with renormalisation).
+    """
+    s, e = _two_sum(h1, h2)
+    lo = l1 + l2 + e
+    hi = s + lo
+    return hi, lo - (hi - s)
+
+
+def _rsum2(h, lo):
+    """Compensated halving-tree sum over axis 0 -> (1, lanes) hi/lo."""
+    n = h.shape[0]
+    while n > 1:
+        n //= 2
+        h, lo = _dd_add(h[:n], lo[:n], h[n:], lo[n:])
+    return h, lo
+
+
+def _gram_kernel(Ah_ref, Al_ref, Bh_ref, Bl_ref, u_ref, out_ref, *, a_tile):
+    """Grid (L1/a_tile, L2/b_tile, K/k_chunk); K accumulates in VMEM.
+
+    Block shapes: A (k_chunk, a_tile), B (k_chunk, b_tile),
+    u (k_chunk, 2) [hi, lo columns], out (2, a_tile, b_tile) [hi, lo
+    planes], revisited across the K grid axis.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    Bh = Bh_ref[...]
+    Bl = Bl_ref[...]
+    uh = u_ref[:, 0:1]
+    ul = u_ref[:, 1:2]
+
+    rows_h, rows_l = [], []
+    for a in range(a_tile):
+        ah = Ah_ref[:, a : a + 1]
+        al = Al_ref[:, a : a + 1]
+        q, qlo = _term_df32(ah, al, Bh, Bl, uh, ul)
+        rh, rl = _rsum2(q, qlo)
+        rows_h.append(rh)
+        rows_l.append(rl)
+    Rh = jnp.concatenate(rows_h, axis=0)  # (a_tile, b_tile)
+    Rl = jnp.concatenate(rows_l, axis=0)
+    hi, lo = _dd_add(out_ref[0], out_ref[1], Rh, Rl)
+    out_ref[0] = hi
+    out_ref[1] = lo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a_tile", "b_tile", "k_chunk", "interpret"),
+)
+def _gram_call(Ah, Al, Bh, Bl, uh, ul, *, a_tile, b_tile, k_chunk,
+               interpret=False):
+    K, L1 = Ah.shape
+    L2 = Bh.shape[1]
+
+    def pad2(z, rows, cols):
+        return jnp.pad(z, ((0, rows - z.shape[0]), (0, cols - z.shape[1])))
+
+    Kp = -(-K // k_chunk) * k_chunk
+    L1p = -(-L1 // a_tile) * a_tile
+    L2p = -(-L2 // b_tile) * b_tile
+    Ah, Al = pad2(Ah, Kp, L1p), pad2(Al, Kp, L1p)
+    Bh, Bl = pad2(Bh, Kp, L2p), pad2(Bl, Kp, L2p)
+    u2 = jnp.stack(
+        [jnp.pad(uh, (0, Kp - K)), jnp.pad(ul, (0, Kp - K))], axis=-1
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_gram_kernel, a_tile=a_tile),
+        grid=(L1p // a_tile, L2p // b_tile, Kp // k_chunk),
+        in_specs=[
+            pl.BlockSpec((k_chunk, a_tile), lambda i, j, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_chunk, a_tile), lambda i, j, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_chunk, b_tile), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_chunk, b_tile), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_chunk, 2), lambda i, j, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, a_tile, b_tile), lambda i, j, k: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, L1p, L2p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(
+                2 * a_tile * b_tile,
+                2 * 2 * k_chunk * (a_tile + b_tile),
+                8 * k_chunk * b_tile,
+            ),
+        ),
+        interpret=interpret,
+    )(Ah, Al, Bh, Bl, u2)
+    return out[0][:L1, :L2], out[1][:L1, :L2]
+
+
+def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
+              interpret=False):
+    """M[a, b] = sum_k A[k, a] B[k, b] u[k] in double-single precision.
+
+    ``A``/``B``/``u``: (hi, lo) f32 pairs (jax or numpy arrays; see
+    :func:`split_f64`), shapes (K, L1)/(K, L2)/(K,).  Returns an (L1, L2)
+    float64 numpy-convertible result hi + lo (the pair is exact to
+    ~1e-14 relative of the *summands*, so cancellation does not amplify
+    the error).
+    """
+    (Ah, Al), (Bh, Bl), (uh, ul) = A, B, u
+    hi, lo = _gram_call(
+        jnp.asarray(Ah), jnp.asarray(Al), jnp.asarray(Bh), jnp.asarray(Bl),
+        jnp.asarray(uh), jnp.asarray(ul),
+        a_tile=a_tile, b_tile=b_tile, k_chunk=k_chunk, interpret=interpret,
+    )
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+
+def gram_df32_ref(A, B, u):
+    """lax.scan reference of :func:`gram_df32` (same math, no Pallas)."""
+    (Ah, Al), (Bh, Bl), (uh, ul) = (
+        tuple(jnp.asarray(z) for z in p) for p in (A, B, u)
+    )
+
+    def step(carry, args):
+        S, Sl = carry
+        ah, al, bh, bl, vh, vl = args
+        q, qlo = _term_df32(
+            ah[:, None], al[:, None], bh[None, :], bl[None, :], vh, vl
+        )
+        return _dd_add(S, Sl, q, qlo), None
+
+    L1, L2 = Ah.shape[1], Bh.shape[1]
+    S0 = jnp.zeros((L1, L2), jnp.float32)
+    (S, Sl), _ = jax.lax.scan(step, (S0, S0), (Ah, Al, Bh, Bl, uh, ul))
+    return np.asarray(S, np.float64) + np.asarray(Sl, np.float64)

@@ -41,6 +41,8 @@ __all__ = [
     "wigner_seed_host",
     "wigner_seed_log",
     "wigner_table",
+    "wigner_table_host",
+    "legendre_sum_host",
     "lambda_analysis_scan",
     "lambda_synthesis_scan",
     "lambda_analysis_scan_folded",
@@ -501,6 +503,77 @@ def wigner_table(m, n, x, logch, logsh, lmax, seed=None):
     norm = jnp.sqrt((2.0 * ells + 1.0) / (4.0 * np.pi))
     sign = -1.0 if m % 2 else 1.0
     return ys * (sign / norm)[:, None]
+
+
+def wigner_table_host(m, n, theta, lmax):
+    """Host-f64 Wigner-d table d^l_{-m,-n}(theta), shape (lmax+1, nr).
+
+    Numpy twin of :func:`wigner_table` for small spins (the mixing-matrix
+    tables: |m|, |n| <= ~32, where the unscaled recurrence neither under-
+    nor overflows).  The f64 values feed the compensated double-f32
+    mixing-matrix contraction on TPU (heracles_tpu.ops.df32) — the device
+    f32 scans carry ~1e-6 per-entry noise that the quadrature's
+    cancellation amplifies ~1000x at production lmax.
+    """
+    m, n = int(m), int(n)
+    mp, npar = -m, -n
+    a, b = abs(mp), abs(npar)
+    j0 = max(a, b)
+    if j0 > 64:
+        raise ValueError("wigner_table_host: unscaled recurrence needs "
+                         f"small spins, got j0={j0}")
+    theta = np.asarray(theta, np.float64)
+    out = np.zeros((lmax + 1, theta.size))
+    if j0 > lmax:
+        return out
+    # seed d^{j0}_{m', n'} = (-1)^k0 C cos^pc(t/2) sin^ps(t/2)
+    c = npar if a >= b else mp
+    lf = _log_factorials(2 * j0 + 2)
+    logC = 0.5 * (lf[2 * j0] - lf[j0 + c] - lf[j0 - c])
+    pc = abs(mp + npar)
+    ps = abs(mp - npar)
+    k0 = (mp - npar if mp >= 0 else 0) if a >= b else (0 if npar > 0 else mp + b)
+    sign = 1.0 if k0 % 2 == 0 else -1.0
+    ch, sh = np.cos(theta / 2.0), np.sin(theta / 2.0)
+    out[j0] = sign * np.exp(logC) * ch**pc * sh**ps
+    x = np.cos(theta)
+    mn = float(m * n)  # m'*n' = (-m)(-n) = m*n
+    m2, n2 = float(m * m), float(n * n)
+
+    def a_of(ell):
+        return np.sqrt((ell * ell - m2) * (ell * ell - n2)) / ell
+
+    d_prev = np.zeros_like(out[j0])
+    d_curr = out[j0]
+    for ell in range(j0 + 1, lmax + 1):
+        lf_, lm1 = float(ell), float(ell - 1)
+        mid = (2.0 * lf_ - 1.0) * (x - mn / max(lm1 * lf_, 1.0))
+        a_lm1 = a_of(lm1) if ell - 1 > j0 else 0.0
+        d_new = (mid * d_curr - a_lm1 * d_prev) / a_of(lf_)
+        out[ell] = d_new
+        d_prev, d_curr = d_curr, d_new
+    return out
+
+
+def legendre_sum_host(coeffs, x):
+    """Host-f64 sum_l coeffs[l] P_l(x) via the streaming recurrence.
+
+    O(1) memory in l — used for the mixing matrices' mask correlation
+    xi(x) at l3max ~ thousands without materialising the P table.
+    """
+    coeffs = np.asarray(coeffs, np.float64)
+    x = np.asarray(x, np.float64)
+    acc = np.full_like(x, coeffs[0])
+    if coeffs.shape[0] == 1:
+        return acc
+    p_prev = np.ones_like(x)
+    p_curr = x.copy()
+    acc += coeffs[1] * p_curr
+    for ell in range(2, coeffs.shape[0]):
+        p_new = ((2 * ell - 1) * x * p_curr - (ell - 1) * p_prev) / ell
+        acc += coeffs[ell] * p_new
+        p_prev, p_curr = p_curr, p_new
+    return acc
 
 
 def lambda_synthesis_scan(ms, ns, x, logch, logsh, lmax, alm, seed=None):

@@ -35,10 +35,11 @@ xi(-x) (node reversal).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import replace
 from datetime import timedelta
-from functools import partial
+from functools import lru_cache, partial
 from itertools import combinations_with_replacement, product
 
 import jax
@@ -47,7 +48,12 @@ import numpy as np
 
 from .core import TocDict, toc_match, update_metadata
 from .ops import sht
-from .ops.wigner import wigner_seed_host, wigner_table
+from .ops.wigner import (
+    legendre_sum_host,
+    wigner_seed_host,
+    wigner_table,
+    wigner_table_host,
+)
 from .progress import NoProgress
 from .result import Result, binned, get_result_array
 
@@ -666,19 +672,108 @@ def _gl_nodes(npoints, dtype, seed_pairs=()):
     return x.astype(dt), w.astype(dt), logch.astype(dt), logsh.astype(dt), seeds
 
 
-@partial(jax.jit, static_argnames=("l1max", "l2max", "s1", "s2", "eb"))
 def _mixmat_gl(cl3, l1max, l2max, s1, s2, eb):
     """Real-space (GL-quadrature) evaluation of the MASTER coupling sums.
 
     Returns (l1max+1, l2max+1) for eb=False, else the three blocks
-    (EE->EE, EE->BB, EB->EB) stacked on axis 0.
+    (EE->EE, EE->BB, EB->EB) stacked on axis 0.  float64 inputs run the
+    on-device f64 scan + MXU einsum (CPU); float32 inputs (the TPU
+    pipeline) run the compensated double-single path (:mod:`.ops.df32`)
+    — plain f32 quadrature loses ~1e-4 of the row maximum to summation
+    cancellation at production lmax (tools/mixmat_accuracy.json).
     """
-    fdt = jnp.float64 if cl3.dtype == jnp.float64 else jnp.float32
+    if cl3.dtype != jnp.float64:
+        return _mixmat_gl_df32(
+            np.asarray(cl3, np.float64), l1max, l2max, s1, s2, eb
+        )
+    return _mixmat_gl_f64(cl3, l1max, l2max, s1, s2, eb)
+
+
+@lru_cache(maxsize=2)
+def _mixmat_tables_df32(l1max, l2max, s1, s2, npoints):
+    """Device-resident (hi, lo) Wigner-d tables on the GL nodes.
+
+    Built once per (sizes, spins) from the exact host-f64 recurrence —
+    the device f32 scans carry per-entry noise that the quadrature's
+    cancellation amplifies — and kept on the device across masks (the
+    tables are mask-independent; only the node weights change per call).
+    """
+    from .ops import df32
+
+    x, w = np.polynomial.legendre.leggauss(npoints)
+    theta = np.arccos(x)
+    A = df32.split_f64(np.ascontiguousarray(
+        wigner_table_host(s1, s2, theta, l1max).T
+    ))
+    B = df32.split_f64(np.ascontiguousarray(
+        wigner_table_host(-s1, -s2, theta, l2max).T
+    ))
+    A = tuple(jax.device_put(jnp.asarray(z)) for z in A)
+    B = tuple(jax.device_put(jnp.asarray(z)) for z in B)
+    return x, w, A, B
+
+
+def _mixmat_gl_df32(cl3, l1max, l2max, s1, s2, eb):
+    """Double-single GL quadrature: f64-parity mixing matrices on f32 HW.
+
+    The E/B blocks are parity-filtered at the integrand: with symmetric
+    GL nodes, M_plus/M_minus for (l1+l2) even/odd are separate integrals
+    against the even/odd parts of the mask correlation xi — no
+    subtraction of two O(1) integrals, so the small M_minus (EE->BB
+    leakage) entries come out at the kernel's own precision instead of
+    eps * |M_plus|.
+    """
+    from .ops import df32
+
+    l3max = cl3.shape[-1] - 1
+    deg = l1max + l2max + l3max
+    npoints = deg // 2 + 1
+    x, w, A, B = _mixmat_tables_df32(l1max, l2max, s1, s2, npoints)
+
+    ells3 = np.arange(l3max + 1, dtype=np.float64)
+    xi = legendre_sum_host((2 * ells3 + 1) / (4 * np.pi) * cl3, x)
+
+    # HERACLES_TPU_MIXMAT_KERNEL=interpret forces the Pallas kernel in
+    # interpret mode off-TPU (tests / accuracy tooling); off TPU the
+    # default is the equivalent host-f64 einsum
+    mode = os.environ.get("HERACLES_TPU_MIXMAT_KERNEL", "").strip().lower()
+    use_kernel = jax.default_backend() == "tpu" or mode == "interpret"
+
+    def contract(u64):
+        if use_kernel:
+            return df32.gram_df32(
+                A, B, df32.split_f64(u64), interpret=mode == "interpret"
+            )
+        A64 = np.asarray(A[0], np.float64) + np.asarray(A[1], np.float64)
+        B64 = np.asarray(B[0], np.float64) + np.asarray(B[1], np.float64)
+        return np.einsum("ka,kb->ab", A64 * u64[:, None], B64)
+
+    ells2 = np.arange(l2max + 1, dtype=np.float64)
+    pref = 2 * np.pi * (2 * ells2 + 1) / (4 * np.pi)
+    if not eb:
+        return contract(w * xi) * pref[None, :]
+    # GL nodes are symmetric (x[::-1] == -x), so the even/odd parts of
+    # xi split the integral by (l1 + l2) parity exactly
+    xi_e = 0.5 * (xi + xi[::-1])
+    xi_o = 0.5 * (xi - xi[::-1])
+    G_e = contract(w * xi_e)
+    G_o = contract(w * xi_o)
+    ells1 = np.arange(l1max + 1)
+    even = (ells1[:, None] + ells2[None, :].astype(int)) % 2 == 0
+    M_plus = np.where(even, G_e, G_o) * pref[None, :]
+    M_minus = np.where(even, G_o, G_e) * pref[None, :]
+    return np.stack([M_plus, M_minus, M_plus - M_minus], axis=0)
+
+
+@partial(jax.jit, static_argnames=("l1max", "l2max", "s1", "s2", "eb"))
+def _mixmat_gl_f64(cl3, l1max, l2max, s1, s2, eb):
+    """On-device f64 scan + MXU einsum evaluation (CPU x64 path)."""
+    fdt = jnp.float64
     cl3 = cl3.astype(fdt)
     l3max = cl3.shape[-1] - 1
     deg = l1max + l2max + l3max
     npoints = deg // 2 + 1
-    pairs = ((0, 0), (s1, s2), (-s1, -s2)) if fdt == jnp.float32 else ()
+    pairs = ()
     x, w, logch, logsh, seeds = _gl_nodes(npoints, fdt, pairs)
 
     def seed(p):
