@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_sht import _two_prod, _two_sum, _vmem_limit
 
-__all__ = ["split_f64", "gram_df32", "gram_df32_ref"]
+__all__ = ["split_f64", "gram_df32", "gram_df32_ref", "matmul_df32",
+           "add_df32"]
 
 
 def split_f64(a):
@@ -47,10 +48,12 @@ def split_f64(a):
     return hi, lo
 
 
-def _term_df32(ah, al, bh, bl, uh, ul):
-    """(hi, lo) of a*b*u for df32 operands (dropping O(eps^2) parts)."""
+def _term_df32(ah, al, bh, bl, uh=None, ul=None):
+    """(hi, lo) of a*b[*u] for df32 operands (dropping O(eps^2) parts)."""
     p, pe = _two_prod(ah, bh)
     plo = pe + ah * bl + al * bh
+    if uh is None:
+        return p, plo
     q, qe = _two_prod(p, uh)
     qlo = qe + p * ul + plo * uh
     return q, qlo
@@ -79,12 +82,14 @@ def _rsum2(h, lo):
     return h, lo
 
 
-def _gram_kernel(Ah_ref, Al_ref, Bh_ref, Bl_ref, u_ref, out_ref, *, a_tile):
+def _gram_kernel(Ah_ref, Al_ref, Bh_ref, Bl_ref, u_ref, out_ref, *, a_tile,
+                 unit_u=False):
     """Grid (L1/a_tile, L2/b_tile, K/k_chunk); K accumulates in VMEM.
 
     Block shapes: A (k_chunk, a_tile), B (k_chunk, b_tile),
     u (k_chunk, 2) [hi, lo columns], out (2, a_tile, b_tile) [hi, lo
-    planes], revisited across the K grid axis.
+    planes], revisited across the K grid axis.  ``unit_u`` skips the
+    weight product (the df32 matmul case) — ~40% fewer VPU ops.
     """
     k = pl.program_id(2)
 
@@ -94,8 +99,8 @@ def _gram_kernel(Ah_ref, Al_ref, Bh_ref, Bl_ref, u_ref, out_ref, *, a_tile):
 
     Bh = Bh_ref[...]
     Bl = Bl_ref[...]
-    uh = u_ref[:, 0:1]
-    ul = u_ref[:, 1:2]
+    uh = None if unit_u else u_ref[:, 0:1]
+    ul = None if unit_u else u_ref[:, 1:2]
 
     rows_h, rows_l = [], []
     for a in range(a_tile):
@@ -114,10 +119,10 @@ def _gram_kernel(Ah_ref, Al_ref, Bh_ref, Bl_ref, u_ref, out_ref, *, a_tile):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("a_tile", "b_tile", "k_chunk", "interpret"),
+    static_argnames=("a_tile", "b_tile", "k_chunk", "unit_u", "interpret"),
 )
 def _gram_call(Ah, Al, Bh, Bl, uh, ul, *, a_tile, b_tile, k_chunk,
-               interpret=False):
+               unit_u=False, interpret=False):
     K, L1 = Ah.shape
     L2 = Bh.shape[1]
 
@@ -134,7 +139,7 @@ def _gram_call(Ah, Al, Bh, Bl, uh, ul, *, a_tile, b_tile, k_chunk,
     )
 
     out = pl.pallas_call(
-        functools.partial(_gram_kernel, a_tile=a_tile),
+        functools.partial(_gram_kernel, a_tile=a_tile, unit_u=unit_u),
         grid=(L1p // a_tile, L2p // b_tile, Kp // k_chunk),
         in_specs=[
             pl.BlockSpec((k_chunk, a_tile), lambda i, j, k: (k, i),
@@ -183,6 +188,31 @@ def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
         a_tile=a_tile, b_tile=b_tile, k_chunk=k_chunk, interpret=interpret,
     )
     return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+
+def matmul_df32(P, Q, *, a_tile=8, b_tile=512, k_chunk=512,
+                interpret=False):
+    """C = P @ Q in double-single precision; pairs in, pair out (on device).
+
+    ``P``: (hi, lo) pair of (n, k) jax arrays, ``Q``: pair of (k, m).
+    Returns the (hi, lo) f32 pair of the (n, m) product — stays on the
+    device for chained use (e.g. the Newton-Schulz mixing-matrix
+    inversion refinement).
+    """
+    Ph, Pl = (jnp.swapaxes(z, -1, -2) for z in P)
+    Qh, Ql = Q
+    k = Ph.shape[0]
+    z = jnp.zeros((k,), jnp.float32)
+    return _gram_call(
+        Ph, Pl, Qh, Ql, z, z,
+        a_tile=a_tile, b_tile=b_tile, k_chunk=k_chunk, unit_u=True,
+        interpret=interpret,
+    )
+
+
+def add_df32(X, Y):
+    """Elementwise renormalised df32 add of two (hi, lo) pairs."""
+    return _dd_add(X[0], X[1], Y[0], Y[1])
 
 
 def gram_df32_ref(A, B, u):

@@ -915,20 +915,39 @@ def mixing_matrices(
     return out
 
 
-@partial(jax.jit, static_argnames=("refine",))
-def _pinv_batch(a, rcond, refine):
+def _pinv_batch(a, rcond, refine, interpret=False):
     """Batched rcond-cut pseudo-inverse on the default device.
 
-    One dispatch inverts a whole (k, n, m) stack — the spin-2 blocks
-    (M+, M-, EB) factorise into three independent pinvs that batch
-    through one SVD call.  ``refine``: one Newton-Schulz step
-    X' = 2X - X A X (two MXU matmuls) knocks the f32 SVD noise floor
-    down toward the cond * eps limit; used on f32 runs.
+    ``a``: host (k, n, m) float64 stack — the spin-2 blocks (M+, M-, EB)
+    invert independently.  With f64 on the device (CPU runs) this is one
+    batched SVD dispatch.  ``refine`` (f32-only devices): f32 SVD per
+    block, then three double-single Newton-Schulz iterations
+    X' = 2X - X A X with compensated matmuls (:mod:`.ops.df32`) — each
+    iteration squares the relative error, so the f32 SVD's
+    ~cond * 6e-8 floor drops to the df32 floor in two-three steps.
+    Newton-Schulz preserves the truncated pinv's row and column spaces
+    (both terms are X-sandwiched), so the rcond cut survives refinement.
     """
-    out = jnp.linalg.pinv(a, rcond)
-    if refine:
-        out = 2.0 * out - out @ a @ out
-    return out
+    a = np.asarray(a, np.float64)
+    if not refine:
+        return np.asarray(jnp.linalg.pinv(jnp.asarray(a), rcond))
+    from .ops import df32
+
+    out = []
+    for blk in a:
+        Ap = tuple(jnp.asarray(z) for z in df32.split_f64(blk))
+        X = jnp.linalg.pinv(Ap[0], rcond)
+        Xp = (X, jnp.zeros_like(X))
+        for _ in range(3):
+            T = df32.matmul_df32(Ap, Xp, interpret=interpret)  # (n, n)
+            U = df32.matmul_df32(Xp, T, interpret=interpret)   # (m, n)
+            Xp = df32.add_df32(
+                (2.0 * Xp[0], 2.0 * Xp[1]), (-U[0], -U[1])
+            )
+        out.append(
+            np.asarray(Xp[0], np.float64) + np.asarray(Xp[1], np.float64)
+        )
+    return np.stack(out)
 
 
 def invert_mixing_matrix(M, rcond=1e-5, progress=None):
@@ -961,22 +980,28 @@ def invert_mixing_matrix(M, rcond=1e-5, progress=None):
         else:
             rc = rcond
         with progress.task(f"invert {key}"):
-            adev = jnp.asarray(arr)
-            refine = adev.dtype == jnp.float32
+            # f32-only devices (TPU) take the df32-refined path; the
+            # env override exercises it off-TPU in tests/tools
+            mode = os.environ.get(
+                "HERACLES_TPU_MIXMAT_KERNEL", ""
+            ).strip().lower()
+            refine = (
+                not jax.config.jax_enable_x64 or mode == "interpret"
+            )
+            interp = refine and jax.default_backend() != "tpu"
+            ahost = np.asarray(arr, np.float64)
             if s1 != 0 and s2 != 0:
-                blocks = jnp.stack(
-                    [adev[0] + adev[1], adev[0] - adev[1], adev[2]]
+                blocks = np.stack(
+                    [ahost[0] + ahost[1], ahost[0] - ahost[1], ahost[2]]
                 )
-                inv_p, inv_m, inv_eb = np.asarray(
-                    _pinv_batch(blocks, rc, refine)
+                inv_p, inv_m, inv_eb = _pinv_batch(
+                    blocks, rc, refine, interp
                 )
                 inv_ee = (inv_p + inv_m) / 2
                 inv_bb = (inv_p - inv_m) / 2
                 arr_inv = np.array([inv_ee, inv_bb, inv_eb])
             else:
-                arr_inv = np.asarray(
-                    _pinv_batch(adev[None], rc, refine)[0]
-                )
+                arr_inv = _pinv_batch(ahost[None], rc, refine, interp)[0]
             if n != m:
                 # pinv swaps input/output ell axes; rebuild angular arrays
                 axis = value.axis[0]

@@ -87,3 +87,27 @@ def test_mixmat_f32_path_matches_f64(kernel, monkeypatch):
         cl3.astype(np.float32), l1max=lmax, l2max=lmax, spin=(0, 0)
     )
     assert np.abs(s32 - s64).max() / np.abs(s64).max() < 5e-7
+
+
+def test_pinv_df32_refinement_beats_f32_floor():
+    """df32 Newton-Schulz refinement recovers f64-grade pseudo-inverses."""
+    from heracles_tpu.twopoint import _pinv_batch
+
+    rng = np.random.default_rng(3)
+    n = 48
+    # ill-conditioned SPD-ish matrix: cond ~ 1e5
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    s = np.geomspace(1.0, 1e-5, n)
+    a = (q * s) @ q.T
+    truth = np.linalg.pinv(a, rcond=1e-7)
+
+    got = _pinv_batch(a[None], 1e-7, refine=True, interpret=True)[0]
+    rel = np.abs(got - truth).max() / np.abs(truth).max()
+    assert rel < 1e-9, rel
+
+    # contrast: the raw f32 SVD inverse sits at the cond * eps floor
+    raw = np.asarray(
+        np.linalg.pinv(a.astype(np.float32), rcond=1e-7), np.float64
+    )
+    raw_rel = np.abs(raw - truth).max() / np.abs(truth).max()
+    assert raw_rel > 1e-5
