@@ -689,7 +689,7 @@ def _mixmat_gl(cl3, l1max, l2max, s1, s2, eb):
     return _mixmat_gl_f64(cl3, l1max, l2max, s1, s2, eb)
 
 
-@lru_cache(maxsize=2)
+@lru_cache(maxsize=4)
 def _mixmat_tables_df32(l1max, l2max, s1, s2, npoints):
     """Device-resident (hi, lo) Wigner-d tables on the GL nodes.
 
