@@ -314,46 +314,6 @@ def compute_jk_cls_from_alms(
     return cls
 
 
-def _compute_single_jk_cls(regions, jk_map, fields, mask_correction, unmixed, dir):
-    tag = "_".join(map(str, regions))
-    cls_path = os.path.join(dir, f"cls_{tag}_unmixed_{unmixed}.fits")
-    if os.path.exists(cls_path):
-        return read(cls_path)
-
-    data_alms_full = read_alms(os.path.join(dir, "data_alms_0.fits"))
-    vis_alms_full = read_alms(os.path.join(dir, "vis_alms_0.fits"))
-    mls0 = angular_power_spectra(vis_alms_full)
-
-    # linearity of the SHT: delete-k alms = full - sum of region alms
-    alms_jk = _subtract_alms(
-        data_alms_full,
-        _accumulate_alms(
-            os.path.join(dir, f"data_alms_{r}.fits") for r in regions
-        ),
-    )
-    cls_jk = angular_power_spectra(alms_jk)
-    cls_jk = correct_bias(cls_jk, jk_map, fields, *regions)
-
-    if mask_correction == "Full":
-        vis_alms_jk = _subtract_alms(
-            vis_alms_full,
-            _accumulate_alms(
-                os.path.join(dir, f"vis_alms_{r}.fits") for r in regions
-            ),
-        )
-        cls_mm = angular_power_spectra(vis_alms_jk)
-        cls_jk = correct_footprint_naturalspice(
-            cls_jk, cls_mm, mls0, fields, unmixed=unmixed
-        )
-    elif mask_correction == "Fast":
-        cls_jk = correct_footprint_fsky(cls_jk, jk_map, *regions, unmixed=unmixed)
-    else:
-        raise ValueError("mask_correction must be 'Fast' or 'Full'")
-
-    write(cls_path, cls_jk, clobber=True)
-    return cls_jk
-
-
 def _get_region_maps(maps, jk_map, jk):
     """Zero out all pixels outside jackknife region ``jk``."""
     out = deepcopy(maps)

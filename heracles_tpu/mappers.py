@@ -322,12 +322,20 @@ class DiscreteMapper:
         else:
             from .ops import nufft
 
-            ntheta, nphi = nufft.grid_shape(self._lmax)
             nrows = 1 if spin else max(1, int(np.prod(dims, dtype=int)))
-            state["grid"] = np.zeros(
-                (nrows, ntheta, nphi),
-                np.complex128 if spin else np.float64,
-            )
+            state["w"] = nufft.kernel_width(epsilon)
+            if nufft._native_spread() is not None:
+                # padded scratch kept across pages; folded once in
+                # finish() (per-page folding costs O(grid) per page)
+                state["pad"] = nufft.alloc_padded(
+                    nrows, self._lmax, state["w"], bool(spin)
+                )
+            else:
+                ntheta, nphi = nufft.grid_shape(self._lmax)
+                state["grid"] = np.zeros(
+                    (nrows, ntheta, nphi),
+                    np.complex128 if spin else np.float64,
+                )
         return state
 
     def add(self, state, lon, lat, values):
@@ -346,16 +354,27 @@ class DiscreteMapper:
             vals = (values[0] + 1j * values[1]).reshape(1, -1)
         else:
             vals = values.astype(np.float64, copy=False)
-        nufft.spread_torus(theta, phi, vals, self._lmax,
-                           nufft.kernel_width(state["epsilon"]),
-                           grid=state["grid"])
+        if "pad" in state:
+            nufft.spread_padded(theta, phi, vals, self._lmax, state["w"],
+                                state["pad"])
+        else:
+            nufft.spread_torus(theta, phi, vals, self._lmax, state["w"],
+                               grid=state["grid"])
         return state
 
     def finish(self, state, spin=0):
+        # the authoritative spin is the one recorded by begin(): a
+        # default-argument finish(state) on a spin-2 state must not take
+        # the real-grid spin-0 reduction branch on a complex grid
+        spin = state["spin"]
         if state["method"] == "exact":
             return state["alm"]
         from .ops import nufft
 
+        if "pad" in state:
+            state["grid"] = nufft.fold_padded(
+                state.pop("pad"), self._lmax, state["w"], bool(spin)
+            )
         alm = nufft.adjoint_gridded(
             None, None,
             np.empty((state["grid"].shape[0], 0),

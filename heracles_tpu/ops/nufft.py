@@ -98,32 +98,59 @@ def _native_spread():
     return fn
 
 
-def _spread_native(fn, theta, phi, values, lmax, w, grid):
-    """Spread via the C++ kernel into a wrap-padded scratch, then fold."""
+def alloc_padded(nrows, lmax, w, complex_vals):
+    """Wrap-padded spreading scratch for the paged accumulation path.
+
+    Allocated once per catalogue (DiscreteMapper.begin) and reused for
+    every page — per-page allocation + folding of the full-grid scratch
+    would cost O(grid) per page regardless of page size.
+    """
     ntheta, nphi = grid_shape(lmax)
+    ncomp = 2 if complex_vals else 1
+    return np.zeros((nrows, ntheta + w, nphi + w, ncomp))
+
+
+def spread_padded(theta, phi, values, lmax, w, pad):
+    """Spread one page of points into the padded scratch (no fold)."""
+    fn = _native_spread()
+    if fn is None:
+        raise RuntimeError("native spreader unavailable")
     beta = _es_beta(w)
     complex_vals = np.iscomplexobj(values)
     ncomp = 2 if complex_vals else 1
     nrows = values.shape[0]
+    ntheta, nphi = grid_shape(lmax)
     theta = np.ascontiguousarray(theta, np.float64)
     phi = np.ascontiguousarray(phi, np.float64)
     vals = np.ascontiguousarray(
         values, np.complex128 if complex_vals else np.float64
     )
-    pad = np.zeros((nrows, ntheta + w, nphi + w, ncomp))
     p64 = ctypes.POINTER(ctypes.c_double)
     fn(theta.size,
        theta.ctypes.data_as(p64), phi.ctypes.data_as(p64),
        nrows, ncomp, vals.view(np.float64).ctypes.data_as(p64),
        pad.ctypes.data_as(p64), ntheta, nphi, w, beta)
-    # torus wrap: fold padded rows, then padded columns
+    return pad
+
+
+def fold_padded(pad, lmax, w, complex_vals):
+    """Fold the torus wrap margins; consumes ``pad``, returns the grid."""
+    ntheta, nphi = grid_shape(lmax)
     pad[:, :w] += pad[:, ntheta:]
     pad = pad[:, :ntheta]
     pad[:, :, :w] += pad[:, :, nphi:]
     pad = np.ascontiguousarray(pad[:, :, :nphi])
     if complex_vals:
         pad = pad.view(np.complex128)
-    grid += pad.reshape(grid.shape)
+    return pad.reshape(pad.shape[0], ntheta, nphi)
+
+
+def _spread_native(fn, theta, phi, values, lmax, w, grid):
+    """Spread via the C++ kernel into a wrap-padded scratch, then fold."""
+    complex_vals = np.iscomplexobj(values)
+    pad = alloc_padded(values.shape[0], lmax, w, complex_vals)
+    spread_padded(theta, phi, values, lmax, w, pad)
+    grid += fold_padded(pad, lmax, w, complex_vals).reshape(grid.shape[0], -1)
     return grid
 
 
@@ -263,14 +290,20 @@ def _deconv_factors(lmax, w, fdt):
 @functools.partial(
     jax.jit, static_argnames=("lmax", "spin", "real_grid", "m_chunk")
 )
-def _reduce_grid(grid, inv_phi, dec_theta, geom, lmax, spin,
-                 real_grid, m_chunk):
-    """Device: torus grid -> rectangular alms (tuple per spin lane).
+def _reduce_grid(grid_re, grid_im, inv_phi, dec_re, dec_im, geom, lmax,
+                 spin, real_grid, m_chunk):
+    """Device: torus grid -> packed alm real/imag planes.
 
-    ``grid``: (nrows, ntheta, nphi); ``geom``: the coarse-grid
-    ``_point_geometry`` tuple.  Returns lanes like
-    ``sht._analysis_rect_points`` — (nrows, lmax+1, nm_pad) each.
+    ``grid_re``/``grid_im``: (nrows, ntheta, nphi) real planes (the
+    imaginary plane is a dummy for ``real_grid``); ``geom``: the
+    coarse-grid ``_point_geometry`` tuple.  All inputs and outputs are
+    real planes — complex arrays cannot cross the jit/transfer boundary
+    on the tunnelled TPU backend (see sht.map2alm_host).  Returns
+    (re, im) of the packed alms: (nrows, nlm) for spin 0, else
+    (nrows, 2, nlm) stacked (E, B).
     """
+    grid = grid_re if real_grid else grid_re + 1j * grid_im
+    dec_theta = dec_re + 1j * dec_im
     nm = lmax + 1
     nm_pad = sht._mmax_pad(lmax, m_chunk)
     ntheta = grid.shape[-2]
@@ -317,10 +350,19 @@ def _reduce_grid(grid, inv_phi, dec_theta, geom, lmax, spin,
         outs.append(Ff)
 
     x, logch, logsh, lo_ch, lo_sh = geom
-    return sht._analysis_rect_points(
+    lanes = sht._analysis_rect_points(
         tuple(outs), x, logch, logsh, lmax, ns, m_chunk,
         geom_lo=(lo_ch, lo_sh),
     )
+    nm_out = lmax + 1
+    if spin == 0:
+        packed = sht.pack_alm(lanes[0][..., :nm_out], lmax, lmax)
+    else:
+        a_p, a_m = lanes
+        alm_e = -(a_p[..., :nm_out] + a_m[..., :nm_out]) / 2
+        alm_b = 1j * (a_p[..., :nm_out] - a_m[..., :nm_out]) / 2
+        packed = sht.pack_alm(jnp.stack([alm_e, alm_b], axis=-3), lmax, lmax)
+    return jnp.real(packed), jnp.imag(packed)
 
 
 def adjoint_gridded(theta, phi, values, lmax, spin=0, epsilon=1e-12,
@@ -349,19 +391,15 @@ def adjoint_gridded(theta, phi, values, lmax, spin=0, epsilon=1e-12,
     geom = _coarse_geometry(lmax, f32)
     real_grid = not np.iscomplexobj(grid)
     if real_grid:
-        dev = jnp.asarray(grid.astype(fdt))
+        gre = jnp.asarray(np.ascontiguousarray(grid.real).astype(fdt))
+        gim = jnp.zeros((1, 1, 1), fdt)
     else:
-        cdt = np.complex64 if f32 else np.complex128
-        dev = jnp.asarray(grid.astype(cdt))
-    lanes = _reduce_grid(
-        dev, jnp.asarray(inv_phi), jnp.asarray(dec), geom, lmax,
-        abs(int(spin)), real_grid, sht.DEFAULT_M_CHUNK,
+        gre = jnp.asarray(np.ascontiguousarray(grid.real).astype(fdt))
+        gim = jnp.asarray(np.ascontiguousarray(grid.imag).astype(fdt))
+    re, im = _reduce_grid(
+        gre, gim, jnp.asarray(inv_phi),
+        jnp.asarray(np.ascontiguousarray(dec.real).astype(fdt)),
+        jnp.asarray(np.ascontiguousarray(dec.imag).astype(fdt)),
+        geom, lmax, abs(int(spin)), real_grid, sht.DEFAULT_M_CHUNK,
     )
-    nm = lmax + 1
-    if spin == 0:
-        return np.asarray(sht.pack_alm(lanes[0][..., :nm], lmax, lmax))
-    a_p, a_m = lanes
-    alm_e = -(a_p[..., :nm] + a_m[..., :nm]) / 2
-    alm_b = 1j * (a_p[..., :nm] - a_m[..., :nm]) / 2
-    packed = sht.pack_alm(jnp.stack([alm_e, alm_b], axis=-3), lmax, lmax)
-    return np.asarray(packed)
+    return np.asarray(re) + 1j * np.asarray(im)

@@ -264,8 +264,13 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     regions and multi-bin transforms pay the recurrence once, not per
     map.  Refs carry the maps on a leading axis of size nb*2 (re/im
     plane pairs per map); out is (1, nb*2, lpad, m_chunk).
+
+    The triangle-skip/bulk boundaries derive from the chunk's own lane
+    orders (``seed_ref[3, 0, 0]``), NOT from ``program_id * m_chunk``:
+    the m-sharded multi-chip path feeds each device seed planes with
+    globally-offset orders, where a program-id-local base would start
+    the bulk loop at l < m (NaN from sqrt(l^2 - m^2)).
     """
-    i = pl.program_id(1)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -333,7 +338,7 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
         return _block_rescale(d_prev, d_curr, k)
 
     nblocks = (lmax + 8) // 8
-    m0 = i * m_chunk
+    m0 = seed_ref[3, 0, 0].astype(jnp.int32)
     diag_end = _diag_end(m0, m_chunk, nblocks)
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
@@ -467,7 +472,9 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
         )
 
     nblocks = (lmax + 8) // 8
-    m0 = pl.program_id(1) * m_chunk
+    # chunk base order from the chunk's own seed lanes (m-sharded path:
+    # lane orders are globally offset; see _kernel docstring)
+    m0 = seed_ref[7, 0, 0].astype(jnp.int32)
     diag_end = _diag_end(m0, m_chunk, nblocks)
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
@@ -672,7 +679,8 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
         return _block_rescale(d_prev, d_curr, k), acc
 
     nblocks = (lmax + 8) // 8
-    m0 = pl.program_id(1) * m_chunk
+    # chunk base order from the chunk's own seed lanes (see _kernel)
+    m0 = seed_ref[3, 0, 0].astype(jnp.int32)
     diag_end = _diag_end(m0, m_chunk, nblocks)
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
@@ -868,7 +876,8 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
         )
 
     nblocks = (lmax + 8) // 8
-    m0 = pl.program_id(1) * m_chunk
+    # chunk base order from the chunk's own seed lanes (see _kernel)
+    m0 = seed_ref[7, 0, 0].astype(jnp.int32)
     diag_end = _diag_end(m0, m_chunk, nblocks)
     zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)

@@ -343,7 +343,13 @@ def _rep_powers(th, ph, lmax, pol, chunk=64, rings=None, cache_key=None):
     if cache_key is not None:
         try:
             os.makedirs(_cache_dir(), exist_ok=True)
-            ck_path = os.path.join(_cache_dir(), f"pwchunk_{cache_key}")
+            # the compute dtype is part of the key: a crash-resumed build
+            # in a different-precision session (TPU f32 vs CPU x64) must
+            # not silently mix chunk precisions into one window table
+            tag = "f64" if fdt == np.float64 else "f32"
+            ck_path = os.path.join(
+                _cache_dir(), f"pwchunk_{cache_key}_{tag}"
+            )
         except OSError:
             ck_path = None
 

@@ -312,6 +312,11 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None):
         plan = ring_plan(nside, m0 + nm if static_m0 else None)
     if chirps is None:
         chirps = (None,) * len(plan)
+    if len(chirps) != len(plan):
+        raise ValueError(
+            f"chirps for {len(chirps)} buckets but the ring plan has "
+            f"{len(plan)} — were they built for a different nm/mext?"
+        )
     m = (jnp.asarray(m0, jnp.int32) + jnp.arange(nm, dtype=jnp.int32))[None, :]
 
     out_pos = []
@@ -452,14 +457,21 @@ def ring_synthesis(h_pos, h_neg, nside, *, plan=None, real_output=True,
     Cap rings evaluate the +-m series directly with chirp transforms
     whose modulus is the ring length (orders m >= nph alias exactly), so
     there are no scatters on this path.  ``chirps``: optional
-    ``chirp_fft_planes(nside, nm)`` passed through the enclosing jit as
-    an argument (skips the per-call chirp FFTs).
+    ``chirp_fft_planes(nside, nm, kind="synthesis")`` passed through the
+    enclosing jit as an argument (skips the per-call chirp FFTs) — the
+    default analysis-kind planes have the same shape but the wrong chirp
+    split point, so the kind matters.
     """
     nm = h_pos.shape[-1]
     if plan is None:
         plan = ring_plan(nside, nm)
     if chirps is None:
         chirps = (None,) * len(plan)
+    if len(chirps) != len(plan):
+        raise ValueError(
+            f"chirps for {len(chirps)} buckets but the ring plan has "
+            f"{len(plan)} — were they built for a different nm/mext?"
+        )
     rdt = _real_dtype(h_pos.dtype)
     m = jnp.arange(nm, dtype=jnp.int32)[None, :]
     pieces = []

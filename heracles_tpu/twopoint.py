@@ -50,7 +50,6 @@ from .core import TocDict, toc_match, update_metadata
 from .ops import sht
 from .ops.wigner import (
     legendre_sum_host,
-    wigner_seed_host,
     wigner_table,
     wigner_table_host,
 )
@@ -648,28 +647,13 @@ def debias_cls(cls, bias=None, *, inplace=False):
 # -- mixing matrices ------------------------------------------------------
 
 
-def _gl_nodes(npoints, dtype, seed_pairs=()):
-    """Gauss-Legendre nodes/weights + half-angle logs (host numpy consts).
-
-    ``seed_pairs``: (m, n) pairs to precompute f64 Wigner seed planes for
-    (f32 runs only) — the device f32 log/lgamma error floors bias
-    device-evaluated seeds (see ops.wigner.wigner_seed_host).
-    """
+def _gl_nodes(npoints, dtype):
+    """Gauss-Legendre nodes/weights + half-angle logs (host numpy consts)."""
     x, w = np.polynomial.legendre.leggauss(npoints)
     logch = 0.5 * np.log((1.0 + x) / 2)
     logsh = 0.5 * np.log((1.0 - x) / 2)
-    seeds = None
-    if seed_pairs:
-        theta = np.arccos(x)
-        mant, k = wigner_seed_host(
-            [p[0] for p in seed_pairs], [p[1] for p in seed_pairs], theta
-        )
-        seeds = {
-            p: (mant[i : i + 1], k[i : i + 1])
-            for i, p in enumerate(seed_pairs)
-        }
     dt = np.dtype(str(np.dtype(dtype)))
-    return x.astype(dt), w.astype(dt), logch.astype(dt), logsh.astype(dt), seeds
+    return x.astype(dt), w.astype(dt), logch.astype(dt), logsh.astype(dt)
 
 
 def _mixmat_gl(cl3, l1max, l2max, s1, s2, eb):
@@ -773,14 +757,10 @@ def _mixmat_gl_f64(cl3, l1max, l2max, s1, s2, eb):
     l3max = cl3.shape[-1] - 1
     deg = l1max + l2max + l3max
     npoints = deg // 2 + 1
-    pairs = ()
-    x, w, logch, logsh, seeds = _gl_nodes(npoints, fdt, pairs)
-
-    def seed(p):
-        return seeds[p] if seeds else None
+    x, w, logch, logsh = _gl_nodes(npoints, fdt)
 
     # mask correlation at the nodes: xi = sum (2l+1)/4pi cl3 P_l(x)
-    P3 = wigner_table(0, 0, x, logch, logsh, l3max, seed=seed((0, 0)))
+    P3 = wigner_table(0, 0, x, logch, logsh, l3max)
     ells3 = jnp.arange(l3max + 1, dtype=fdt)
     hi = jax.lax.Precision.HIGHEST
     xi = jnp.matmul(
@@ -788,12 +768,8 @@ def _mixmat_gl_f64(cl3, l1max, l2max, s1, s2, eb):
     )  # (nx,)
 
     # d tables: wigner_table(m, n, ...) = d^l_{-m,-n}
-    D1 = wigner_table(
-        s1, s2, x, logch, logsh, l1max, seed=seed((s1, s2))
-    )  # d^{l1}_{-s1,-s2}
-    D2 = wigner_table(
-        -s1, -s2, x, logch, logsh, l2max, seed=seed((-s1, -s2))
-    )  # d^{l2}_{s1,s2}
+    D1 = wigner_table(s1, s2, x, logch, logsh, l1max)  # d^{l1}_{-s1,-s2}
+    D2 = wigner_table(-s1, -s2, x, logch, logsh, l2max)  # d^{l2}_{s1,s2}
 
     ells2 = jnp.arange(l2max + 1, dtype=fdt)
     pref = 2 * jnp.pi * (2 * ells2 + 1) / (4 * jnp.pi)

@@ -458,3 +458,80 @@ def test_pallas_bulk_and_triangle_regions():
     np.testing.assert_allclose(np.asarray(GNm), wantN2[..., nm_pad:], **kw)
     np.testing.assert_allclose(np.asarray(GSp), wantS2[..., :nm_pad], **kw)
     np.testing.assert_allclose(np.asarray(GSm), wantS2[..., nm_pad:], **kw)
+
+
+def test_pallas_offset_seed_planes_match_full():
+    """m-sharded blocks (globally-offset lane orders) == full-run slice.
+
+    The m-sharded multi-chip path feeds each device seed planes whose
+    lane orders start at the shard offset; the kernels' triangle-skip /
+    bulk boundaries must derive from those orders, not from the local
+    program id (which made every shard > 0 run the bulk recurrence at
+    l < m -> NaN).  lmax is chosen so the offset chunk has a genuine
+    bulk region.
+    """
+    from heracles_tpu.ops.pallas_sht import (
+        analysis_pair_folded,
+        pair_seed_planes,
+        synthesis_spin0_folded,
+        synthesis_pair_folded,
+        spin0_seed_planes,
+    )
+
+    nside, lmax, spin = 16, 768, 2
+    nhalf, nm_full, m0s = 2 * nside, 1024, 256
+    blk = slice(m0s, m0s + 128)
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+    rng = np.random.default_rng(5)
+
+    def crand(shape):
+        return (rng.normal(size=shape)
+                + 1j * rng.normal(size=shape)).astype(np.complex64)
+
+    Fs = [jnp.asarray(crand((nhalf, nm_full))) for _ in range(4)]
+    alms = [jnp.asarray(crand((lmax + 1, nm_full))) for _ in range(2)]
+    ms_blk = np.arange(m0s, m0s + 128)
+
+    full = analysis_spin0_folded(Fs[0], Fs[1], x, logch, logsh, lmax,
+                                 ring_block=16, interpret=True)
+    part = analysis_spin0_folded(
+        Fs[0][:, blk], Fs[1][:, blk], x, logch, logsh, lmax,
+        seed_planes=spin0_seed_planes(ms_blk), ring_block=16,
+        interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(part)))
+    np.testing.assert_array_equal(np.asarray(full)[:, blk], np.asarray(part))
+
+    fullp = analysis_pair_folded(*Fs, x, logch, logsh, lmax, spin,
+                                 ring_block=16, interpret=True)
+    partp = analysis_pair_folded(
+        *(F[:, blk] for F in Fs), x, logch, logsh, lmax, spin,
+        seed_planes=pair_seed_planes(ms_blk, spin), ring_block=16,
+        interpret=True,
+    )
+    for u, v in zip(fullp, partp):
+        assert np.all(np.isfinite(np.asarray(v)))
+        np.testing.assert_array_equal(np.asarray(u)[:, blk], np.asarray(v))
+
+    fulls = synthesis_spin0_folded(alms[0], x, logch, logsh, lmax,
+                                   ring_block=16, interpret=True)
+    parts = synthesis_spin0_folded(
+        alms[0][:, blk], x, logch, logsh, lmax,
+        seed_planes=spin0_seed_planes(ms_blk), ring_block=16,
+        interpret=True,
+    )
+    for u, v in zip(fulls, parts):
+        assert np.all(np.isfinite(np.asarray(v)))
+        np.testing.assert_array_equal(np.asarray(u)[:, blk], np.asarray(v))
+
+    fullq = synthesis_pair_folded(alms[0], alms[1], x, logch, logsh,
+                                  lmax, spin, ring_block=16, interpret=True)
+    partq = synthesis_pair_folded(
+        alms[0][:, blk], alms[1][:, blk], x, logch, logsh, lmax, spin,
+        seed_planes=pair_seed_planes(ms_blk, spin), ring_block=16,
+        interpret=True,
+    )
+    for u, v in zip(fullq, partq):
+        assert np.all(np.isfinite(np.asarray(v)))
+        np.testing.assert_array_equal(np.asarray(u)[:, blk], np.asarray(v))
