@@ -552,6 +552,29 @@ def main():
         _measure_cpu(todo, reps=args.reps or 1)
         return
 
+    # the tunnelled TPU backend hangs at init when the tunnel is down;
+    # probe it in a killable subprocess so a dead tunnel yields a clear
+    # error line instead of an indefinite hang
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.arange(4.0))))"],
+            capture_output=True, timeout=300, cwd=HERE,
+        )
+        backend_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        backend_ok = False
+    if not backend_ok:
+        print(json.dumps({
+            "metric": "backend_unreachable",
+            "value": 0,
+            "unit": "error",
+            "vs_baseline": None,
+            "baseline": "unavailable",
+        }), flush=True)
+        return
+
     names = args.configs.split(",") if args.configs else list(CONFIGS)
     baselines = _load_baselines()
     missing = {
