@@ -110,7 +110,7 @@ def _band_max(rel, lmax, nbands=6):
     return out
 
 
-def run(nside, spin):
+def run(nside, spin, partial=False):
     lmax = 3 * nside // 2
     key = _alm_key(nside, lmax, spin)
     os.makedirs(CACHE, exist_ok=True)
@@ -130,6 +130,8 @@ def run(nside, spin):
                 ("f64_it1", "f64", 1), ("f32_it1", "f32", 1))
     for name, dt, it in variants:
         if not os.path.exists(f"{base}_{name}.npz"):
+            if partial:
+                continue  # report whatever stages exist (f32 needs TPU)
             sub(["--stage", "analyse", "--path", base + ".npz",
                  "--out", f"{base}_{name}.npz", "--lmax", str(lmax),
                  "--spin", str(spin), "--dtype", dt, "--iters", str(it)])
@@ -140,6 +142,8 @@ def run(nside, spin):
     cl_t = _cl_of(truth, lmax)
     rec = {"nside": nside, "lmax": lmax, "spin": spin}
     for name, _, _ in variants:
+        if not os.path.exists(f"{base}_{name}.npz"):
+            continue
         back = np.load(f"{base}_{name}.npz")["back"]
         err = np.abs(back - truth)
         rel_cl = np.abs(_cl_of(back, lmax) - cl_t) / np.where(cl_t > 0, cl_t, 1)
@@ -165,12 +169,14 @@ def table():
     print("|---|---|---|---|---|---|---|")
     for key in sorted(results):
         r = results[key]
+        def cell(name):
+            v = r.get(name, {}).get("cl_max_rel")
+            return f"{v:.2e}" if v is not None else "—"
+
         print(
             f"| {r['nside']} | {r['lmax']} | {r['spin']} "
-            f"| {r['f32']['cl_max_rel']:.2e} "
-            f"| {r['f64']['cl_max_rel']:.2e} "
-            f"| {r.get('f32_it1', {}).get('cl_max_rel', float('nan')):.2e} "
-            f"| {r.get('f64_it1', {}).get('cl_max_rel', float('nan')):.2e} |"
+            f"| {cell('f32')} | {cell('f64')} "
+            f"| {cell('f32_it1')} | {cell('f64_it1')} |"
         )
 
 
@@ -179,6 +185,8 @@ def main():
     ap.add_argument("--nside", type=int)
     ap.add_argument("--spin", type=int, default=0)
     ap.add_argument("--table", action="store_true")
+    ap.add_argument("--partial", action="store_true",
+                    help="report existing stages only (skip missing)")
     ap.add_argument("--stage", choices=["synth", "analyse"])
     ap.add_argument("--path")
     ap.add_argument("--out")
@@ -194,7 +202,7 @@ def main():
     elif args.table:
         table()
     else:
-        run(args.nside, args.spin)
+        run(args.nside, args.spin, partial=args.partial)
 
 
 if __name__ == "__main__":
