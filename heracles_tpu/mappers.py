@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core import update_metadata
-from .healpix import ang2pix_ring, nside2npix, nside2pixarea, ring_geometry, ud_grade
-from .ops import ringfft, sht, wigner
+from .healpix import ang2pix_ring, nside2npix, nside2pixarea, ud_grade
+from .ops import sht
 
 __all__ = ["HealpixMapper", "DiscreteMapper"]
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..healpix import nside2npix, npix2nside, nside2pixarea, ring_geometry
+from ..healpix import npix2nside, nside2pixarea, ring_geometry
 from . import ringfft, wigner
 
 logger = logging.getLogger(__name__)
