@@ -274,11 +274,15 @@ class DiscreteMapper:
         phi = np.radians(np.asarray(lon, dtype=np.float64) % 360.0)
         method = self._method
         if method == "auto":
-            # exact is ~8 us per point at lmax=1000 and O(lmax^2); the
-            # gridded path's fixed reduce cost amortises above this
+            # the exact path scans npts pseudo-rings at O(lmax^2) each;
+            # the gridded path scans the 2(lmax+1)-row coarse grid plus
+            # an O(npts w^2) spread.  Measured on CPU the break-even is
+            # a few hundred points at any production lmax (gridded
+            # 0.27 s vs exact 12.9 s at 2e3 points, lmax=200), so exact
+            # only wins for point sets smaller than ~4 coarse rings.
             method = (
                 "gridded"
-                if theta.size * (self._lmax + 1) ** 2 > 2e10
+                if theta.size > 4 * (self._lmax + 1)
                 else "exact"
             )
         if method == "gridded":
@@ -312,9 +316,10 @@ class DiscreteMapper:
             epsilon = 1e-5 if self._dtype == np.complex64 else 1e-12
         method = self._method
         if method == "auto":
-            # any paged catalogue is large; the exact per-page path only
-            # wins at small lmax where its O(lmax^2) per point is cheap
-            method = "gridded" if self._lmax >= 256 else "exact"
+            # paged catalogues are large by construction: the gridded
+            # accumulator (one padded scratch across pages) beats the
+            # per-page exact scan at any production lmax
+            method = "gridded"
         state = {"spin": spin, "dims": dims, "epsilon": epsilon,
                  "method": method}
         if method == "exact":
