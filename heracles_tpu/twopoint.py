@@ -647,9 +647,16 @@ def debias_cls(cls, bias=None, *, inplace=False):
 # -- mixing matrices ------------------------------------------------------
 
 
+@lru_cache(maxsize=4)
+def _leggauss(npoints):
+    """Cached GL nodes (leggauss is ~20 s at the production 4501 nodes,
+    and all three mixing-matrix spin combinations share the same rule)."""
+    return np.polynomial.legendre.leggauss(npoints)
+
+
 def _gl_nodes(npoints, dtype):
     """Gauss-Legendre nodes/weights + half-angle logs (host numpy consts)."""
-    x, w = np.polynomial.legendre.leggauss(npoints)
+    x, w = _leggauss(npoints)
     logch = 0.5 * np.log((1.0 + x) / 2)
     logsh = 0.5 * np.log((1.0 - x) / 2)
     dt = np.dtype(str(np.dtype(dtype)))
@@ -684,7 +691,7 @@ def _mixmat_tables_df32(l1max, l2max, s1, s2, npoints):
     """
     from .ops import df32
 
-    x, w = np.polynomial.legendre.leggauss(npoints)
+    x, w = _leggauss(npoints)
     theta = np.arccos(x)
     A = df32.split_f64(np.ascontiguousarray(
         wigner_table_host(s1, s2, theta, l1max).T
