@@ -730,14 +730,25 @@ def _mixmat_gl_df32(cl3, l1max, l2max, s1, s2, eb):
     mode = os.environ.get("HERACLES_TPU_MIXMAT_KERNEL", "").strip().lower()
     use_kernel = jax.default_backend() == "tpu" or mode == "interpret"
 
-    def contract(u64):
-        if use_kernel:
-            return df32.gram_df32(
-                A, B, df32.split_f64(u64), interpret=mode == "interpret"
-            )
+    def host_contract(u64):
         A64 = np.asarray(A[0], np.float64) + np.asarray(A[1], np.float64)
         B64 = np.asarray(B[0], np.float64) + np.asarray(B[1], np.float64)
         return np.einsum("ka,kb->ab", A64 * u64[:, None], B64)
+
+    def contract(u64):
+        nonlocal use_kernel
+        if use_kernel:
+            try:
+                return df32.gram_df32(
+                    A, B, df32.split_f64(u64), interpret=mode == "interpret"
+                )
+            except Exception:  # pragma: no cover - device-specific
+                logger.exception(
+                    "df32 gram kernel failed; falling back to the host "
+                    "f64 contraction"
+                )
+                use_kernel = False
+        return host_contract(u64)
 
     ells2 = np.arange(l2max + 1, dtype=np.float64)
     pref = 2 * np.pi * (2 * ells2 + 1) / (4 * np.pi)
@@ -918,18 +929,24 @@ def _pinv_batch(a, rcond, refine, interpret=False):
 
     out = []
     for blk in a:
-        Ap = tuple(jnp.asarray(z) for z in df32.split_f64(blk))
-        X = jnp.linalg.pinv(Ap[0], rcond)
-        Xp = (X, jnp.zeros_like(X))
-        for _ in range(3):
-            T = df32.matmul_df32(Ap, Xp, interpret=interpret)  # (n, n)
-            U = df32.matmul_df32(Xp, T, interpret=interpret)   # (m, n)
-            Xp = df32.add_df32(
-                (2.0 * Xp[0], 2.0 * Xp[1]), (-U[0], -U[1])
+        try:
+            Ap = tuple(jnp.asarray(z) for z in df32.split_f64(blk))
+            X = jnp.linalg.pinv(Ap[0], rcond)
+            Xp = (X, jnp.zeros_like(X))
+            for _ in range(3):
+                T = df32.matmul_df32(Ap, Xp, interpret=interpret)  # (n, n)
+                U = df32.matmul_df32(Xp, T, interpret=interpret)   # (m, n)
+                Xp = df32.add_df32(
+                    (2.0 * Xp[0], 2.0 * Xp[1]), (-U[0], -U[1])
+                )
+            out.append(
+                np.asarray(Xp[0], np.float64) + np.asarray(Xp[1], np.float64)
             )
-        out.append(
-            np.asarray(Xp[0], np.float64) + np.asarray(Xp[1], np.float64)
-        )
+        except Exception:  # pragma: no cover - device-specific
+            logger.exception(
+                "df32 pinv refinement failed; falling back to host f64 pinv"
+            )
+            out.append(np.linalg.pinv(blk, rcond))
     return np.stack(out)
 
 
