@@ -140,7 +140,14 @@ def run(nside, spin, partial=False):
     scale = np.abs(truth).max()
 
     cl_t = _cl_of(truth, lmax)
-    rec = {"nside": nside, "lmax": lmax, "spin": spin}
+    # merge into any previously-recorded row: a partial re-run (e.g. the
+    # f32 stages landing on the TPU after the cache holding the f64
+    # analyses was cleaned) must not drop the existing oracle entries
+    results = {}
+    if os.path.exists(RESULTS):
+        results = json.load(open(RESULTS))
+    rec = results.get(key, {})
+    rec.update({"nside": nside, "lmax": lmax, "spin": spin})
     for name, _, _ in variants:
         if not os.path.exists(f"{base}_{name}.npz"):
             continue
@@ -154,9 +161,6 @@ def run(nside, spin, partial=False):
             "cl_band_max_rel": _band_max(rel_cl, lmax),
         }
 
-    results = {}
-    if os.path.exists(RESULTS):
-        results = json.load(open(RESULTS))
     results[key] = rec
     json.dump(results, open(RESULTS, "w"), indent=1, sort_keys=True)
     print(json.dumps(rec, indent=1))
