@@ -49,12 +49,14 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    # complex arrays cannot cross the tunnel's transfer boundary: upload
+    # real/imag planes and combine on device
+    combine = jax.jit(lambda a, b: a + 1j * b)
+
     def crand(shape):
-        return jax.device_put(
-            (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(
-                np.complex64
-            )
-        )
+        re = jax.device_put(rng.normal(size=shape).astype(np.float32))
+        im = jax.device_put(rng.normal(size=shape).astype(np.float32))
+        return combine(re, im)
 
     F = [crand((nhalf, nm_pad)) for _ in range(4)]
     A = [crand((lmax + 1, nm_pad)) for _ in range(2)]
@@ -121,8 +123,9 @@ def main():
                 results[key][name][tag] = round(dt * 1e3, 2)
                 print(f"{name} {tag}: {dt * 1e3:.1f} ms", flush=True)
             except Exception as e:  # noqa: BLE001 - record and move on
-                results[key][name][tag] = f"fail: {type(e).__name__}"
-                print(f"{name} {tag}: FAIL {type(e).__name__}", flush=True)
+                msg = f"fail: {type(e).__name__}: {str(e)[:120]}"
+                results[key][name][tag] = msg
+                print(f"{name} {tag}: FAIL {msg}", flush=True)
             with open(out_path, "w") as f:
                 json.dump(results, f, indent=1, sort_keys=True)
 
