@@ -721,8 +721,13 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
     nm_pad = alm.shape[-1]
     if ring_block is None:
         # double-buffered alm block + (nb*4, ring_block, m_chunk) out
-        # tile + per-map accumulator carries must fit the VMEM budget
-        ring_block = min(nhalf, 256 if lmax > 2048 else 512)
+        # tile + per-map accumulator carries must fit the VMEM budget;
+        # large ring blocks win for single maps (tools/kernel_tune.json,
+        # n4096_l3000: rb1024 223 ms vs rb256 306 ms)
+        if nb > 1:
+            ring_block = min(nhalf, 256 if lmax > 2048 else 512)
+        else:
+            ring_block = min(nhalf, 1024)
     nr_pad = -(-nhalf // ring_block) * ring_block
     pad = nr_pad - nhalf
 
@@ -1109,7 +1114,9 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
         if nb > 1:
             ring_block = min(nhalf, 256)
         else:
-            ring_block = min(nhalf, 512 if lmax > 2048 else 1024)
+            # tuned at north-star size (tools/kernel_tune.json,
+            # n4096_l3000): rb256 176 ms vs rb512 179 ms vs rb1024 182
+            ring_block = min(nhalf, 256 if lmax > 2048 else 1024)
     # pad rings to a multiple of the block (zero rows contribute nothing:
     # their F is zero; lam of x=0 rows is finite)
     nr_pad = -(-nhalf // ring_block) * ring_block

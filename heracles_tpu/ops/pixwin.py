@@ -448,6 +448,14 @@ def pixel_window_exact(nside, lmax, *, pol=False, factor=16, cap_samples=1):
     # dividing by the measured l=0 value removes from every lane
     if w[0, 0] > 0:
         w /= w[0, 0]
+    # the true windows are non-increasing in l (scalar from l=0, the
+    # polarized window from its l=2 onset); the residual ~1e-7 device
+    # noise can exceed the tiny low-l decrement at large nside, so
+    # project onto the monotone cone (changes values only at the noise
+    # scale, and keeps w <= 1)
+    w[0] = np.minimum.accumulate(np.minimum(w[0], 1.0))
+    if pol and lmax >= 2:
+        w[1, 2:] = np.minimum.accumulate(np.minimum(w[1, 2:], 1.0))
 
     if pol:
         w[1, : min(2, lmax + 1)] = 0.0

@@ -106,7 +106,10 @@ def test_packaged_production_windows(tmp_path, monkeypatch):
         tp = sht.pixel_window(nside, lmax, pol=True)
         assert tp.shape == (2, lmax + 1)
         assert tp[0, 0] == pytest.approx(1.0, abs=1e-9)
-        assert np.all(np.diff(tp[0]) < 0)
+        # non-increasing (flat runs where the true decrement is below
+        # the ~1e-7 build noise are monotone-projected at build time)
+        assert np.all(np.diff(tp[0]) <= 0) and np.all(tp[0] <= 1.0)
+        assert tp[0, -1] < 0.999  # and it really decreases overall
         # exact windows differ measurably from the cap approximation
         cap = sht.pixel_window(nside, lmax, method="cap")
         assert np.max(np.abs(tp[0] - cap)) > 1e-4

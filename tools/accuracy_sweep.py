@@ -199,7 +199,8 @@ def main():
     ap.add_argument("--iters", type=int, default=0)
     args = ap.parse_args()
     if args.stage == "synth":
-        _stage_synth(args.nside, 3 * args.nside // 2, args.spin, args.path)
+        lmax = args.lmax if args.lmax else 3 * args.nside // 2
+        _stage_synth(args.nside, lmax, args.spin, args.path)
     elif args.stage == "analyse":
         _stage_analyse(args.path, args.out, args.lmax, args.spin, args.dtype,
                        args.iters)
