@@ -76,31 +76,31 @@ def main():
                 F[0], F[1], x, logch, logsh, lmax,
                 ring_block=rb, m_chunk=mc,
             ),
-            [256, 512, 1024],
-            [128, 256],
+            [128, 256, 512, 1024, 2048],
+            [64, 128, 256],
         ),
         "analysis_pair": (
             lambda rb, mc: pallas_sht.analysis_pair_folded(
                 F[0], F[1], F[2], F[3], x, logch, logsh, lmax, 2,
                 ring_block=rb, m_chunk=mc,
             )[0],
-            [128, 256, 512],
-            [128, 256],
+            [64, 128, 256, 512],
+            [64, 128, 256],
         ),
         "synthesis_spin0": (
             lambda rb, mc: pallas_sht.synthesis_spin0_folded(
                 A[0], x, logch, logsh, lmax, ring_block=rb, m_chunk=mc,
             )[0],
-            [256, 512, 1024],
-            [128, 256],
+            [256, 512, 1024, 2048],
+            [64, 128, 256],
         ),
         "synthesis_pair": (
             lambda rb, mc: pallas_sht.synthesis_pair_folded(
                 A[0], A[1], x, logch, logsh, lmax, 2,
                 ring_block=rb, m_chunk=mc,
             )[0],
-            [128, 256],
-            [128, 256],
+            [64, 128, 256, 512],
+            [64, 128, 256],
         ),
     }
 
