@@ -13,6 +13,8 @@ Parity with ``/root/reference/heracles/mapping.py``:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import _scheduler as coroutines
@@ -160,7 +162,19 @@ def transform(fields, data, *, out=None, progress=None, batch=8, mesh=None):
         mapper = field0.mapper_or_error
         spin = field0.spin
         use_mesh = mesh is not None and hasattr(mapper, "transform_sharded")
-        group_step = len(idxs) if use_mesh else batch
+        if use_mesh:
+            group_step = len(idxs)
+        else:
+            # cap the stack so its device working set (map + ring
+            # spectra + FFT intermediates, ~20x the map bytes in f32)
+            # fits HBM: one nside=4096 map is ~2e8 pixels, and a single
+            # map of that size already uses a sizeable fraction of a
+            # 16 GB chip, so big maps transform solo while small maps
+            # keep the full dispatch batching
+            elems = int(np.prod(np.shape(items[idxs[0]][2]))) or 1
+            budget = int(os.environ.get(
+                "HERACLES_TPU_BATCH_ELEMS", 2 * 10**8))
+            group_step = max(1, min(batch, budget // elems))
         for start in range(0, len(idxs), group_step):
             chunk = idxs[start : start + group_step]
             stack = np.stack([np.asarray(items[idx][2]) for idx in chunk])
