@@ -318,23 +318,34 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     def bulk_body(blk, carry):
         d_prev, d_curr, k = carry
         emit = _emit_of(k)
-        rows = [[] for _ in range(2 * nb)]
+        ds = []
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
             c1, c2 = _bulk_coeffs_spin0(ell, m)
             d_new = c1 * (x * d_curr) - c2 * d_prev
-            lam = d_new * emit
-            for q in range(nb):
-                Fr, Fi = F_planes(q, t)
-                rows[2 * q].append(_rsum(lam * Fr))
-                rows[2 * q + 1].append(
-                    _rsum(lam * Fi)
-                )
+            ds.append(d_new)
             d_prev, d_curr = d_curr, d_new
-        norm = _norm_col(blk)
-        sl = pl.ds(8 * blk, 8)
-        for p in range(2 * nb):
-            out_ref[0, p, sl, :] += jnp.concatenate(rows[p], axis=0) * norm
+
+        # wavefront skip: emit is computed once per block from k at
+        # entry, so k < -1 everywhere means every lam of this block is
+        # exactly zero in the current numbering — skip the contraction
+        # (polar tiles spend most l's below the Legendre wavefront)
+        @pl.when(jnp.max(k) > -1.5)
+        def _emit_block():
+            rows = [[] for _ in range(2 * nb)]
+            for t in range(8):
+                lam = ds[t] * emit
+                for q in range(nb):
+                    Fr, Fi = F_planes(q, t)
+                    rows[2 * q].append(_rsum(lam * Fr))
+                    rows[2 * q + 1].append(_rsum(lam * Fi))
+            norm = _norm_col(blk)
+            sl = pl.ds(8 * blk, 8)
+            for p in range(2 * nb):
+                out_ref[0, p, sl, :] += (
+                    jnp.concatenate(rows[p], axis=0) * norm
+                )
+
         return _block_rescale(d_prev, d_curr, k)
 
     nblocks = (lmax + 8) // 8
@@ -435,37 +446,48 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
         (dp_prev, dp_curr, k_p), (dm_prev, dm_curr, k_m) = carry
         emit_p = _emit_of(k_p)
         emit_m = _emit_of(k_m)
-        rows = [[] for _ in range(4 * nb)]
+        dps, dms = [], []
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
             dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
             dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
-            lam_p = dp_new * emit_p
-            lam_m = dm_new * emit_m
-            for q in range(nb):
-                FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
-                FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
-                for c in range(2):
-                    tp = lam_p * FNp[c]
-                    tm = lam_m * Sp[c]
-                    rows[4 * q + c].append(
-                        _rsum(tp + tm if t % 2 == 0 else tp - tm)
-                    )
-                    tp2 = lam_m * FNm[c]
-                    tm2 = lam_p * Sm[c]
-                    rows[4 * q + 2 + c].append(
-                        _rsum(tp2 + tm2 if t % 2 == 0 else tp2 - tm2)
-                    )
+            dps.append(dp_new)
+            dms.append(dm_new)
             dp_prev, dp_curr = dp_curr, dp_new
             dm_prev, dm_curr = dm_curr, dm_new
-        norm = _norm_col(blk)
-        sl = pl.ds(8 * blk, 8)
-        for plane in range(4 * nb):
-            out_ref[0, plane, sl, :] += (
-                jnp.concatenate(rows[plane], axis=0) * norm
-            )
+
+        # wavefront skip (see _kernel.bulk_body): block emit factors come
+        # from k at entry, so k < -1 on both branches means every lam of
+        # this block is exactly zero — skip the contraction work
+        @pl.when(jnp.maximum(jnp.max(k_p), jnp.max(k_m)) > -1.5)
+        def _emit_block():
+            rows = [[] for _ in range(4 * nb)]
+            for t in range(8):
+                lam_p = dps[t] * emit_p
+                lam_m = dms[t] * emit_m
+                for q in range(nb):
+                    FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
+                    FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
+                    for c in range(2):
+                        tp = lam_p * FNp[c]
+                        tm = lam_m * Sp[c]
+                        rows[4 * q + c].append(
+                            _rsum(tp + tm if t % 2 == 0 else tp - tm)
+                        )
+                        tp2 = lam_m * FNm[c]
+                        tm2 = lam_p * Sm[c]
+                        rows[4 * q + 2 + c].append(
+                            _rsum(tp2 + tm2 if t % 2 == 0 else tp2 - tm2)
+                        )
+            norm = _norm_col(blk)
+            sl = pl.ds(8 * blk, 8)
+            for plane in range(4 * nb):
+                out_ref[0, plane, sl, :] += (
+                    jnp.concatenate(rows[plane], axis=0) * norm
+                )
+
         return (
             _block_rescale(dp_prev, dp_curr, k_p),
             _block_rescale(dm_prev, dm_curr, k_m),
@@ -659,23 +681,36 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
     def bulk_body(blk, carry):
         (d_prev, d_curr, k), acc = carry
         emit = _emit_of(k)
-        norm = _norm_col(blk)
-        rows = alm_ref[0, :, pl.ds(8 * blk, 8), :] * norm  # (nb*2, 8, mc)
+        ds = []
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
             c1, c2 = _bulk_coeffs_spin0(ell, m)
             d_new = c1 * (x * d_curr) - c2 * d_prev
-            lam = d_new * emit
-            sgn = 1.0 if t % 2 == 0 else -1.0
-            new = []
-            for q in range(nb):
-                GNr, GNi, Sr, Si = acc[q]
-                t_re = rows[2 * q, t, :][None, :] * lam
-                t_im = rows[2 * q + 1, t, :][None, :] * lam
-                new.append((GNr + t_re, GNi + t_im,
-                            Sr + sgn * t_re, Si + sgn * t_im))
-            acc = new
+            ds.append(d_new)
             d_prev, d_curr = d_curr, d_new
+
+        # wavefront skip (see _kernel.bulk_body): emit comes from k at
+        # entry, so k < -1 everywhere makes this block's lam all zero —
+        # skip the accumulation work on polar tiles below the wavefront
+        def _accumulate(acc):
+            norm = _norm_col(blk)
+            rows = alm_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            for t in range(8):
+                lam = ds[t] * emit
+                sgn = 1.0 if t % 2 == 0 else -1.0
+                new = []
+                for q in range(nb):
+                    GNr, GNi, Sr, Si = acc[q]
+                    t_re = rows[2 * q, t, :][None, :] * lam
+                    t_im = rows[2 * q + 1, t, :][None, :] * lam
+                    new.append((GNr + t_re, GNi + t_im,
+                                Sr + sgn * t_re, Si + sgn * t_im))
+                acc = new
+            return acc
+
+        acc = jax.lax.cond(
+            jnp.max(k) > -1.5, _accumulate, lambda a: a, acc
+        )
         return _block_rescale(d_prev, d_curr, k), acc
 
     nblocks = (lmax + 8) // 8
@@ -859,21 +894,34 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
         (dp_prev, dp_curr, k_p), (dm_prev, dm_curr, k_m), acc = carry
         emit_p = _emit_of(k_p)
         emit_m = _emit_of(k_m)
-        norm = _norm_col(blk)
-        rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :] * norm
-        rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+        dps, dms = [], []
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
-            sgn = 1.0 if t % 2 == 0 else -1.0
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
             dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
             dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
-            lam_p = dp_new * emit_p
-            lam_m = dm_new * emit_m
-            acc = step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc)
+            dps.append(dp_new)
+            dms.append(dm_new)
             dp_prev, dp_curr = dp_curr, dp_new
             dm_prev, dm_curr = dm_curr, dm_new
+
+        # wavefront skip (see _kernel.bulk_body)
+        def _accumulate(acc):
+            norm = _norm_col(blk)
+            rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            for t in range(8):
+                sgn = 1.0 if t % 2 == 0 else -1.0
+                lam_p = dps[t] * emit_p
+                lam_m = dms[t] * emit_m
+                acc = step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc)
+            return acc
+
+        acc = jax.lax.cond(
+            jnp.maximum(jnp.max(k_p), jnp.max(k_m)) > -1.5,
+            _accumulate, lambda a: a, acc,
+        )
         return (
             _block_rescale(dp_prev, dp_curr, k_p),
             _block_rescale(dm_prev, dm_curr, k_m),

@@ -110,8 +110,9 @@ def _band_max(rel, lmax, nbands=6):
     return out
 
 
-def run(nside, spin, partial=False):
-    lmax = 3 * nside // 2
+def run(nside, spin, partial=False, lmax=None):
+    if lmax is None:
+        lmax = 3 * nside // 2
     key = _alm_key(nside, lmax, spin)
     os.makedirs(CACHE, exist_ok=True)
     base = os.path.join(CACHE, f"acc_{key}")
@@ -125,7 +126,7 @@ def run(nside, spin, partial=False):
 
     if not os.path.exists(base + ".npz"):
         sub(["--stage", "synth", "--nside", str(nside), "--spin", str(spin),
-             "--path", base + ".npz"])
+             "--path", base + ".npz", "--lmax", str(lmax)])
     variants = (("f64", "f64", 0), ("f32", "f32", 0),
                 ("f64_it1", "f64", 1), ("f32_it1", "f32", 1))
     for name, dt, it in variants:
@@ -207,7 +208,7 @@ def main():
     elif args.table:
         table()
     else:
-        run(args.nside, args.spin, partial=args.partial)
+        run(args.nside, args.spin, partial=args.partial, lmax=args.lmax)
 
 
 if __name__ == "__main__":
