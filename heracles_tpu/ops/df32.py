@@ -86,10 +86,14 @@ def _gram_kernel(Ah_ref, Al_ref, Bh_ref, Bl_ref, u_ref, out_ref, *, a_tile,
                  unit_u=False):
     """Grid (L1/a_tile, L2/b_tile, K/k_chunk); K accumulates in VMEM.
 
-    Block shapes: A (k_chunk, a_tile), B (k_chunk, b_tile),
-    u (k_chunk, 2) [hi, lo columns], out (2, a_tile, b_tile) [hi, lo
-    planes], revisited across the K grid axis.  ``unit_u`` skips the
-    weight product (the df32 matmul case) — ~40% fewer VPU ops.
+    Block shapes: A (1, k_chunk, a_tile) — A rides in as a
+    (L1/a_tile, K, a_tile) array so its block's trailing dim equals the
+    array's (Mosaic requires trailing block dims divisible by (8, 128)
+    or equal to the array's; a bare (k_chunk, a_tile=8) lane dim fails
+    to lower at production L1) — B (k_chunk, b_tile), u (k_chunk, 2)
+    [hi, lo columns], out (2, a_tile, b_tile) [hi, lo planes],
+    revisited across the K grid axis.  ``unit_u`` skips the weight
+    product (the df32 matmul case) — ~40% fewer VPU ops.
     """
     k = pl.program_id(2)
 
@@ -99,14 +103,15 @@ def _gram_kernel(Ah_ref, Al_ref, Bh_ref, Bl_ref, u_ref, out_ref, *, a_tile,
 
     Bh = Bh_ref[...]
     Bl = Bl_ref[...]
-    uh = None if unit_u else u_ref[:, 0:1]
-    ul = None if unit_u else u_ref[:, 1:2]
+    if not unit_u:
+        # hoist the B*u pair product out of the per-a loop (shared)
+        Bh, Bl = _term_df32(Bh, Bl, u_ref[:, 0:1], u_ref[:, 1:2])
 
     rows_h, rows_l = [], []
     for a in range(a_tile):
-        ah = Ah_ref[:, a : a + 1]
-        al = Al_ref[:, a : a + 1]
-        q, qlo = _term_df32(ah, al, Bh, Bl, uh, ul)
+        ah = Ah_ref[0, :, a : a + 1]
+        al = Al_ref[0, :, a : a + 1]
+        q, qlo = _term_df32(ah, al, Bh, Bl)
         rh, rl = _rsum2(q, qlo)
         rows_h.append(rh)
         rows_l.append(rl)
@@ -134,6 +139,12 @@ def _gram_call(Ah, Al, Bh, Bl, uh, ul, *, a_tile, b_tile, k_chunk,
     L2p = -(-L2 // b_tile) * b_tile
     Ah, Al = pad2(Ah, Kp, L1p), pad2(Al, Kp, L1p)
     Bh, Bl = pad2(Bh, Kp, L2p), pad2(Bl, Kp, L2p)
+    # (K, L1) -> (L1/a_tile, K, a_tile): the A block's trailing dim then
+    # equals the array's, which Mosaic lowers for any a_tile (see kernel)
+    Ah, Al = (
+        z.reshape(Kp, L1p // a_tile, a_tile).swapaxes(0, 1)
+        for z in (Ah, Al)
+    )
     u2 = jnp.stack(
         [jnp.pad(uh, (0, Kp - K)), jnp.pad(ul, (0, Kp - K))], axis=-1
     )
@@ -142,9 +153,9 @@ def _gram_call(Ah, Al, Bh, Bl, uh, ul, *, a_tile, b_tile, k_chunk,
         functools.partial(_gram_kernel, a_tile=a_tile, unit_u=unit_u),
         grid=(L1p // a_tile, L2p // b_tile, Kp // k_chunk),
         in_specs=[
-            pl.BlockSpec((k_chunk, a_tile), lambda i, j, k: (k, i),
+            pl.BlockSpec((1, k_chunk, a_tile), lambda i, j, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_chunk, a_tile), lambda i, j, k: (k, i),
+            pl.BlockSpec((1, k_chunk, a_tile), lambda i, j, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_chunk, b_tile), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),

@@ -733,7 +733,9 @@ def _mixmat_gl_df32(cl3, l1max, l2max, s1, s2, eb):
     def host_contract(u64):
         A64 = np.asarray(A[0], np.float64) + np.asarray(A[1], np.float64)
         B64 = np.asarray(B[0], np.float64) + np.asarray(B[1], np.float64)
-        return np.einsum("ka,kb->ab", A64 * u64[:, None], B64)
+        # matmul (BLAS dgemm), not einsum: np.einsum without optimize
+        # runs a naive loop — ~40 s per contraction at production degree
+        return (A64 * u64[:, None]).T @ B64
 
     def contract(u64):
         nonlocal use_kernel
