@@ -244,12 +244,13 @@ def build_pipeline(nside, lmax, nrows=5_000_000, nbins=2):
     """
     import heracles_tpu as h
     from heracles_tpu.catalog import FitsCatalog
-    from heracles_tpu.core import update_metadata
     from heracles_tpu.mapping import map_catalogs, transform
     from heracles_tpu.twopoint import angular_power_spectra, mixing_matrices
 
     path = _pipeline_catalog(nrows)
-    mapper = h.HealpixMapper(nside, lmax)
+    # device_maps: the maps->alms hand-off stays in HBM (no ~GB-scale
+    # host round trips per map at production nside)
+    mapper = h.HealpixMapper(nside, lmax, device_maps=True)
     fields = {
         "POS": h.Positions(mapper, "RA", "DEC", mask="VIS",
                            overdensity=False),
@@ -265,15 +266,22 @@ def build_pipeline(nside, lmax, nrows=5_000_000, nbins=2):
         np.float64
     )
 
+    # visibility as a device-resident map, uploaded once per build
+    import jax
+    import jax.numpy as jnp
+
+    from heracles_tpu.devicemap import DeviceMap
+
+    vis_dev = jax.device_put(jnp.asarray(vis_template, jnp.float32))
+
     def run():
         maps = map_catalogs(
             fields, catalogs, include=[("POS", ...), ("SHE", ...)]
         )
         for i in range(nbins):
-            vis = mapper.create(spin=0)
-            vis[:] = vis_template
-            update_metadata(vis, fsky=0.6)
-            maps["VIS", i] = vis
+            maps["VIS", i] = DeviceMap(
+                vis_dev, metadata={**mapper._metadata(0), "fsky": 0.6}
+            )
         alms = transform(fields, maps)
         cls = angular_power_spectra(alms)
         mask_cls = {k: v for k, v in cls.items() if k[:2] == ("VIS", "VIS")}
@@ -396,14 +404,14 @@ CONFIGS = {
     ),
     "pipeline_n4096_l3000": dict(
         build=lambda: build_pipeline(4096, 3000),
-        reps=2,
+        reps=1,  # warmup + 1: a full rep runs for minutes
         # dominated by 2 spin-0 + 2 spin-2 + 2 mask SHTs: scale by the
         # SHT work ratio from the same pipeline measured at nside=512
         cpu=("pipeline_n512_l768", _sht_scale(4096, 3000, 512, 768)),
     ),
     "dices_njk50_n1024": dict(
         build=lambda: build_dices_real(1024, 1536, 50),
-        reps=2,
+        reps=1,  # warmup + 1: a full rep runs for minutes
         # work ~ njk * (nside * lmax^2): measured at njk=8, nside=256
         cpu=("dices_njk8_n256_real",
              (50 / 8) * _sht_scale(1024, 1536, 256, 384)),

@@ -139,44 +139,111 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
     ]
     done = njk - len(pending)
     progress.update(1 + done, njk + 1)
+    device_state = None
+    if pending and mesh is None and all(
+        getattr(fields[key[0]].mapper_or_error, "batched_transform", False)
+        for key in list(data_maps) + list(vis_maps)
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        dev_data = _device_region_maps(data_maps)
+        dev_vis = _device_region_maps(vis_maps)
+        jk_dt = next(iter(dev_data.values()))[0].dtype
+        jk_dev = jax.device_put(jnp.asarray(np.asarray(jk_map), jk_dt))
+        device_state = (dev_data, dev_vis, jk_dev, _masked_stack_fn())
     for start in range(0, len(pending), region_batch):
         ks = pending[start : start + region_batch]
         with progress.task(f"ALMs {ks[0]}..{ks[-1]}"):
             _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields,
-                                     dir, mesh=mesh)
+                                     dir, mesh=mesh,
+                                     device_state=device_state)
         done += len(ks)
         progress.update(1 + done, njk + 1)
 
 
+def _masked_stack_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def masked_stack(arr, jk_dev, ks_arr):
+        masks = (jk_dev[None, :] == ks_arr[:, None]).astype(arr.dtype)
+        shape = masks.shape[:1] + (1,) * (arr.ndim - 1) + masks.shape[-1:]
+        return arr[None, ...] * masks.reshape(shape)
+
+    return masked_stack
+
+
+def _device_region_maps(maps):
+    """Upload each full map once; returns {key: (device array, metadata)}.
+
+    The region-masked stacks are then products computed on the device —
+    the (batch, npix) stacks never exist on the host and never cross the
+    host->device boundary (at production sizes the host masking + stack
+    upload dominated the whole jackknife stage).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x64 = bool(jax.config.jax_enable_x64)
+    out = {}
+    for key, m in maps.items():
+        md = dict(m.dtype.metadata or {})
+        arr = np.asarray(m)
+        dt = jnp.float64 if (arr.dtype == np.float64 and x64) else jnp.float32
+        out[key] = (jax.device_put(jnp.asarray(arr, dt)), md)
+    return out
+
+
 def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
-                             mesh=None):
+                             mesh=None, device_state=None):
     """One batched SHT over a group of region-masked map sets."""
-    masks = np.stack(
-        [(np.asarray(jk_map) == float(k)).astype(float) for k in ks]
-    )
+    if mesh is None and device_state is not None:
+        dev_data, dev_vis, jk_dev, masked_stack = device_state
+        import jax.numpy as jnp
 
-    def batched_transform(maps):
-        out_per_key = {}
-        for key, m in maps.items():
-            md = dict(m.dtype.metadata or {})
-            arr = np.asarray(m)
-            stacked = arr[None, ...] * masks.reshape(
-                (len(ks),) + (1,) * (arr.ndim - 1) + (masks.shape[-1],)
-            )
-            update_metadata(stacked, **md)
-            field = fields[key[0]]
-            spin = field.spin
-            mapper = field.mapper_or_error
-            if mesh is not None and hasattr(mapper, "transform_sharded"):
-                out_per_key[key] = mapper.transform_sharded(
-                    mesh, stacked, spin=spin
+        ks_arr = jnp.asarray(np.asarray(ks, np.float32), jk_dev.dtype)
+
+        def batched_transform(dev_maps):
+            out_per_key = {}
+            for key, (arr, md) in dev_maps.items():
+                field = fields[key[0]]
+                stacked = masked_stack(arr, jk_dev, ks_arr)
+                out_per_key[key] = field.mapper_or_error.transform(
+                    stacked, spin=field.spin, metadata=md
                 )
-            else:
-                out_per_key[key] = mapper.transform(stacked, spin=spin)
-        return out_per_key
+            return out_per_key
 
-    data_batched = batched_transform(data_maps)
-    vis_batched = batched_transform(vis_maps)
+        data_batched = batched_transform(dev_data)
+        vis_batched = batched_transform(dev_vis)
+    else:
+        masks = np.stack(
+            [(np.asarray(jk_map) == float(k)).astype(float) for k in ks]
+        )
+
+        def batched_transform(maps):
+            out_per_key = {}
+            for key, m in maps.items():
+                md = dict(m.dtype.metadata or {})
+                arr = np.asarray(m)
+                stacked = arr[None, ...] * masks.reshape(
+                    (len(ks),) + (1,) * (arr.ndim - 1) + (masks.shape[-1],)
+                )
+                update_metadata(stacked, **md)
+                field = fields[key[0]]
+                spin = field.spin
+                mapper = field.mapper_or_error
+                if mesh is not None and hasattr(mapper, "transform_sharded"):
+                    out_per_key[key] = mapper.transform_sharded(
+                        mesh, stacked, spin=spin
+                    )
+                else:
+                    out_per_key[key] = mapper.transform(stacked, spin=spin)
+            return out_per_key
+
+        data_batched = batched_transform(data_maps)
+        vis_batched = batched_transform(vis_maps)
     for i, k in enumerate(ks):
         for batched, name in ((data_batched, "data"), (vis_batched, "vis")):
             alms = {}

@@ -62,11 +62,17 @@ class HealpixMapper:
     # same-shape maps into stacked SHT dispatches)
     batched_transform = True
 
-    def __init__(self, nside, lmax=None, *, deconvolve=None, dtype=np.float64):
+    def __init__(self, nside, lmax=None, *, deconvolve=None, dtype=np.float64,
+                 device_maps=False):
         self._nside = int(nside)
         self._lmax = sht.resolve_lmax(nside, lmax)
         self._deconv = True if deconvolve is None else bool(deconvolve)
         self._dtype = np.dtype(dtype)
+        # device_maps=True: finish() keeps the accumulated map on the
+        # device as a DeviceMap — the pipeline's maps->alms hand-off then
+        # never crosses the host<->device boundary (~1.6 GB round trip
+        # per nside=4096 map otherwise)
+        self._device_maps = bool(device_maps)
 
     @property
     def nside(self):
@@ -124,6 +130,10 @@ class HealpixMapper:
         return _scatter_fn(self._nside)(state, lon, lat, values)
 
     def finish(self, state, spin=0):
+        if self._device_maps:
+            from .devicemap import DeviceMap
+
+            return DeviceMap(state, metadata=self._metadata(spin))
         # np.array (not asarray): jax buffers are read-only, fields mutate
         m = np.array(state, dtype=self._dtype)
         update_metadata(m, **self._metadata(spin))
@@ -148,15 +158,29 @@ class HealpixMapper:
         update_metadata(alm, **{**md, "deconv": self._deconv})
         return alm
 
-    def transform(self, data, spin=0):
+    def transform(self, data, spin=0, *, metadata=None):
         """Spin-0/2 spherical harmonic analysis with quadrature weights.
 
         Spin-0 input may carry leading batch axes; spin-2 input is
         (..., 2, npix) [Q, U] and returns (..., 2, nlm) (E, B), matching
         the reference's dropped-T-row convention (healpy.py:175-199).
+
+        ``data`` may be a device-resident ``jax.Array`` (it is fed to the
+        SHT without a host round-trip); scientific metadata then comes
+        from ``metadata`` since jax arrays carry no dtype metadata.
         """
-        md = dict(getattr(data.dtype, "metadata", None) or {})
-        arr = np.asarray(data)
+        from .devicemap import DeviceMap
+
+        if isinstance(data, DeviceMap):
+            md = {**data.metadata, **(metadata or {})}
+            arr = data.array
+        elif isinstance(data, jax.Array):
+            md = dict(metadata or {})
+            arr = data
+        else:
+            md = dict(getattr(data.dtype, "metadata", None) or {})
+            md.update(metadata or {})
+            arr = np.asarray(data)
         alm = sht.map2alm_host(arr, lmax=self._lmax, spin=spin,
                                weights="ring")
         return self._finish_alm(alm, md, spin)

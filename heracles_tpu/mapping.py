@@ -106,10 +106,13 @@ def transform(fields, data, *, out=None, progress=None, batch=8, mesh=None):
     if progress is None:
         progress = NoProgress()
 
+    from .devicemap import DeviceMap
+
     # pass 1: validate, fill spins, collect work items in input order
     items = []
     for (k, i), m in data.items():
-        m = getattr(m, "array", m)
+        if not isinstance(m, DeviceMap):
+            m = getattr(m, "array", m)
         try:
             field = fields[k]
         except KeyError:
@@ -134,8 +137,12 @@ def transform(fields, data, *, out=None, progress=None, batch=8, mesh=None):
             and getattr(mapper, "batched_transform", False)
         ):
             # dtype is part of the key: stacking f32 with f64 maps would
-            # promote both and change the batch=1 numerics
-            gkey = (id(mapper), field.spin, np.shape(m), np.asarray(m).dtype)
+            # promote both and change the batch=1 numerics; device maps
+            # group apart from host maps (they stack on the device)
+            dev = isinstance(m, DeviceMap)
+            dt = m.dtype if dev else np.asarray(m).dtype
+            gkey = (id(mapper), field.spin, np.shape(m), np.dtype(dt.str),
+                    dev)
         else:
             gkey = ("solo", idx)
         groups.setdefault(gkey, []).append(idx)
@@ -175,16 +182,34 @@ def transform(fields, data, *, out=None, progress=None, batch=8, mesh=None):
             budget = int(os.environ.get(
                 "HERACLES_TPU_BATCH_ELEMS", 2 * 10**8))
             group_step = max(1, min(batch, budget // elems))
+        device_group = isinstance(items[idxs[0]][2], DeviceMap)
         for start in range(0, len(idxs), group_step):
             chunk = idxs[start : start + group_step]
-            stack = np.stack([np.asarray(items[idx][2]) for idx in chunk])
-            update_metadata(stack, spin=spin)
             labels = ", ".join(str(items[idx][0]) for idx in chunk)
             with progress.task(f"[{labels}]"):
-                if use_mesh:
-                    alms = mapper.transform_sharded(mesh, stack, spin=spin)
+                if device_group and not use_mesh:
+                    # device maps stack on the device: the pixel data
+                    # never crosses the host boundary on its way to the
+                    # SHT
+                    import jax.numpy as jnp
+
+                    stack = jnp.stack(
+                        [items[idx][2].array for idx in chunk]
+                    )
+                    alms = mapper.transform(
+                        stack, spin=spin, metadata={"spin": spin}
+                    )
                 else:
-                    alms = mapper.transform(stack, spin=spin)
+                    stack = np.stack(
+                        [np.asarray(items[idx][2]) for idx in chunk]
+                    )
+                    update_metadata(stack, spin=spin)
+                    if use_mesh:
+                        alms = mapper.transform_sharded(
+                            mesh, stack, spin=spin
+                        )
+                    else:
+                        alms = mapper.transform(stack, spin=spin)
             extra = dict(alms.dtype.metadata or {})
             for row, idx in enumerate(chunk):
                 key, field, m = items[idx]

@@ -696,8 +696,14 @@ def _host_chirps(npix_or_nside, lmax, mmax, dtype, *, from_npix,
 
 
 def map2alm_host(maps, lmax=None, **kw):
-    """map2alm for host (numpy) callers; returns numpy complex alms."""
-    maps = np.asarray(maps)
+    """map2alm for host (numpy) callers; returns numpy complex alms.
+
+    Device-resident ``jax.Array`` input is passed straight to the jitted
+    transform (no host round-trip) — the DICES region-masked stacks are
+    built on the device and come through here.
+    """
+    if not isinstance(maps, jax.Array):
+        maps = np.asarray(maps)
     if "fft_chirps" not in kw:
         kw["fft_chirps"] = _host_chirps(
             maps.shape[-1], lmax, kw.get("mmax"), maps.dtype, from_npix=True
