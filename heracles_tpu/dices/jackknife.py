@@ -83,8 +83,8 @@ def jackknife_cls(
     if progress is None:
         progress = NoProgress()
 
-    compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir=dir,
-                    progress=progress, mesh=mesh)
+    alms_cache = compute_jk_alms(data_maps, vis_maps, jk_map, fields,
+                                 dir=dir, progress=progress, mesh=mesh)
     return compute_jk_cls_from_alms(
         jk_map,
         fields,
@@ -94,6 +94,7 @@ def jackknife_cls(
         dir=dir,
         progress=progress,
         mesh=mesh,
+        alms_cache=alms_cache,
     )
 
 
@@ -114,6 +115,10 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
     os.makedirs(dir, exist_ok=True)
     njk = _n_regions(jk_map)
     progress.update(0, njk + 1)
+    # alms computed in this process are handed back so the spectra stage
+    # need not re-read them from the FITS caches (which remain the
+    # cross-process/resume checkpoint)
+    cache = {}
     if mesh is not None:
         # fill the mesh: whole multiples of the batch axis per dispatch
         nb = mesh.shape["batch"]
@@ -121,13 +126,14 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
     if region_batch <= 1:
         for k in range(njk + 1):
             with progress.task(f"ALMs {k}"):
-                _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir)
+                _compute_single_jk_alm(k, data_maps, vis_maps, jk_map,
+                                       fields, dir, cache=cache)
             progress.update(k + 1, njk + 1)
-        return
+        return cache
     # full-footprint alms (k = 0)
     with progress.task("ALMs 0"):
         _compute_single_jk_alm(0, data_maps, vis_maps, jk_map, fields, dir,
-                               mesh=mesh)
+                               mesh=mesh, cache=cache)
     progress.update(1, njk + 1)
     pending = [
         k
@@ -157,9 +163,10 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
         with progress.task(f"ALMs {ks[0]}..{ks[-1]}"):
             _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields,
                                      dir, mesh=mesh,
-                                     device_state=device_state)
+                                     device_state=device_state, cache=cache)
         done += len(ks)
         progress.update(1 + done, njk + 1)
+    return cache
 
 
 def _masked_stack_fn():
@@ -197,7 +204,7 @@ def _device_region_maps(maps):
 
 
 def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
-                             mesh=None, device_state=None):
+                             mesh=None, device_state=None, cache=None):
     """One batched SHT over a group of region-masked map sets."""
     if mesh is None and device_state is not None:
         dev_data, dev_vis, jk_dev, masked_stack = device_state
@@ -253,10 +260,12 @@ def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
                 alms[key] = alm
             write_alms(os.path.join(dir, f"{name}_alms_{k}.fits"), alms,
                        clobber=True)
+            if cache is not None:
+                cache[name, k] = alms
 
 
 def _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir,
-                           mesh=None):
+                           mesh=None, cache=None):
     data_path = os.path.join(dir, f"data_alms_{k}.fits")
     vis_path = os.path.join(dir, f"vis_alms_{k}.fits")
     if os.path.exists(data_path) and os.path.exists(vis_path):
@@ -273,6 +282,9 @@ def _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir,
         )
     write_alms(data_path, data_alms, clobber=True)
     write_alms(vis_path, vis_alms, clobber=True)
+    if cache is not None:
+        cache["data", k] = dict(data_alms)
+        cache["vis", k] = dict(vis_alms)
     return k, True
 
 
@@ -286,6 +298,7 @@ def compute_jk_cls_from_alms(
     progress=None,
     sample_batch=16,
     mesh=None,
+    alms_cache=None,
 ):
     """Spectra of every delete-``nd`` region combination from cached alms.
 
@@ -296,8 +309,16 @@ def compute_jk_cls_from_alms(
     reference dispatches one :func:`angular_power_spectra` per sample
     (jackknife.py:179-246).  The per-sample FITS cache is unchanged.
     """
+    cache = alms_cache or {}
+
+    def _load_alms(name, k):
+        alms = cache.get((name, k))
+        if alms is None:
+            alms = read_alms(os.path.join(dir, f"{name}_alms_{k}.fits"))
+        return alms
+
     if nd == 0:
-        data_alms_full = read_alms(os.path.join(dir, "data_alms_0.fits"))
+        data_alms_full = _load_alms("data", 0)
         return {(): angular_power_spectra(data_alms_full, mesh=mesh)}
     if nd < 1 or nd > 2:
         raise ValueError("number of deletions must be 1 or 2")
@@ -322,8 +343,8 @@ def compute_jk_cls_from_alms(
     if not pending:
         return cls
 
-    data_alms_full = read_alms(os.path.join(dir, "data_alms_0.fits"))
-    vis_alms_full = read_alms(os.path.join(dir, "vis_alms_0.fits"))
+    data_alms_full = _load_alms("data", 0)
+    vis_alms_full = _load_alms("vis", 0)
     mls0 = (
         angular_power_spectra(vis_alms_full, mesh=mesh)
         if mask_correction == "Full" else None
@@ -337,8 +358,7 @@ def compute_jk_cls_from_alms(
                 _subtract_alms(
                     data_alms_full,
                     _accumulate_alms(
-                        os.path.join(dir, f"data_alms_{r}.fits")
-                        for r in regions
+                        _load_alms("data", r) for r in regions
                     ),
                 )
                 for regions in batch
@@ -351,8 +371,7 @@ def compute_jk_cls_from_alms(
                     _subtract_alms(
                         vis_alms_full,
                         _accumulate_alms(
-                            os.path.join(dir, f"vis_alms_{r}.fits")
-                            for r in regions
+                            _load_alms("vis", r) for r in regions
                         ),
                     )
                     for regions in batch
@@ -390,11 +409,10 @@ def _get_region_maps(maps, jk_map, jk):
     return out
 
 
-def _accumulate_alms(paths):
-    """Sum the alm sets stored at ``paths``, loading one file at a time."""
+def _accumulate_alms(alm_sets):
+    """Sum already-loaded alm sets, one at a time."""
     total = None
-    for path in paths:
-        alms = read_alms(path)
+    for alms in alm_sets:
         if total is None:
             total = {key: arr.copy() for key, arr in alms.items()}
         else:
