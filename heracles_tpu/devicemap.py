@@ -85,7 +85,13 @@ class DeviceMap:
         return self._array.shape[0]
 
     def __array__(self, dtype=None, copy=None):
-        out = np.asarray(self._array)
+        if np.issubdtype(self._dtype.base, np.complexfloating):
+            # complex arrays cannot cross the device transfer boundary
+            # on some TPU transports: move the real/imag planes
+            out = np.asarray(self._array.real).astype(self._dtype.base)
+            out.imag = np.asarray(self._array.imag)
+        else:
+            out = np.asarray(self._array)
         if dtype is not None:
             return out.astype(dtype)
         # re-attach the metadata-tagged dtype on the host copy

@@ -141,19 +141,45 @@ class HealpixMapper:
 
     # -- harmonic transform ------------------------------------------------
 
+    def _fl_packed(self, spin):
+        """Packed (nlm,) pixel-window deconvolution filter, host f64."""
+        s = abs(spin)
+        # spin-2 maps deconvolve with the polarization window, like
+        # the reference's hp.pixwin(pol=True)[1] (healpy.py:173-178)
+        pw = sht.pixel_window(self._nside, self._lmax, pol=(s == 2))
+        if s == 2:
+            pw = pw[1]
+        fl = np.ones(self._lmax + 1)
+        fl[s:] /= pw[s:]
+        ls, _ = sht._pack_index(self._lmax, self._lmax)
+        return fl[ls]
+
+    def _fl_packed_dev(self, spin, dtype):
+        """Device-cached deconvolution filter (uploaded once per spin)."""
+        cache = getattr(self, "_fl_dev_cache", None)
+        if cache is None:
+            cache = self._fl_dev_cache = {}
+        key = (abs(spin), np.dtype(dtype).str)
+        if key not in cache:
+            cache[key] = jax.device_put(
+                jnp.asarray(self._fl_packed(spin), dtype)
+            )
+        return cache[key]
+
     def _finish_alm(self, alm, md, spin):
         """Shared post-processing: pixel-window deconvolution + metadata."""
+        if isinstance(alm, jax.Array):
+            # device-resident output: deconvolve on the device and keep
+            # the alms in HBM (DeviceMap wrapper carries the metadata)
+            from .devicemap import DeviceMap
+
+            if self._deconv:
+                alm = alm * self._fl_packed_dev(spin, alm.real.dtype)
+            return DeviceMap(
+                alm, metadata={**md, "deconv": self._deconv}
+            )
         if self._deconv:
-            s = abs(spin)
-            # spin-2 maps deconvolve with the polarization window, like
-            # the reference's hp.pixwin(pol=True)[1] (healpy.py:173-178)
-            pw = sht.pixel_window(self._nside, self._lmax, pol=(s == 2))
-            if s == 2:
-                pw = pw[1]
-            fl = np.ones(self._lmax + 1)
-            fl[s:] /= pw[s:]
-            ls, _ = sht._pack_index(self._lmax, self._lmax)
-            alm = alm * fl[ls]
+            alm = alm * self._fl_packed(spin)
         alm = np.ascontiguousarray(alm)
         update_metadata(alm, **{**md, "deconv": self._deconv})
         return alm
@@ -181,8 +207,18 @@ class HealpixMapper:
             md = dict(getattr(data.dtype, "metadata", None) or {})
             md.update(metadata or {})
             arr = np.asarray(data)
-        alm = sht.map2alm_host(arr, lmax=self._lmax, spin=spin,
-                               weights="ring")
+        if self._device_maps and isinstance(arr, jax.Array):
+            # keep the alms on the device end to end
+            chirps = sht._host_chirps(
+                arr.shape[-1], self._lmax, None, arr.dtype, from_npix=True
+            )
+            alm = sht.map2alm_jit(
+                arr, lmax=self._lmax, spin=spin, weights="ring",
+                fft_chirps=chirps,
+            )
+        else:
+            alm = sht.map2alm_host(arr, lmax=self._lmax, spin=spin,
+                                   weights="ring")
         return self._finish_alm(alm, md, spin)
 
     def transform_sharded(self, mesh, data, spin=0):

@@ -213,7 +213,10 @@ def transform(fields, data, *, out=None, progress=None, batch=8, mesh=None):
             extra = dict(alms.dtype.metadata or {})
             for row, idx in enumerate(chunk):
                 key, field, m = items[idx]
-                alm = np.ascontiguousarray(alms[row])
+                if isinstance(alms, DeviceMap):
+                    alm = alms[row]  # device-resident slice
+                else:
+                    alm = np.ascontiguousarray(alms[row])
                 md = dict(m.dtype.metadata or {})
                 update_metadata(alm, **{**md, **extra})
                 results[idx] = alm

@@ -162,6 +162,19 @@ def _nlm2lmax(nlm):
     return (int((8 * nlm + 1) ** 0.5 + 0.01) - 3) // 2
 
 
+def _to_device_complex(a):
+    """Host complex -> device complex via real/imag planes (the tunnel
+    cannot transfer complex arrays directly)."""
+    if isinstance(a, jax.Array):
+        return a
+    a = np.asanyarray(a)
+    if not np.iscomplexobj(a):
+        return jnp.asarray(a)
+    re = jnp.asarray(np.ascontiguousarray(a.real))
+    im = jnp.asarray(np.ascontiguousarray(a.imag))
+    return jax.lax.complex(re, im)
+
+
 def _stack_planes(arrays):
     """Group packed alm arrays by nlm and stack their component planes.
 
@@ -169,21 +182,40 @@ def _stack_planes(arrays):
     float-complex stack of every distinct input array with that packed
     length, and ``slot[id(arr)]`` locates an array inside its stack as
     ``(nlm, first_row, leading_shape)``.
+
+    Device-resident alms (``DeviceMap`` wrappers from
+    ``HealpixMapper(device_maps=True)``) stay on the device: their group
+    stacks with ``jnp`` and any host members of the same group are
+    uploaded, so the grid contraction reads every plane from HBM.
     """
+    from .devicemap import DeviceMap
+
     rows = {}
     slot = {}
+    device_groups = set()
     for arr in arrays:
         if id(arr) in slot:
             continue
-        a = np.asanyarray(arr)
+        if isinstance(arr, DeviceMap):
+            a = arr.array
+        else:
+            a = np.asanyarray(arr)
         nlm = a.shape[-1]
         group = rows.setdefault(nlm, [])
         slot[id(arr)] = (nlm, sum(p.shape[0] for p in group), a.shape[:-1])
         group.append(a.reshape(-1, nlm))
-    stacks = {
-        nlm: np.ascontiguousarray(np.concatenate(group, axis=0))
-        for nlm, group in rows.items()
-    }
+        if isinstance(a, jax.Array):
+            device_groups.add(nlm)
+    stacks = {}
+    for nlm, group in rows.items():
+        if nlm in device_groups:
+            stacks[nlm] = jnp.concatenate(
+                [_to_device_complex(p) for p in group], axis=0
+            )
+        else:
+            stacks[nlm] = np.ascontiguousarray(
+                np.concatenate(group, axis=0)
+            )
     return stacks, slot
 
 
@@ -229,13 +261,17 @@ def _cross_grids(plan, lmax, mesh=None):
             for j0 in range(0, s2.shape[0], per):
                 b2 = s2[j0 : j0 + per]
                 # real/imag planes: complex arrays cannot cross the jit
-                # boundary on some TPU transports
-                args = (
-                    np.ascontiguousarray(b1.real),
-                    np.ascontiguousarray(b1.imag),
-                    np.ascontiguousarray(b2.real),
-                    np.ascontiguousarray(b2.imag),
-                )
+                # boundary on some TPU transports (device-resident
+                # stacks split on the device, no transfer involved)
+                if isinstance(b1, jax.Array):
+                    args = (b1.real, b1.imag, b2.real, b2.imag)
+                else:
+                    args = (
+                        np.ascontiguousarray(b1.real),
+                        np.ascontiguousarray(b1.imag),
+                        np.ascontiguousarray(b2.real),
+                        np.ascontiguousarray(b2.imag),
+                    )
                 if mesh is not None:
                     args, nrows = _shard_grid_args(mesh, args)
                 block = np.asarray(

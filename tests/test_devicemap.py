@@ -67,6 +67,58 @@ def test_device_maps_pipeline_matches_host():
         assert md_h == md_d
 
 
+def test_device_alms_spectra_match_host():
+    """Device-resident alms flow through angular_power_spectra unchanged."""
+    from heracles_tpu.twopoint import angular_power_spectra
+
+    nside, lmax = 16, 24
+    cat = {0: _catalog(), 1: _catalog(seed=12)}
+    host_mapper = h.HealpixMapper(nside, lmax)
+    dev_mapper = h.HealpixMapper(nside, lmax, device_maps=True)
+
+    alms_host = transform(
+        _fields(host_mapper), map_catalogs(_fields(host_mapper), cat)
+    )
+    alms_dev = transform(
+        _fields(dev_mapper), map_catalogs(_fields(dev_mapper), cat)
+    )
+    for key in alms_host:
+        assert isinstance(alms_dev[key], DeviceMap)
+        np.testing.assert_allclose(
+            np.asarray(alms_dev[key]), alms_host[key], rtol=0, atol=1e-12
+        )
+
+    cls_host = angular_power_spectra(alms_host)
+    cls_dev = angular_power_spectra(alms_dev)
+    assert set(cls_host) == set(cls_dev)
+    for key in cls_host:
+        np.testing.assert_allclose(
+            np.asarray(cls_dev[key]), np.asarray(cls_host[key]),
+            rtol=0, atol=1e-12,
+        )
+        md_h = dict(cls_host[key].array.dtype.metadata or {})
+        md_d = dict(cls_dev[key].array.dtype.metadata or {})
+        assert md_h == md_d
+
+
+def test_device_alms_io_roundtrip(tmp_path):
+    """write_alms/read_alms handle DeviceMap alms (planes transfer)."""
+    from heracles_tpu.io import read_alms, write_alms
+
+    nside, lmax = 16, 24
+    cat = {0: _catalog()}
+    mapper = h.HealpixMapper(nside, lmax, device_maps=True)
+    fields = _fields(mapper)
+    alms = transform(fields, map_catalogs(fields, cat))
+    path = str(tmp_path / "alms.fits")
+    write_alms(path, alms, clobber=True)
+    back = read_alms(path)
+    for key in alms:
+        np.testing.assert_allclose(
+            back[key], np.asarray(alms[key]), rtol=0, atol=0
+        )
+
+
 def test_device_maps_solo_transform():
     """batch=1 (solo per-map) transform accepts DeviceMap input."""
     nside, lmax = 16, 24
