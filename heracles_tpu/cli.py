@@ -141,7 +141,17 @@ def mapper_from_config(config, section):
         nside = config.getint(section, "nside")
         lmax = config.getint(section, "lmax", fallback=None)
         deconvolve = config.getboolean(section, "deconvolve", fallback=None)
-        return HealpixMapper(nside, lmax, deconvolve=deconvolve)
+        device_maps = config.getboolean(section, "device_maps",
+                                        fallback=None)
+        if device_maps is None:
+            # on an accelerator keep maps/alms resident by default: the
+            # host<->device boundary costs ~GBs per stage at production
+            # nside (explicit device_maps = true/false overrides)
+            import jax
+
+            device_maps = jax.default_backend() == "tpu"
+        return HealpixMapper(nside, lmax, deconvolve=deconvolve,
+                             device_maps=device_maps)
     if mapper == "discrete":
         from .mappers import DiscreteMapper
 
