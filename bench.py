@@ -275,22 +275,35 @@ def build_pipeline(nside, lmax, nrows=5_000_000, nbins=2):
     vis_dev = jax.device_put(jnp.asarray(vis_template, jnp.float32))
 
     def run():
+        stages = [("t0", time.perf_counter())]
         maps = map_catalogs(
             fields, catalogs, include=[("POS", ...), ("SHE", ...)]
         )
+        stages.append(("map_catalogs", time.perf_counter()))
         for i in range(nbins):
             maps["VIS", i] = DeviceMap(
                 vis_dev, metadata={**mapper._metadata(0), "fsky": 0.6}
             )
         alms = transform(fields, maps)
+        stages.append(("transform", time.perf_counter()))
         cls = angular_power_spectra(alms)
+        stages.append(("spectra", time.perf_counter()))
         mask_cls = {k: v for k, v in cls.items() if k[:2] == ("VIS", "VIS")}
         mms = mixing_matrices(fields, mask_cls, l3max=lmax)
+        stages.append(("mixmats", time.perf_counter()))
         tot = 0.0
         for v in mms.values():
             tot += float(np.asarray(v).ravel()[0])
         for v in cls.values():
             tot += float(np.asarray(v).ravel()[0])
+        print(
+            "# pipeline stages:",
+            ", ".join(
+                f"{name} {t1 - t0:.1f}s"
+                for (_, t0), (name, t1) in zip(stages, stages[1:])
+            ),
+            file=sys.stderr,
+        )
         return tot
 
     return run
