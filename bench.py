@@ -352,8 +352,19 @@ def build_dices_real(nside, lmax, njk):
     def run():
         d = tempfile.mkdtemp(prefix="dices_bench_")
         try:
-            cls1 = dices.jackknife_cls(
-                data_maps, vis_maps, jk, fields, nd=1, dir=d
+            t0 = time.perf_counter()
+            cache = dices.jackknife.compute_jk_alms(
+                data_maps, vis_maps, jk, fields, dir=d
+            )
+            t1 = time.perf_counter()
+            cls1 = dices.jackknife.compute_jk_cls_from_alms(
+                jk, fields, nd=1, dir=d, alms_cache=cache
+            )
+            t2 = time.perf_counter()
+            print(
+                f"# dices stages: alms {t1 - t0:.1f}s, "
+                f"cls {t2 - t1:.1f}s",
+                file=sys.stderr,
             )
             first = next(iter(cls1.values()))
             arr = np.asarray(next(iter(first.values())))

@@ -70,7 +70,10 @@ def main():
     if spin == 0:
         fft_in = maps
     else:
-        fft_in = maps[0] + 1j * maps[1]
+        # combine inside jit: an eager `1j * maps[1]` dispatches a
+        # complex scalar constant through the transfer path, which this
+        # transport does not implement
+        fft_in = jax.jit(jax.lax.complex)(maps[0], maps[1])
     fft_fn = jax.jit(lambda mm, c: ringfft.ring_analysis(
         mm, nside, mmax + 1, chirps=c)[0])
     out["ring_analysis_ms"] = timeit(fft_fn, fft_in, ch)
