@@ -48,8 +48,14 @@ def main():
         im = jax.device_put(rng.normal(size=shape).astype(np.float32))
         return combine(re, im)
 
+    def to_host(a):
+        # complex device arrays cannot cross the transfer boundary on
+        # this transport: read the real/imag planes separately
+        if jnp.iscomplexobj(a):
+            return np.stack([np.asarray(a.real), np.asarray(a.imag)])
+        return np.asarray(a)
+
     def rel(a, b):
-        a, b = np.asarray(a), np.asarray(b)
         return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-30))
 
     # ---- correctness at small size: kernels vs jnp scans on device -----
@@ -62,9 +68,9 @@ def main():
 
     def both(fn):
         os.environ.pop("HERACLES_TPU_NO_PALLAS", None)
-        got = np.asarray(fn())
+        got = to_host(fn())
         os.environ["HERACLES_TPU_NO_PALLAS"] = "1"
-        want = np.asarray(fn())
+        want = to_host(fn())
         os.environ.pop("HERACLES_TPU_NO_PALLAS", None)
         return rel(got, want)
 
