@@ -175,6 +175,28 @@ def _to_device_complex(a):
     return jax.lax.complex(re, im)
 
 
+def _grid_budget():
+    """Per-dispatch device budget (bytes) for unpacked rectangular alms."""
+    return int(os.environ.get("HERACLES_TPU_GRID_BUDGET", 2 * 2**30))
+
+
+def _stack_resident(stack):
+    """Move a host plane stack to the device once (accelerator only).
+
+    The grid contraction slices chunks from the resident stack instead
+    of re-uploading per chunk pair — at njk=50/nside=1024 the re-uploads
+    were ~10x the stack size and dominated the whole spectra stage.  On
+    CPU the host array is used as is (keeps f64 test numerics).
+    """
+    if isinstance(stack, jax.Array):
+        return stack
+    if jax.default_backend() != "tpu":
+        return stack
+    if stack.nbytes > _grid_budget():
+        return stack  # too big to keep resident; chunk uploads instead
+    return _to_device_complex(stack)
+
+
 def _stack_planes(arrays):
     """Group packed alm arrays by nlm and stack their component planes.
 
@@ -243,6 +265,9 @@ def _cross_grids(plan, lmax, mesh=None):
         if (n2, n1) in grids:
             grids[n1, n2] = grids[n2, n1].transpose(1, 0, 2)
             continue
+        if mesh is None:
+            stacks[n1] = _stack_resident(stacks[n1])
+            stacks[n2] = _stack_resident(stacks[n2])
         s1, s2 = stacks[n1], stacks[n2]
         l1, l2 = _nlm2lmax(n1), _nlm2lmax(n2)
         lout = min(l1, l2) if lmax is None else min(lmax, l1, l2)
@@ -251,7 +276,7 @@ def _cross_grids(plan, lmax, mesh=None):
         # lmax=3000; a 50-bin tomographic stack would otherwise unpack
         # several GB at once)
         rect_bytes = 8 * (max(l1, l2) + 1) ** 2
-        budget = int(512 * 2**20)
+        budget = _grid_budget()
         if mesh is not None:
             budget *= mesh.devices.size  # per-device budget, sharded rows
         per = max(1, budget // rect_bytes)
@@ -335,11 +360,14 @@ def _cross_grids_samples(plan, nsamples, lmax, mesh=None):
         if (n2, n1) in grids:
             grids[n1, n2] = grids[n2, n1].transpose(0, 2, 1, 3)
             continue
+        if mesh is None:
+            stacks[n1] = _stack_resident(stacks[n1])
+            stacks[n2] = _stack_resident(stacks[n2])
         s1, s2 = stacks[n1], stacks[n2]
         l1, l2 = _nlm2lmax(n1), _nlm2lmax(n2)
         lout = min(l1, l2) if lmax is None else min(lmax, l1, l2)
         rect_bytes = 8 * (max(l1, l2) + 1) ** 2 * nsamples
-        budget = int(512 * 2**20)
+        budget = _grid_budget()
         if mesh is not None:
             budget *= mesh.devices.size
         per = max(1, budget // rect_bytes)
@@ -348,12 +376,15 @@ def _cross_grids_samples(plan, nsamples, lmax, mesh=None):
             b1 = s1[:, i0 : i0 + per]
             for j0 in range(0, s2.shape[1], per):
                 b2 = s2[:, j0 : j0 + per]
-                args = (
-                    np.ascontiguousarray(b1.real),
-                    np.ascontiguousarray(b1.imag),
-                    np.ascontiguousarray(b2.real),
-                    np.ascontiguousarray(b2.imag),
-                )
+                if isinstance(b1, jax.Array):
+                    args = (b1.real, b1.imag, b2.real, b2.imag)
+                else:
+                    args = (
+                        np.ascontiguousarray(b1.real),
+                        np.ascontiguousarray(b1.imag),
+                        np.ascontiguousarray(b2.real),
+                        np.ascontiguousarray(b2.imag),
+                    )
                 if mesh is not None:
                     args, ns = _shard_sample_args(mesh, args)
                 block = np.asarray(_alm2cl_grid_batched(*args, l1, l2, lout))
