@@ -11,6 +11,38 @@ Public API parity: reference ``heracles/__init__.py:23-79``.
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (measured 2x cold-start wins).
+
+    The SHT/grid kernels compile in ~10-60 s on remote TPU backends;
+    the persistent cache reuses the compiled executables across
+    processes.  Respects an existing user configuration
+    (JAX_COMPILATION_CACHE_DIR or an explicit jax.config update);
+    HERACLES_TPU_COMPILE_CACHE=0 disables.
+    """
+    import os
+
+    if os.environ.get("HERACLES_TPU_COMPILE_CACHE", "").strip() == "0":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is not None:
+            return
+        cache = os.environ.get(
+            "HERACLES_TPU_CACHE", "/tmp/heracles_tpu_cache"
+        )
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(cache, "xla_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 from .catalog import (
     ArrayCatalog,
     Catalog,
