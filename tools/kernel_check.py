@@ -48,13 +48,6 @@ def main():
         im = jax.device_put(rng.normal(size=shape).astype(np.float32))
         return combine(re, im)
 
-    def to_host(a):
-        # complex device arrays cannot cross the transfer boundary on
-        # this transport: read the real/imag planes separately
-        if jnp.iscomplexobj(a):
-            return np.stack([np.asarray(a.real), np.asarray(a.imag)])
-        return np.asarray(a)
-
     def rel(a, b):
         return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-30))
 
@@ -66,11 +59,23 @@ def main():
 
     status = {}
 
+    def run_once(fn):
+        # a FRESH jit per call: the pallas-vs-jnp dispatch reads the env
+        # at trace time, and eager (unjitted) calls break on this
+        # transport (complex constants dispatch through the unimplemented
+        # complex-transfer path; under jit they are compiled literals)
+        wrapped = jax.jit(
+            lambda: (lambda r: jnp.stack([r.real, r.imag]))(
+                jnp.asarray(fn())
+            )
+        )
+        return np.asarray(wrapped())
+
     def both(fn):
         os.environ.pop("HERACLES_TPU_NO_PALLAS", None)
-        got = to_host(fn())
+        got = run_once(fn)
         os.environ["HERACLES_TPU_NO_PALLAS"] = "1"
-        want = to_host(fn())
+        want = run_once(fn)
         os.environ.pop("HERACLES_TPU_NO_PALLAS", None)
         return rel(got, want)
 
