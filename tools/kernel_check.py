@@ -59,38 +59,40 @@ def main():
 
     status = {}
 
-    def run_once(fn):
+    def run_once(fn, *args):
         # a FRESH jit per call: the pallas-vs-jnp dispatch reads the env
         # at trace time, and eager (unjitted) calls break on this
         # transport (complex constants dispatch through the unimplemented
-        # complex-transfer path; under jit they are compiled literals)
+        # complex-transfer path).  Inputs ride as jit ARGUMENTS — a
+        # closed-over complex array would become a jaxpr constant and
+        # hit the same transfer path at execution.
         wrapped = jax.jit(
-            lambda: (lambda r: jnp.stack([r.real, r.imag]))(
-                jnp.asarray(fn())
+            lambda *a: (lambda r: jnp.stack([r.real, r.imag]))(
+                jnp.asarray(fn(*a))
             )
         )
-        return np.asarray(wrapped())
+        return np.asarray(wrapped(*args))
 
-    def both(fn):
+    def both(fn, *args):
         os.environ.pop("HERACLES_TPU_NO_PALLAS", None)
-        got = run_once(fn)
+        got = run_once(fn, *args)
         os.environ["HERACLES_TPU_NO_PALLAS"] = "1"
-        want = run_once(fn)
+        want = run_once(fn, *args)
         os.environ.pop("HERACLES_TPU_NO_PALLAS", None)
         return rel(got, want)
 
     status["map2alm_spin0_rel"] = both(
-        lambda: sht.map2alm(m0, lmax=lm_c, packed=False))
+        lambda m: sht.map2alm(m, lmax=lm_c, packed=False), m0)
     status["map2alm_spin2_rel"] = both(
-        lambda: sht.map2alm(m2, lmax=lm_c, spin=2, packed=False))
+        lambda m: sht.map2alm(m, lmax=lm_c, spin=2, packed=False), m2)
 
     nlm = sht.alm_size(lm_c)
     a0 = crand((nlm,))
     a2 = crand((2, nlm))
     status["alm2map_spin0_rel"] = both(
-        lambda: sht.alm2map(a0, ns_c, lmax=lm_c))
+        lambda a: sht.alm2map(a, ns_c, lmax=lm_c), a0)
     status["alm2map_spin2_rel"] = both(
-        lambda: sht.alm2map(a2, ns_c, lmax=lm_c, spin=2))
+        lambda a: sht.alm2map(a, ns_c, lmax=lm_c, spin=2), a2)
 
     tol = 2e-4  # f32 recurrence noise at the map/alm scale
     ok = all(v < tol for k, v in status.items() if k.endswith("_rel"))
