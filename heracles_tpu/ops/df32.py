@@ -183,7 +183,7 @@ def _gram_call(Ah, Al, Bh, Bl, uh, ul, *, a_tile, b_tile, k_chunk,
 
 
 def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
-              interpret=False):
+              interpret=False, block=True):
     """M[a, b] = sum_k A[k, a] B[k, b] u[k] in double-single precision.
 
     ``A``/``B``/``u``: (hi, lo) f32 pairs (jax or numpy arrays; see
@@ -191,6 +191,11 @@ def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
     float64 numpy-convertible result hi + lo (the pair is exact to
     ~1e-14 relative of the *summands*, so cancellation does not amplify
     the error).
+
+    ``block=False`` returns the device (hi, lo) pair with its
+    device-to-host copies already started (``copy_to_host_async``);
+    pass it to :func:`gram_result` to materialise.  Callers with many
+    contractions dispatch them all first so transfers overlap compute.
     """
     (Ah, Al), (Bh, Bl), (uh, ul) = A, B, u
     hi, lo = _gram_call(
@@ -198,6 +203,19 @@ def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
         jnp.asarray(uh), jnp.asarray(ul),
         a_tile=a_tile, b_tile=b_tile, k_chunk=k_chunk, interpret=interpret,
     )
+    if not block:
+        for z in (hi, lo):
+            try:
+                z.copy_to_host_async()
+            except Exception:  # pragma: no cover - transport-specific
+                pass
+        return hi, lo
+    return gram_result((hi, lo))
+
+
+def gram_result(pair):
+    """Materialise a ``gram_df32(..., block=False)`` handle as host f64."""
+    hi, lo = pair
     return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
 
 

@@ -730,23 +730,6 @@ def _gl_nodes(npoints, dtype):
     return x.astype(dt), w.astype(dt), logch.astype(dt), logsh.astype(dt)
 
 
-def _mixmat_gl(cl3, l1max, l2max, s1, s2, eb):
-    """Real-space (GL-quadrature) evaluation of the MASTER coupling sums.
-
-    Returns (l1max+1, l2max+1) for eb=False, else the three blocks
-    (EE->EE, EE->BB, EB->EB) stacked on axis 0.  float64 inputs run the
-    on-device f64 scan + MXU einsum (CPU); float32 inputs (the TPU
-    pipeline) run the compensated double-single path (:mod:`.ops.df32`)
-    — plain f32 quadrature loses ~1e-4 of the row maximum to summation
-    cancellation at production lmax (tools/mixmat_accuracy.json).
-    """
-    if cl3.dtype != jnp.float64:
-        return _mixmat_gl_df32(
-            np.asarray(cl3, np.float64), l1max, l2max, s1, s2, eb
-        )
-    return _mixmat_gl_f64(cl3, l1max, l2max, s1, s2, eb)
-
-
 @lru_cache(maxsize=4)
 def _mixmat_tables_df32(l1max, l2max, s1, s2, npoints):
     """Device-resident (hi, lo) Wigner-d tables on the GL nodes.
@@ -771,7 +754,7 @@ def _mixmat_tables_df32(l1max, l2max, s1, s2, npoints):
     return x, w, A, B
 
 
-def _mixmat_gl_df32(cl3, l1max, l2max, s1, s2, eb):
+def _mixmat_gl_df32_dispatch(cl3, l1max, l2max, s1, s2, eb):
     """Double-single GL quadrature: f64-parity mixing matrices on f32 HW.
 
     The E/B blocks are parity-filtered at the integrand: with symmetric
@@ -780,6 +763,12 @@ def _mixmat_gl_df32(cl3, l1max, l2max, s1, s2, eb):
     subtraction of two O(1) integrals, so the small M_minus (EE->BB
     leakage) entries come out at the kernel's own precision instead of
     eps * |M_plus|.
+
+    Dispatch/finalize split: the device contractions are launched (with
+    their device-to-host copies started) and a zero-argument finalize
+    callable is returned.  :func:`mixing_matrices` dispatches every
+    key's contractions before finalizing any, so the ~35 MB/plane
+    result transfers overlap the later keys' kernels and host work.
     """
     from .ops import df32
 
@@ -808,32 +797,46 @@ def _mixmat_gl_df32(cl3, l1max, l2max, s1, s2, eb):
         nonlocal use_kernel
         if use_kernel:
             try:
-                return df32.gram_df32(
-                    A, B, df32.split_f64(u64), interpret=mode == "interpret"
+                handle = df32.gram_df32(
+                    A, B, df32.split_f64(u64),
+                    interpret=mode == "interpret", block=False,
                 )
+                return lambda: df32.gram_result(handle)
             except Exception:  # pragma: no cover - device-specific
                 logger.exception(
                     "df32 gram kernel failed; falling back to the host "
                     "f64 contraction"
                 )
                 use_kernel = False
-        return host_contract(u64)
+        result = host_contract(u64)
+        return lambda: result
 
     ells2 = np.arange(l2max + 1, dtype=np.float64)
     pref = 2 * np.pi * (2 * ells2 + 1) / (4 * np.pi)
     if not eb:
-        return contract(w * xi) * pref[None, :]
+        get = contract(w * xi)
+        return lambda: get() * pref[None, :]
     # GL nodes are symmetric (x[::-1] == -x), so the even/odd parts of
     # xi split the integral by (l1 + l2) parity exactly
     xi_e = 0.5 * (xi + xi[::-1])
     xi_o = 0.5 * (xi - xi[::-1])
-    G_e = contract(w * xi_e)
-    G_o = contract(w * xi_o)
-    ells1 = np.arange(l1max + 1)
-    even = (ells1[:, None] + ells2[None, :].astype(int)) % 2 == 0
-    M_plus = np.where(even, G_e, G_o) * pref[None, :]
-    M_minus = np.where(even, G_o, G_e) * pref[None, :]
-    return np.stack([M_plus, M_minus, M_plus - M_minus], axis=0)
+    get_e = contract(w * xi_e)
+    get_o = contract(w * xi_o)
+
+    def finalize():
+        G_e = get_e()
+        G_o = get_o()
+        ells1 = np.arange(l1max + 1)
+        even = (ells1[:, None] + ells2[None, :].astype(int)) % 2 == 0
+        M_plus = np.where(even, G_e, G_o) * pref[None, :]
+        M_minus = np.where(even, G_o, G_e) * pref[None, :]
+        return np.stack([M_plus, M_minus, M_plus - M_minus], axis=0)
+
+    return finalize
+
+
+def _mixmat_gl_df32(cl3, l1max, l2max, s1, s2, eb):
+    return _mixmat_gl_df32_dispatch(cl3, l1max, l2max, s1, s2, eb)()
 
 
 @partial(jax.jit, static_argnames=("l1max", "l2max", "s1", "s2", "eb"))
@@ -880,13 +883,8 @@ def _mixmat_gl_f64(cl3, l1max, l2max, s1, s2, eb):
     return jnp.stack([M_plus, M_minus, M_plus - M_minus], axis=0)
 
 
-def mixmat(cl, *, l1max=None, l2max=None, l3max=None, spin=(0, 0)):
-    """MASTER mixing matrix M[l1, l2] for a (possibly spin-weighted) pair.
-
-    Equivalent of ``convolvecl.mixmat`` (used at reference
-    twopoint.py:379-388): M = (2 l2+1)/4pi sum_l3 (2 l3+1) cl[l3]
-    (3j(l1,l2,l3; -s1,s1,0))(3j(l1,l2,l3; -s2,s2,0)).
-    """
+def _mixmat_dispatch(cl, *, l1max, l2max, l3max, spin, eb):
+    """Shared mixmat/mixmat_eb preprocessing; returns a finalize callable."""
     cl = np.asanyarray(cl)
     if l3max is not None:
         cl = cl[..., : l3max + 1]
@@ -894,8 +892,25 @@ def mixmat(cl, *, l1max=None, l2max=None, l3max=None, spin=(0, 0)):
     l1max = lmax_default if l1max is None else int(l1max)
     l2max = lmax_default if l2max is None else int(l2max)
     s1, s2 = spin
-    out = _mixmat_gl(jnp.asarray(cl), l1max, l2max, abs(s1), abs(s2), False)
-    return np.asarray(out)
+    cl_j = jnp.asarray(cl)
+    if cl_j.dtype != jnp.float64:
+        return _mixmat_gl_df32_dispatch(
+            np.asarray(cl_j, np.float64), l1max, l2max, abs(s1), abs(s2), eb
+        )
+    out = _mixmat_gl_f64(cl_j, l1max, l2max, abs(s1), abs(s2), eb)
+    return lambda: np.asarray(out)
+
+
+def mixmat(cl, *, l1max=None, l2max=None, l3max=None, spin=(0, 0)):
+    """MASTER mixing matrix M[l1, l2] for a (possibly spin-weighted) pair.
+
+    Equivalent of ``convolvecl.mixmat`` (used at reference
+    twopoint.py:379-388): M = (2 l2+1)/4pi sum_l3 (2 l3+1) cl[l3]
+    (3j(l1,l2,l3; -s1,s1,0))(3j(l1,l2,l3; -s2,s2,0)).
+    """
+    return _mixmat_dispatch(
+        cl, l1max=l1max, l2max=l2max, l3max=l3max, spin=spin, eb=False
+    )()
 
 
 def mixmat_eb(cl, *, l1max=None, l2max=None, l3max=None, spin=(2, 2)):
@@ -905,15 +920,9 @@ def mixmat_eb(cl, *, l1max=None, l2max=None, l3max=None, spin=(2, 2)):
     M_plus - M_minus, consistent with the reference's block-diagonal
     inversion (twopoint.py:443-458).
     """
-    cl = np.asanyarray(cl)
-    if l3max is not None:
-        cl = cl[..., : l3max + 1]
-    lmax_default = cl.shape[-1] - 1
-    l1max = lmax_default if l1max is None else int(l1max)
-    l2max = lmax_default if l2max is None else int(l2max)
-    s1, s2 = spin
-    out = _mixmat_gl(jnp.asarray(cl), l1max, l2max, abs(s1), abs(s2), True)
-    return np.asarray(out)
+    return _mixmat_dispatch(
+        cl, l1max=l1max, l2max=l2max, l3max=l3max, spin=spin, eb=True
+    )()
 
 
 def mixing_matrices(
@@ -945,7 +954,11 @@ def mixing_matrices(
         if field.mask is not None:
             masks.setdefault(field.mask, {})[key] = field
 
+    # phase 1: dispatch every pair's device contractions (the df32 path
+    # starts its result transfers asynchronously, so later pairs' host
+    # work and kernels overlap earlier pairs' readbacks)
     done = set()
+    pending = []
     current, total = 0, len(cls)
     for (k1, k2, i1, i2), cl in cls.items():
         current += 1
@@ -959,22 +972,27 @@ def mixing_matrices(
             if (f1, f2, i1, i2) in done or (f2, f1, i2, i1) in done:
                 continue
             done.add((f1, f2, i1, i2))
-            with progress.task(f"({f1}, {f2}, {i1}, {i2})"):
-                spin1, spin2 = fields1[f1].spin, fields2[f2].spin
-                compute = mixmat if spin1 == 0 or spin2 == 0 else mixmat_eb
-                mm = compute(
-                    np.asarray(getattr(cl, "array", cl)),
-                    l1max=l1max,
-                    l2max=l2max,
-                    l3max=l3max,
-                    spin=(spin1, spin2),
-                )
-                ell = np.arange(mm.shape[-2])
-                result = Result(mm, spin=(spin1, spin2), ell=ell, axis=-2)
-                if bins is not None:
-                    result = binned(result, bins, weights)
-                out[f1, f2, i1, i2] = result
-                del mm
+            spin1, spin2 = fields1[f1].spin, fields2[f2].spin
+            finalize = _mixmat_dispatch(
+                np.asarray(getattr(cl, "array", cl)),
+                l1max=l1max,
+                l2max=l2max,
+                l3max=l3max,
+                spin=(spin1, spin2),
+                eb=not (spin1 == 0 or spin2 == 0),
+            )
+            pending.append(((f1, f2, i1, i2), (spin1, spin2), finalize))
+
+    # phase 2: materialise, in dispatch order
+    for key, spins, finalize in pending:
+        with progress.task(f"({key[0]}, {key[1]}, {key[2]}, {key[3]})"):
+            mm = finalize()
+            ell = np.arange(mm.shape[-2])
+            result = Result(mm, spin=spins, ell=ell, axis=-2)
+            if bins is not None:
+                result = binned(result, bins, weights)
+            out[key] = result
+            del mm
     return out
 
 
