@@ -76,6 +76,10 @@ def _stage_analyse(path, out, lmax, spin, dtype, iters=0):
     if dtype == "f64":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    elif os.environ.get("HERACLES_TPU_SWEEP_CPU"):
+        # f32 stage on the host (same f32 arithmetic modulo FMA details):
+        # lets the error budget re-measure while the TPU tunnel is down
+        jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, REPO)
     import jax.numpy as jnp  # noqa: F401  (after platform pinning)
 
@@ -129,6 +133,9 @@ def run(nside, spin, partial=False, lmax=None):
              "--path", base + ".npz", "--lmax", str(lmax)])
     variants = (("f64", "f64", 0), ("f32", "f32", 0),
                 ("f64_it1", "f64", 1), ("f32_it1", "f32", 1))
+    if os.environ.get("HERACLES_TPU_SWEEP_CPU"):
+        # host-f32 rows are recorded separately from the TPU-f32 rows
+        variants = (("f32_cpu", "f32", 0), ("f32_it1_cpu", "f32", 1))
     for name, dt, it in variants:
         if not os.path.exists(f"{base}_{name}.npz"):
             if partial:
