@@ -46,11 +46,7 @@ __all__ = [
     "pair_seed_planes",
 ]
 
-# block scale: a power-of-two *exponent* (64 = 2^6) so the seed's
-# frac * _SCALE_LOG2 multiply is exact in f32 (with 60 it rounded at
-# ~2^-19, a ~25-eps relative seed error that random-walks over the ring
-# sum into the measured f32 top-band Cl noise)
-_SCALE_LOG2 = 64
+_SCALE_LOG2 = 60
 _SCALE = float(2.0**_SCALE_LOG2)
 _INV_SCALE = float(2.0**-_SCALE_LOG2)
 _LN2 = float(np.log(2.0))
@@ -58,24 +54,15 @@ _LN2 = float(np.log(2.0))
 _SEMANTICS = ("parallel", "parallel", "arbitrary")
 
 
-def _advance_spin0(carry, ell, m, x, x_lo, seed_mant, k0):
-    """One l-step of the scaled spin-0 recurrence; returns (carry', lam).
-
-    ``x_lo`` is the f32 residual of the f64 ring cos(theta): the phase of
-    lam_l oscillates ~l times over theta, so dropping it costs ~l * eps
-    relative lam error at high l (measured: the dominant f32 top-band Cl
-    noise).  The correction term x_lo * d costs 2 VPU ops.
-    """
+def _advance_spin0(carry, ell, m, x, seed_mant, k0):
+    """One l-step of the scaled spin-0 recurrence; returns (carry', lam)."""
     d_prev, d_curr, k = carry
     l_f = ell.astype(jnp.float32)
     lm1 = l_f - 1.0
     a_l = jnp.sqrt(jnp.maximum(l_f * l_f - m * m, 0.0))
     a_lm1 = jnp.sqrt(jnp.maximum(lm1 * lm1 - m * m, 0.0))
     inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
-    cand = (
-        ((2.0 * l_f - 1.0) * inv) * (x * d_curr + x_lo * d_curr)
-        - (a_lm1 * inv) * d_prev
-    )
+    cand = ((2.0 * l_f - 1.0) * inv) * x * d_curr - (a_lm1 * inv) * d_prev
     is_seed = l_f == m
     d_new = jnp.where(is_seed, seed_mant, jnp.where(l_f > m, cand, 0.0))
     k_new = jnp.where(is_seed, k0, k)
@@ -89,11 +76,8 @@ def _advance_spin0(carry, ell, m, x, x_lo, seed_mant, k0):
     return (d_prev_new, d_new, k_new), d_new * emit * norm
 
 
-def _advance_pair(carry, ell, m, s2, mn, x, x_lo, j0, seed_mant, seed_k):
-    """One l-step of the scaled spin-pair recurrence (column n, mn = m*n).
-
-    ``x_lo``: f32 residual of the f64 cos(theta) (see _advance_spin0).
-    """
+def _advance_pair(carry, ell, m, s2, mn, x, j0, seed_mant, seed_k):
+    """One l-step of the scaled spin-pair recurrence (column n, mn = m*n)."""
     d_prev, d_curr, k = carry
     l_f = ell.astype(jnp.float32)
     lm1 = l_f - 1.0
@@ -106,9 +90,8 @@ def _advance_pair(carry, ell, m, s2, mn, x, x_lo, j0, seed_mant, seed_k):
     a_l = a_of(l_f)
     a_lm1 = a_of(lm1)
     inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
-    c0 = (2.0 * l_f - 1.0) * inv
-    q = mn / jnp.maximum(lm1 * l_f, 1.0)
-    cand = c0 * ((x - q) * d_curr + x_lo * d_curr) - (a_lm1 * inv) * d_prev
+    mid = (2.0 * l_f - 1.0) * (x - mn / jnp.maximum(lm1 * l_f, 1.0))
+    cand = mid * inv * d_curr - (a_lm1 * inv) * d_prev
     is_seed = l_f == j0
     d_new = jnp.where(is_seed, seed_mant, jnp.where(l_f > j0, cand, 0.0))
     k_new = jnp.where(is_seed, seed_k, k)
@@ -130,8 +113,7 @@ def _diag_end(m0, m_chunk, nblocks):
     rescaling.  The margin 128 + m0//32 l's beyond the chunk's top order
     bounds the per-8-step mantissa growth to ~2^25 (the growth factor is
     ~sqrt(2l/(l-m)) per step), so a deferred rescale can only miss
-    emissions below ~2^(25 - _SCALE_LOG2) = 2^-39 — far under the f32
-    recurrence noise floor.
+    emissions below ~2^-35 — far under the f32 recurrence noise floor.
     """
     return jnp.minimum((m0 + m_chunk + 128 + m0 // 32) // 8, nblocks)
 
@@ -228,11 +210,8 @@ def _comp_seed_frac(lc_hi, lc_lo, terms):
     the *difference* accurate to ~f32 eps.
 
     ``terms``: sequence of (c, g_hi, g_lo) with c an integer-valued f32
-    (exactly representable).  Returns (frac, frac_lo, k0) such that the
-    seed is sign * 2^((frac + frac_lo) * SCALE_LOG2) * 2^(SCALE_LOG2 * k0)
-    with frac in ~[0, 1); the residual frac_lo carries the bits a single
-    f32 frac would round away (~eps absolute, i.e. ~SCALE_LOG2 * ln2 * eps
-    relative on the seed — 25x the f32 ulp; see _seed_from_frac).
+    (exactly representable).  Returns (frac, k0) such that the seed is
+    sign * 2^(frac * SCALE_LOG2) * 2^(SCALE_LOG2 * k0).
     """
     s = lc_hi
     lo = lc_lo
@@ -244,20 +223,8 @@ def _comp_seed_frac(lc_hi, lc_lo, terms):
     ls, le = _two_prod(s, inv)
     ls_lo = le + lo * inv
     k0 = jnp.floor(ls + ls_lo)
-    # ls - k0 is exact (nearby values); keep the residual as a pair
-    return ls - k0, ls_lo, k0
-
-
-def _seed_from_frac(frac, frac_lo, sign):
-    """sign * 2^((frac + frac_lo) * _SCALE_LOG2) to ~1 ulp.
-
-    _SCALE_LOG2 is a power of two, so both exponent products are exact;
-    the residual exponent (|frac_lo * 64| up to ~1e-3) is applied as a
-    second-order expansion of 2^eps = e^(eps ln2).
-    """
-    u = frac * float(_SCALE_LOG2)
-    dl = (frac_lo * float(_SCALE_LOG2)) * _LN2
-    return sign * jnp.exp2(u) * (1.0 + dl * (1.0 + 0.5 * dl))
+    frac = (ls - k0) + ls_lo
+    return frac, k0
 
 
 def _vmem_limit(*words):
@@ -315,8 +282,7 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     # m-sharded path feeds each device its own block)
     m = seed_ref[3]
     msign = seed_ref[2]
-    x = x_ref[:, 0:1]  # (ring_block, 1) cos(theta)
-    x_lo = x_ref[:, 1:2]  # f32 residual of the f64 cos(theta)
+    x = x_ref[...]  # (ring_block, 1) cos(theta)
     # (ring_block, 2): hi/lo pair of log(cos t/2) + log(sin t/2)
     logsum_hi = logsum_ref[:, 0:1]
     logsum_lo = logsum_ref[:, 1:2]
@@ -324,10 +290,10 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     # seed: slm includes a (-1)^m factor on the positive Wigner seed
     # d^m_{-m,0} = C (cos sin)^m (t/2); log C precomputed on the host
     # (lgamma has no Mosaic lowering), compensated hi/lo evaluation
-    frac, frac_lo, k0 = _comp_seed_frac(
+    frac, k0 = _comp_seed_frac(
         seed_ref[0], seed_ref[1], [(m, logsum_hi, logsum_lo)]
     )
-    seed_mant = _seed_from_frac(frac, frac_lo, msign)
+    seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
     def F_planes(q, t):
         ref = Fe_ref if t % 2 == 0 else Fo_ref
@@ -337,9 +303,7 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     def diag_body(blk, carry):
         rows = [[] for _ in range(2 * nb)]
         for t in range(8):
-            carry, lam = _advance_spin0(
-                carry, 8 * blk + t, m, x, x_lo, seed_mant, k0
-            )
+            carry, lam = _advance_spin0(carry, 8 * blk + t, m, x, seed_mant, k0)
             for q in range(nb):
                 Fr, Fi = F_planes(q, t)
                 rows[2 * q].append(_rsum(lam * Fr))
@@ -358,7 +322,7 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
             c1, c2 = _bulk_coeffs_spin0(ell, m)
-            d_new = c1 * (x * d_curr + x_lo * d_curr) - c2 * d_prev
+            d_new = c1 * (x * d_curr) - c2 * d_prev
             ds.append(d_new)
             d_prev, d_curr = d_curr, d_new
 
@@ -418,8 +382,7 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     def _init():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    x = x_ref[:, 0:1]  # (ring_block, 1)
-    x_lo = x_ref[:, 1:2]  # f32 residual of the f64 cos(theta)
+    x = x_ref[...]  # (ring_block, 1)
     # (ring_block, 2) hi/lo pairs of log(cos t/2), log(sin t/2)
     logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
     logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
@@ -430,11 +393,11 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     s2 = float(spin * spin)
 
     def seed_vals(lc_hi, lc_lo, sign, pc, ps):
-        frac, frac_lo, k0 = _comp_seed_frac(
+        frac, k0 = _comp_seed_frac(
             lc_hi, lc_lo,
             [(pc, logch[0], logch[1]), (ps, logsh[0], logsh[1])],
         )
-        return _seed_from_frac(frac, frac_lo, sign), k0
+        return sign * jnp.exp2(frac * _SCALE_LOG2), k0
 
     # exponent pairs: (m', n') = (-m, -n) with pc = |m'+n'|, ps = |m'-n'|;
     # branch p: n = +s -> pc = m+s, ps = |m-s|; branch m mirrored
@@ -459,10 +422,10 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             ell = 8 * blk + t
             sgn = 1.0 if t % 2 == 0 else -1.0
             carry_p, lam_p = _advance_pair(
-                carry_p, ell, m, s2, mn_p, x, x_lo, j0, seed_p, k0_p
+                carry_p, ell, m, s2, mn_p, x, j0, seed_p, k0_p
             )
             carry_m, lam_m = _advance_pair(
-                carry_m, ell, m, s2, mn_m, x, x_lo, j0, seed_m, k0_m
+                carry_m, ell, m, s2, mn_m, x, j0, seed_m, k0_m
             )
             for q in range(nb):
                 FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
@@ -488,14 +451,8 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             ell = (8 * blk + t).astype(jnp.float32)
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
-            dp_new = (
-                c0p * (x * dp_curr + x_lo * dp_curr)
-                - cmp_ * dp_curr - c2p * dp_prev
-            )
-            dm_new = (
-                c0m * (x * dm_curr + x_lo * dm_curr)
-                - cmm * dm_curr - c2m * dm_prev
-            )
+            dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
+            dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
             dps.append(dp_new)
             dms.append(dm_new)
             dp_prev, dp_curr = dp_curr, dp_new
@@ -581,16 +538,6 @@ def pair_seed_planes(ms, spin):
     ]).astype(np.float32)[:, None, :]
 
 
-def _x_pair(x, x_lo, pad):
-    """(nr_pad, 2) [cos(theta), f32 residual of the f64 cos(theta)]."""
-    if x_lo is None:
-        x_lo = jnp.zeros_like(x)
-    return jnp.stack([
-        jnp.pad(x.astype(jnp.float32), (0, pad)),
-        jnp.pad(x_lo.astype(jnp.float32), (0, pad)),
-    ], axis=-1)
-
-
 def _vec_pair(hi, lo, pad):
     """(nr_pad, 2) hi/lo column pair of a per-ring log vector."""
     if lo is None:
@@ -606,9 +553,9 @@ def _vec_pair(hi, lo, pad):
                      "interpret"),
 )
 def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
-                         logch_lo=None, logsh_lo=None, x_lo=None,
-                         seed_planes=None, m_chunk=128, ring_block=None,
-                         nb=None, interpret=False):
+                         logch_lo=None, logsh_lo=None, seed_planes=None,
+                         m_chunk=128, ring_block=None, nb=None,
+                         interpret=False):
     """Folded spin-pair analysis on the Pallas kernel.
 
     Inputs as built by the jnp cross path: FN* northern rows per branch,
@@ -646,10 +593,12 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     n_mchunks = nm_pad // m_chunk
     n_rblocks = nr_pad // ring_block
 
-    xp = _x_pair(x, x_lo, pad)
+    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logchp = _vec_pair(logch, logch_lo, pad)
     logshp = _vec_pair(logsh, logsh_lo, pad)
 
+    vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
     pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                              memory_space=pltpu.VMEM)
     F_spec = pl.BlockSpec((1, nb * 2, ring_block, m_chunk),
@@ -662,7 +611,7 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
-            pair_spec, pair_spec, pair_spec,
+            vec_spec, pair_spec, pair_spec,
             pl.BlockSpec((8, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             F_spec, F_spec, F_spec, F_spec,
@@ -705,22 +654,19 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
     """
     m = seed_ref[3]
     msign = seed_ref[2]
-    x = x_ref[:, 0:1]
-    x_lo = x_ref[:, 1:2]
+    x = x_ref[...]
 
-    frac, frac_lo, k0 = _comp_seed_frac(
+    frac, k0 = _comp_seed_frac(
         seed_ref[0], seed_ref[1],
         [(m, logsum_ref[:, 0:1], logsum_ref[:, 1:2])],
     )
-    seed_mant = _seed_from_frac(frac, frac_lo, msign)
+    seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
     def diag_body(blk, carry):
         state, acc = carry
         rows = alm_ref[0, :, pl.ds(8 * blk, 8), :]  # (nb*2, 8, m_chunk)
         for t in range(8):
-            state, lam = _advance_spin0(
-                state, 8 * blk + t, m, x, x_lo, seed_mant, k0
-            )
+            state, lam = _advance_spin0(state, 8 * blk + t, m, x, seed_mant, k0)
             sgn = 1.0 if t % 2 == 0 else -1.0
             new = []
             for q in range(nb):
@@ -739,7 +685,7 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
         for t in range(8):
             ell = (8 * blk + t).astype(jnp.float32)
             c1, c2 = _bulk_coeffs_spin0(ell, m)
-            d_new = c1 * (x * d_curr + x_lo * d_curr) - c2 * d_prev
+            d_new = c1 * (x * d_curr) - c2 * d_prev
             ds.append(d_new)
             d_prev, d_curr = d_curr, d_new
 
@@ -791,9 +737,8 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
     static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret"),
 )
 def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
-                           logsh_lo=None, x_lo=None, seed_planes=None,
-                           m_chunk=128, ring_block=None, nb=None,
-                           interpret=False):
+                           logsh_lo=None, seed_planes=None, m_chunk=128,
+                           ring_block=None, nb=None, interpret=False):
     """Folded spin-0 synthesis: rectangular alm -> (GN, GS) ring spectra.
 
     ``alm``: (..., lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
@@ -828,7 +773,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
 
     if seed_planes is None:
         seed_planes = spin0_seed_planes(np.arange(nm_pad))
-    xp = _x_pair(x, x_lo, pad)
+    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logsum = _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad)
 
     n_mchunks = nm_pad // m_chunk
@@ -841,7 +786,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
-            pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
+            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -888,8 +833,7 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
     matching the jnp cross path (wigner.lambda_synthesis_scan_folded:
     S[L] accumulates a[P(L)]*lam[L], then GS = swap(S) * (-1)^m).
     """
-    x = x_ref[:, 0:1]
-    x_lo = x_ref[:, 1:2]
+    x = x_ref[...]
     logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
     logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
     m = seed_ref[7]
@@ -899,11 +843,11 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
     s2 = float(spin * spin)
 
     def seed_vals(lc_hi, lc_lo, sign, pc, ps):
-        frac, frac_lo, k0 = _comp_seed_frac(
+        frac, k0 = _comp_seed_frac(
             lc_hi, lc_lo,
             [(pc, logch[0], logch[1]), (ps, logsh[0], logsh[1])],
         )
-        return _seed_from_frac(frac, frac_lo, sign), k0
+        return sign * jnp.exp2(frac * _SCALE_LOG2), k0
 
     pc_p = m + float(spin)
     ps_p = jnp.abs(m - float(spin))
@@ -938,10 +882,10 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
             ell = 8 * blk + t
             sgn = 1.0 if t % 2 == 0 else -1.0
             state_p, lam_p = _advance_pair(
-                state_p, ell, m, s2, mn_p, x, x_lo, j0, seed_p, k0_p
+                state_p, ell, m, s2, mn_p, x, j0, seed_p, k0_p
             )
             state_m, lam_m = _advance_pair(
-                state_m, ell, m, s2, mn_m, x, x_lo, j0, seed_m, k0_m
+                state_m, ell, m, s2, mn_m, x, j0, seed_m, k0_m
             )
             acc = step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc)
         return state_p, state_m, acc
@@ -955,14 +899,8 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
             ell = (8 * blk + t).astype(jnp.float32)
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
-            dp_new = (
-                c0p * (x * dp_curr + x_lo * dp_curr)
-                - cmp_ * dp_curr - c2p * dp_prev
-            )
-            dm_new = (
-                c0m * (x * dm_curr + x_lo * dm_curr)
-                - cmm * dm_curr - c2m * dm_prev
-            )
+            dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
+            dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
             dps.append(dp_new)
             dms.append(dm_new)
             dp_prev, dp_curr = dp_curr, dp_new
@@ -1020,9 +958,9 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
                      "interpret"),
 )
 def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
-                          logch_lo=None, logsh_lo=None, x_lo=None,
-                          seed_planes=None, m_chunk=128, ring_block=None,
-                          nb=None, interpret=False):
+                          logch_lo=None, logsh_lo=None, seed_planes=None,
+                          m_chunk=128, ring_block=None, nb=None,
+                          interpret=False):
     """Folded spin-pair synthesis on the Pallas kernel.
 
     ``alm_p``/``alm_m``: rectangular (..., lmax+1, nm_pad) complex alms
@@ -1060,13 +998,15 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     seed = (pair_seed_planes(np.arange(nm_pad), spin)
             if seed_planes is None else seed_planes)
 
-    xp = _x_pair(x, x_lo, pad)
+    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logchp = _vec_pair(logch, logch_lo, pad)
     logshp = _vec_pair(logsh, logsh_lo, pad)
 
     n_mchunks = nm_pad // m_chunk
     n_rblocks = nr_pad // ring_block
 
+    vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
     pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                              memory_space=pltpu.VMEM)
     alm_spec = pl.BlockSpec((1, nb * 2, lpad, m_chunk),
@@ -1079,7 +1019,7 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
-            pair_spec, pair_spec, pair_spec,
+            vec_spec, pair_spec, pair_spec,
             pl.BlockSpec((8, 1, m_chunk), lambda b, i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
             alm_spec, alm_spec,
@@ -1198,9 +1138,8 @@ def _pick_nb(B, lmax, limit=None):
     static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret"),
 )
 def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
-                          logsh_lo=None, x_lo=None, seed_planes=None,
-                          m_chunk=128, ring_block=None, nb=None,
-                          interpret=False):
+                          logsh_lo=None, seed_planes=None, m_chunk=128,
+                          ring_block=None, nb=None, interpret=False):
     """alm[l, m] = sum_r lam_{lm}(x_r) * F(e/o by l parity)[r, m].
 
     ``Fe``/``Fo``: (..., nhalf, nm_pad) complex64/128 parity-combined
@@ -1240,7 +1179,7 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
     Fo2 = prep(Fo)
     if seed_planes is None:
         seed_planes = spin0_seed_planes(np.arange(nm_pad))
-    xp = _x_pair(x, x_lo, pad)
+    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logsum = _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad)
 
     lpad = -(-(lmax + 1) // 8) * 8
@@ -1256,7 +1195,7 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
-            pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
+            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),

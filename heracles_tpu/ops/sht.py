@@ -164,23 +164,18 @@ def _geom_arrays(nside, dtype_str):
 
 @functools.lru_cache(maxsize=32)
 def _geom_lo_arrays(nside):
-    """f32 residuals of the f64 ring geometry (northern half).
+    """f32 residuals of the f64 ring half-angle logs (northern half).
 
-    (lo_ch, lo_sh) feed the Pallas kernels' compensated seed evaluation:
-    the seed exponents multiply these logs by the harmonic order m, so
-    plain f32 geometry would cost ~ulp * m ~ 4e-4 relative seed error at
-    m ~ 3000.  lo_x feeds the recurrence's x-residual correction: lam_l
-    oscillates ~l times over theta, so a bare-f32 cos(theta) costs ~l *
-    eps relative lam error at high l (the dominant f32 top-band Cl
-    noise; measured in the round-3 error decomposition).
+    Feed the Pallas kernels' compensated seed evaluation: the seed
+    exponents multiply these logs by the harmonic order m, so plain f32
+    geometry would cost ~ulp * m ~ 4e-4 relative seed error at m ~ 3000.
     """
-    x64, lch64, lsh64 = _geom_arrays(nside, "float64")
-    x32, lch32, lsh32 = _geom_arrays(nside, "float32")
+    _, lch64, lsh64 = _geom_arrays(nside, "float64")
+    _, lch32, lsh32 = _geom_arrays(nside, "float32")
     nhalf = 2 * nside
     lo_ch = (lch64 - lch32.astype(np.float64)).astype(np.float32)
     lo_sh = (lsh64 - lsh32.astype(np.float64)).astype(np.float32)
-    lo_x = (x64 - x32.astype(np.float64)).astype(np.float32)
-    return lo_ch[:nhalf], lo_sh[:nhalf], lo_x[:nhalf]
+    return lo_ch[:nhalf], lo_sh[:nhalf]
 
 
 @functools.lru_cache(maxsize=32)
@@ -311,12 +306,10 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
 
         FN0, FS0raw = folded[0]
         FS0 = FS0raw * msign
-        lo_ch, lo_sh, lo_x = (
-            geom_lo if geom_lo is not None else (None, None, None)
-        )
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         alm = pallas_sht.analysis_spin0_folded(
             FN0 + FS0, FN0 - FS0, x, logch, logsh, lmax,
-            logch_lo=lo_ch, logsh_lo=lo_sh, x_lo=lo_x, m_chunk=m_chunk,
+            logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
         )
         return (alm,)
 
@@ -334,19 +327,13 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
     ):
         from . import pallas_sht
 
-        lo_ch, lo_sh, lo_x = (
-            geom_lo if geom_lo is not None else (None, None, None)
-        )
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         alm_p, alm_m = pallas_sht.analysis_pair_folded(
             FN[0], FS[1], FN[1], FS[0], x, logch, logsh, lmax,
-            abs(int(ns[0])), logch_lo=lo_ch, logsh_lo=lo_sh, x_lo=lo_x,
+            abs(int(ns[0])), logch_lo=lo_ch, logsh_lo=lo_sh,
             m_chunk=m_chunk,
         )
         return (alm_p, alm_m)
-
-    lo_x = (
-        jnp.asarray(geom_lo[2]) if geom_lo is not None else None
-    )
 
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
@@ -362,7 +349,7 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
 
         return wigner.lambda_analysis_scan_folded(
             ms_l, ns_l, x, logch, logsh, lmax,
-            slice_cat(FN), slice_cat(FS), cross=cross, x_lo=lo_x,
+            slice_cat(FN), slice_cat(FS), cross=cross,
         )
 
     ys = _run_chunks(nm_pad, m_chunk, chunk)
@@ -397,14 +384,11 @@ def _analysis_rect_points(Fw, x, logch, logsh, lmax, ns, m_chunk,
     ):
         from . import pallas_sht
 
-        lo_ch, lo_sh, lo_x = (
-            geom_lo if geom_lo is not None else (None, None, None)
-        )
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         if nspin == 1 and abs(int(ns[0])) == 0:
             alm = pallas_sht.analysis_spin0_folded(
                 Fw[0], Fw[0], x, logch, logsh, lmax,
-                logch_lo=lo_ch, logsh_lo=lo_sh, x_lo=lo_x,
-                m_chunk=m_chunk,
+                logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
             )
             return (alm,)
         if nspin == 2:
@@ -412,7 +396,7 @@ def _analysis_rect_points(Fw, x, logch, logsh, lmax, ns, m_chunk,
             return pallas_sht.analysis_pair_folded(
                 Fw[0], zero, Fw[1], zero, x, logch, logsh, lmax,
                 abs(int(ns[0])), logch_lo=lo_ch, logsh_lo=lo_sh,
-                x_lo=lo_x, m_chunk=m_chunk,
+                m_chunk=m_chunk,
             )
 
     def chunk(start):
@@ -455,12 +439,10 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
     ):
         from . import pallas_sht
 
-        lo_ch, lo_sh, lo_x = (
-            geom_lo if geom_lo is not None else (None, None, None)
-        )
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         GN, GS = pallas_sht.synthesis_spin0_folded(
             alms[0], x, logch, logsh, lmax,
-            logch_lo=lo_ch, logsh_lo=lo_sh, x_lo=lo_x, m_chunk=m_chunk,
+            logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
         )
         south = jnp.flip(GS[..., :-1, :], axis=-2)
         return (jnp.concatenate([GN, south], axis=-2),)
@@ -473,22 +455,16 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
     ):
         from . import pallas_sht
 
-        lo_ch, lo_sh, lo_x = (
-            geom_lo if geom_lo is not None else (None, None, None)
-        )
+        lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
         GNp, GSp, GNm, GSm = pallas_sht.synthesis_pair_folded(
             alms[0], alms[1], x, logch, logsh, lmax, abs(int(ns[0])),
-            logch_lo=lo_ch, logsh_lo=lo_sh, x_lo=lo_x, m_chunk=m_chunk,
+            logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
         )
         outs = []
         for GN, GS in ((GNp, GSp), (GNm, GSm)):
             south = jnp.flip(GS[..., :-1, :], axis=-2)
             outs.append(jnp.concatenate([GN, south], axis=-2))
         return tuple(outs)
-
-    lo_x = (
-        jnp.asarray(geom_lo[2]) if geom_lo is not None else None
-    )
 
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
@@ -499,8 +475,7 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
             axis=-1,
         )
         return wigner.lambda_synthesis_scan_folded(
-            ms_l, ns_l, x, logch, logsh, lmax, alm_l, cross=cross,
-            x_lo=lo_x,
+            ms_l, ns_l, x, logch, logsh, lmax, alm_l, cross=cross
         )
 
     GN, GS = _run_chunks(nm_pad, m_chunk, chunk)

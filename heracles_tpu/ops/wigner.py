@@ -289,27 +289,11 @@ def _prepare_scan(ms, ns, x, logch, logsh, fdt, seed=None):
     return mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k
 
 
-def _advance(state, ell, mp, npar, j0, seed_mant, seed_k, x, fdt,
-             x_lo=None):
-    """One l-step of the scaled recurrence; returns (state', lam).
-
-    ``x_lo``: optional f32 residual of the f64 cos(theta) — the phase of
-    lam_l turns ~l times over theta, so bare-f32 x costs ~l * eps
-    relative lam error at high l (see pallas_sht._advance_spin0).
-    """
+def _advance(state, ell, mp, npar, j0, seed_mant, seed_k, x, fdt):
+    """One l-step of the scaled recurrence; returns (state', lam)."""
     d_prev, d_curr, k = state
     A1, A0, B = _recurrence_coeffs(ell, mp, npar, fdt)
-    if x_lo is None:
-        cand = (
-            (A1[:, None] * x[None, :] + A0[:, None]) * d_curr
-            - B[:, None] * d_prev
-        )
-    else:
-        cand = (
-            A1[:, None] * (x[None, :] * d_curr + x_lo[None, :] * d_curr)
-            + A0[:, None] * d_curr
-            - B[:, None] * d_prev
-        )
+    cand = (A1[:, None] * x[None, :] + A0[:, None]) * d_curr - B[:, None] * d_prev
     is_seed = (ell == j0)[:, None]
     d_new = jnp.where(is_seed, seed_mant, jnp.where((ell > j0)[:, None], cand, 0.0))
     k_new = jnp.where(is_seed, seed_k, k)
@@ -333,7 +317,7 @@ def _swap_blocks(arr, axis=-1):
 
 
 def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
-                                cross=False, seed=None, x_lo=None):
+                                cross=False, seed=None):
     """Ring-pair-folded analysis: half the rings, parity-split spectra.
 
     The N/S mirror symmetry slm^{(n)}(pi-t) = (-1)^{l+m} slm^{(-n)}(t)
@@ -362,7 +346,7 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
 
         def substep(state, ell, F):
             state, lam = _advance(state, ell, mp, npar, j0, seed_mant,
-                                  seed_k, x, fdt, x_lo=x_lo)
+                                  seed_k, x, fdt)
             return state, jnp.einsum("lr,...rl->...l", lam, F)
 
         def step(carry, i):
@@ -375,7 +359,7 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
 
         def substep(state, ell, sign):
             state, lam = _advance(state, ell, mp, npar, j0, seed_mant,
-                                  seed_k, x, fdt, x_lo=x_lo)
+                                  seed_k, x, fdt)
             north = jnp.einsum("lr,...rl->...l", lam, FN)
             south = jnp.einsum("lr,...rl->...l", lam, FS)
             return state, north + sign * _swap_blocks(south)
@@ -396,7 +380,7 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
 
 
 def lambda_synthesis_scan_folded(ms, ns, x, logch, logsh, lmax, alm,
-                                 cross=False, seed=None, x_lo=None):
+                                 cross=False, seed=None):
     """Ring-pair-folded synthesis.
 
     Returns (GN, GS) of shape (..., nhalf, lanes): the ring spectra on
@@ -429,11 +413,11 @@ def lambda_synthesis_scan_folded(ms, ns, x, logch, logsh, lmax, alm,
         state, GN, S = carry
         i, a2, aP2 = xs
         state, lam0 = _advance(state, 2 * i, mp, npar, j0, seed_mant,
-                               seed_k, x, fdt, x_lo=x_lo)
+                               seed_k, x, fdt)
         GN = GN + a2[0][..., :, None] * lam0
         S = S + aP2[0][..., :, None] * lam0
         state, lam1 = _advance(state, 2 * i + 1, mp, npar, j0, seed_mant,
-                               seed_k, x, fdt, x_lo=x_lo)
+                               seed_k, x, fdt)
         GN = GN + a2[1][..., :, None] * lam1
         S = S - aP2[1][..., :, None] * lam1
         return (state, GN, S), None

@@ -96,9 +96,7 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
     msign = jnp.where(ms % 2 == 0, 1.0, -1.0).astype(w.dtype)
     use_pallas = engine in ("pallas", "pallas-interpret")
     interpret = engine == "pallas-interpret"
-    lo_ch, lo_sh, lo_x = (
-        geom_lo if geom_lo is not None else (None, None, None)
-    )
+    lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
 
     if spin == 0:
         F, _ = ringfft.ring_analysis(maps_local, nside, per, m0=m0)
@@ -109,8 +107,8 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
             FSs = FS * msign
             alm = pallas_sht.analysis_spin0_folded(
                 FN + FSs, FN - FSs, x, logch, logsh, lmax,
-                logch_lo=lo_ch, logsh_lo=lo_sh, x_lo=lo_x,
-                seed_planes=seed_planes, interpret=interpret,
+                logch_lo=lo_ch, logsh_lo=lo_sh, seed_planes=seed_planes,
+                interpret=interpret,
             )
         else:
             alm = wigner.lambda_analysis_scan_folded(
@@ -132,8 +130,8 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
         a_p, a_m = pallas_sht.analysis_pair_folded(
             fold_p[0], fold_p[1] * msign, fold_m[0], fold_m[1] * msign,
             x, logch, logsh, lmax, spin,
-            logch_lo=lo_ch, logsh_lo=lo_sh, x_lo=lo_x,
-            seed_planes=seed_planes, interpret=interpret,
+            logch_lo=lo_ch, logsh_lo=lo_sh, seed_planes=seed_planes,
+            interpret=interpret,
         )
     else:
         FN = jnp.concatenate([fold_p[0], fold_m[0]], axis=-1)

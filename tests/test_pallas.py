@@ -217,18 +217,12 @@ def test_comp_seed_frac_high_m():
     ls_hi = logsum64.astype(np.float32)
     ls_lo = (logsum64 - ls_hi.astype(np.float64)).astype(np.float32)
 
-    frac, frac_lo, k0 = _comp_seed_frac(
+    frac, k0 = _comp_seed_frac(
         jnp.asarray([lc_hi]), jnp.asarray([lc_lo]),
         [(jnp.float32(m), jnp.asarray(ls_hi), jnp.asarray(ls_lo))],
     )
-    got = (
-        np.asarray(frac, dtype=np.float64)
-        + np.asarray(frac_lo, np.float64)
-        + np.asarray(k0, np.float64)
-    )
-    from heracles_tpu.ops.pallas_sht import _SCALE_LOG2
-
-    C = np.log(2.0) * _SCALE_LOG2
+    got = np.asarray(frac, dtype=np.float64) + np.asarray(k0, np.float64)
+    C = np.log(2.0) * 60.0
     want = (logc64 + m * logsum64) / C
     # seed-relative error = C * (exponent error)
     assert np.abs(got - want).max() * C < 1e-5  # ~f32 eps floor
@@ -541,64 +535,3 @@ def test_pallas_offset_seed_planes_match_full():
     for u, v in zip(fullq, partq):
         assert np.all(np.isfinite(np.asarray(v)))
         np.testing.assert_array_equal(np.asarray(u)[:, blk], np.asarray(v))
-
-
-def test_xlo_correction_improves_recurrence_accuracy():
-    """The x-residual term removes the ~l * eps phase error of f32 x.
-
-    One-hot ring spectra make the analysis output the raw Wigner values
-    lam_{lm}(x_r0), isolating the recurrence from the quadrature.  At
-    l ~ 500 the bare-f32 cos(theta) costs ~l * eps relative lam error
-    (the dominant f32 top-band Cl noise, round-3 error decomposition);
-    feeding the f64 residual must recover ~sqrt(l) * eps accuracy.
-    """
-    nside, lmax = 16, 512
-    nhalf = 2 * nside
-    nm_pad = 128
-    # near-polar ring: the phase error is l * dtheta with dtheta =
-    # dx / sin(theta), so small sin(theta) amplifies the f32 x
-    # rounding ~7x over mid-latitudes
-    r0 = 3  # near-polar ring with a nonzero f32 residual in cos(theta)
-    F = np.zeros((nhalf, nm_pad), np.complex64)
-    F[r0, :] = 1.0
-    x, logch, logsh = sht._geom_arrays(nside, "float32")
-    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
-    lo_ch, lo_sh, lo_x = sht._geom_lo_arrays(nside)
-
-    def run(x_lo):
-        return np.asarray(
-            analysis_spin0_folded(
-                jnp.asarray(F), jnp.asarray(F), jnp.asarray(x),
-                jnp.asarray(logch), jnp.asarray(logsh), lmax,
-                logch_lo=jnp.asarray(lo_ch), logsh_lo=jnp.asarray(lo_sh),
-                x_lo=x_lo, ring_block=16, interpret=True,
-            )
-        )
-
-    got_plain = run(None)
-    got_corr = run(jnp.asarray(lo_x))
-
-    # f64 oracle through the jnp scan (x64 on CPU via conftest)
-    x64, logch64, logsh64 = sht._geom_arrays(nside, "float64")
-    x64, logch64, logsh64 = x64[:nhalf], logch64[:nhalf], logsh64[:nhalf]
-    ms = jnp.arange(nm_pad, dtype=jnp.int32)
-    ns = jnp.zeros(nm_pad, jnp.int32)
-    F64 = F.astype(np.complex128)
-    want = np.asarray(
-        wigner.lambda_analysis_scan_folded(
-            ms, ns, jnp.asarray(x64), jnp.asarray(logch64),
-            jnp.asarray(logsh64), lmax, jnp.asarray(F64),
-            jnp.asarray(np.zeros_like(F64)), cross=False,
-        )
-    )
-    # top half of the l range, orders below the wavefront
-    sl = (slice(lmax // 2, lmax + 1), slice(0, 16))
-    scale = np.abs(want[sl]).max()
-    err_plain = np.abs(got_plain[sl] - want[sl]).max() / scale
-    err_corr = np.abs(got_corr[sl] - want[sl]).max() / scale
-    # the single polar ring amplifies the residual carry noise that the
-    # full quadrature weights down (full-transform measurement: top-band
-    # 1.5e-5 -> 5.9e-6 at nside=512/lmax=768); assert the isolated
-    # improvement plus a loose absolute cap
-    assert err_corr < 0.5 * err_plain, (err_corr, err_plain)
-    assert err_corr < 5e-5, err_corr

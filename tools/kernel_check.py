@@ -106,7 +106,6 @@ def main():
         nhalf = 2 * nside
         x, logch, logsh = map(
             jnp.asarray, (x[:nhalf], logch[:nhalf], logsh[:nhalf]))
-        x_lo = jnp.asarray(sht._geom_lo_arrays(nside)[2])
         nm_pad = -(-(lmax + 1) // 128) * 128
         F = [crand((nhalf, nm_pad)) for _ in range(4)]
         A = [crand((lmax + 1, nm_pad)) for _ in range(2)]
@@ -122,20 +121,17 @@ def main():
 
         status["analysis_spin0_ms"] = timeit(
             lambda: pallas_sht.analysis_spin0_folded(
-                F[0], F[1], x, logch, logsh, lmax, x_lo=x_lo,
-                ring_block=256))
+                F[0], F[1], x, logch, logsh, lmax, ring_block=256))
         status["analysis_pair_ms"] = timeit(
             lambda: pallas_sht.analysis_pair_folded(
                 F[0], F[1], F[2], F[3], x, logch, logsh, lmax, 2,
-                x_lo=x_lo, ring_block=128)[0])
+                ring_block=128)[0])
         status["synthesis_spin0_ms"] = timeit(
             lambda: pallas_sht.synthesis_spin0_folded(
-                A[0], x, logch, logsh, lmax, x_lo=x_lo,
-                ring_block=1024)[0])
+                A[0], x, logch, logsh, lmax, ring_block=1024)[0])
         status["synthesis_pair_ms"] = timeit(
             lambda: pallas_sht.synthesis_pair_folded(
-                A[0], A[1], x, logch, logsh, lmax, 2, x_lo=x_lo,
-                ring_block=128)[0])
+                A[0], A[1], x, logch, logsh, lmax, 2, ring_block=128)[0])
         print(json.dumps(status, indent=1), flush=True)
 
     if not ok:

@@ -46,7 +46,6 @@ def main():
     x, logch, logsh = sht._geom_arrays(nside, "float32")
     x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
     x, logch, logsh = map(jnp.asarray, (x, logch, logsh))
-    x_lo = jnp.asarray(sht._geom_lo_arrays(nside)[2])
 
     rng = np.random.default_rng(0)
 
@@ -74,7 +73,7 @@ def main():
     grids = {
         "analysis_spin0": (
             lambda rb, mc: pallas_sht.analysis_spin0_folded(
-                F[0], F[1], x, logch, logsh, lmax, x_lo=x_lo,
+                F[0], F[1], x, logch, logsh, lmax,
                 ring_block=rb, m_chunk=mc,
             ),
             [128, 256, 512, 1024, 2048],
@@ -82,7 +81,7 @@ def main():
         ),
         "analysis_pair": (
             lambda rb, mc: pallas_sht.analysis_pair_folded(
-                F[0], F[1], F[2], F[3], x, logch, logsh, lmax, 2, x_lo=x_lo,
+                F[0], F[1], F[2], F[3], x, logch, logsh, lmax, 2,
                 ring_block=rb, m_chunk=mc,
             )[0],
             [64, 128, 256, 512],
@@ -90,14 +89,14 @@ def main():
         ),
         "synthesis_spin0": (
             lambda rb, mc: pallas_sht.synthesis_spin0_folded(
-                A[0], x, logch, logsh, lmax, x_lo=x_lo, ring_block=rb, m_chunk=mc,
+                A[0], x, logch, logsh, lmax, ring_block=rb, m_chunk=mc,
             )[0],
             [256, 512, 1024, 2048],
             [64, 128, 256],
         ),
         "synthesis_pair": (
             lambda rb, mc: pallas_sht.synthesis_pair_folded(
-                A[0], A[1], x, logch, logsh, lmax, 2, x_lo=x_lo,
+                A[0], A[1], x, logch, logsh, lmax, 2,
                 ring_block=rb, m_chunk=mc,
             )[0],
             [64, 128, 256, 512],

@@ -102,17 +102,16 @@ def main():
     x, logch, logsh = map(jnp.asarray,
                           (x[:nhalf], logch[:nhalf], logsh[:nhalf]))
     Fe, Fo = jax.jit(fold_fn)(F)
-    lo_ch, lo_sh, lo_x = sht._geom_lo_arrays(nside)
+    lo_ch, lo_sh = sht._geom_lo_arrays(nside)
     if spin == 0:
         kern = lambda a, b: pallas_sht.analysis_spin0_folded(  # noqa: E731
-            a, b, x, logch, logsh, lmax, logch_lo=lo_ch,
-            logsh_lo=lo_sh, x_lo=lo_x)
+            a, b, x, logch, logsh, lmax, logch_lo=lo_ch, logsh_lo=lo_sh)
         out["kernel_ms"] = timeit(kern, Fe, Fo)
         alm = kern(Fe, Fo)
     else:
         kern = lambda a, b, c, d: pallas_sht.analysis_pair_folded(  # noqa: E731
             a, b, c, d, x, logch, logsh, lmax, spin,
-            logch_lo=lo_ch, logsh_lo=lo_sh, x_lo=lo_x)[0]
+            logch_lo=lo_ch, logsh_lo=lo_sh)[0]
         out["kernel_ms"] = timeit(kern, Fe, Fo, Fo, Fe)
         alm = kern(Fe, Fo, Fo, Fe)
 
