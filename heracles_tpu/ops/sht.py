@@ -259,6 +259,54 @@ def _run_chunks(nm_pad, m_chunk, fn):
     return jax.lax.map(fn, starts)
 
 
+@functools.lru_cache(maxsize=4)
+def _host_seed_planes(nside, nm_pad, ns):
+    """Host-f64 Wigner seed planes for the folded jnp f32 scans.
+
+    The device-evaluated seed logs (:func:`wigner.wigner_seed_log`) ride
+    on XLA's f32 ``log``/``lgamma``, whose absolute-error floors grow
+    with the harmonic order — measured ~1% alm error at nside=128 when
+    the jnp fallback ran with device seeds on TPU, against ~2e-5 with
+    these host planes.  The Pallas production path already computes
+    compensated host-grade seeds in-kernel (pallas_sht._comp_seed_frac);
+    this is the jnp-fallback analog (HERACLES_TPU_NO_PALLAS oracle runs
+    and the CPU-f32 diagnostics path).
+
+    Returns (mant, k) planes of shape (nspin * nm_pad, nhalf): rows for
+    spin column i at [i * nm_pad + m], sliced per m-chunk inside the
+    lax.map (the chunk starts are traced).
+    """
+    z = _geom_arrays(nside, "float64")[0][: 2 * nside]
+    theta = np.arccos(z)
+    ms = np.tile(np.arange(nm_pad), len(ns))
+    nsl = np.repeat(np.asarray(ns, np.int64), nm_pad)
+    return wigner.wigner_seed_host(ms, nsl, theta)
+
+
+def _seed_slicer(seed_planes, nspin, nm_pad, m_chunk):
+    """Chunk slicer over the stacked host seed planes (traced start)."""
+    if seed_planes is None:
+        return lambda start: None
+    mant = jnp.asarray(seed_planes[0])
+    kk = jnp.asarray(seed_planes[1])
+
+    def sl(start):
+        def rows(p):
+            return jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice_in_dim(
+                        p, i * nm_pad + start, m_chunk, axis=0
+                    )
+                    for i in range(nspin)
+                ],
+                axis=0,
+            )
+
+        return rows(mant), rows(kk)
+
+    return sl
+
+
 def _fold_rings(F, nside):
     """Split full-ring arrays (..., nr, nm) into (north, south-mirrored).
 
@@ -335,6 +383,15 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
         )
         return (alm_p, alm_m)
 
+    # f32 fallback: host-f64 seeds (the device f32 log/lgamma seed path
+    # costs ~1% alm error at production orders — see _host_seed_planes)
+    seed_sl = _seed_slicer(
+        _host_seed_planes(nside, nm_pad, tuple(int(n) for n in ns))
+        if Fw[0].dtype == jnp.complex64
+        else None,
+        nspin, nm_pad, m_chunk,
+    )
+
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
         ms_l = jnp.tile(ms, nspin)
@@ -350,6 +407,7 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
         return wigner.lambda_analysis_scan_folded(
             ms_l, ns_l, x, logch, logsh, lmax,
             slice_cat(FN), slice_cat(FS), cross=cross,
+            seed=seed_sl(start),
         )
 
     ys = _run_chunks(nm_pad, m_chunk, chunk)
@@ -466,6 +524,14 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
             outs.append(jnp.concatenate([GN, south], axis=-2))
         return tuple(outs)
 
+    # f32 fallback: host-f64 seeds (see _host_seed_planes)
+    seed_sl = _seed_slicer(
+        _host_seed_planes(nside, nm_pad, tuple(int(n) for n in ns))
+        if alms[0].dtype == jnp.complex64
+        else None,
+        nspin, nm_pad, m_chunk,
+    )
+
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
         ms_l = jnp.tile(ms, nspin)
@@ -475,7 +541,8 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
             axis=-1,
         )
         return wigner.lambda_synthesis_scan_folded(
-            ms_l, ns_l, x, logch, logsh, lmax, alm_l, cross=cross
+            ms_l, ns_l, x, logch, logsh, lmax, alm_l, cross=cross,
+            seed=seed_sl(start),
         )
 
     GN, GS = _run_chunks(nm_pad, m_chunk, chunk)

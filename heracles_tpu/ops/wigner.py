@@ -168,11 +168,12 @@ def wigner_seed_host(ms, ns, theta):
     # 0 * log(0) is a unit factor (sin^0 = 1), not a zero one: guard the
     # exact poles lane-wise (the device path nans there, latent only
     # because HEALPix ring centres never sit exactly on a pole)
-    logval = (
-        logC[:, None]
-        + np.where(pc[:, None] == 0, 0.0, pc[:, None] * logch[None, :])
-        + np.where(ps[:, None] == 0, 0.0, ps[:, None] * logsh[None, :])
-    )
+    with np.errstate(invalid="ignore"):
+        logval = (
+            logC[:, None]
+            + np.where(pc[:, None] == 0, 0.0, pc[:, None] * logch[None, :])
+            + np.where(ps[:, None] == 0, 0.0, ps[:, None] * logsh[None, :])
+        )
     ls = logval / (np.log(2.0) * _SCALE_LOG2)
     with np.errstate(invalid="ignore"):
         k = np.floor(ls)
