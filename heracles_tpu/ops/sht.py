@@ -179,6 +179,33 @@ def _geom_lo_arrays(nside):
 
 
 @functools.lru_cache(maxsize=32)
+def _x_lo_array(nside):
+    """f32 residual of the f64 ring cos(theta) (northern half).
+
+    Feeds the double-single (dd) recurrence: the three-term recurrence is
+    evaluated in x = cos(theta), and the dd carries only pay off when x
+    itself enters at (hi, lo) precision.
+    """
+    x64 = _geom_arrays(nside, "float64")[0][: 2 * nside]
+    x32 = x64.astype(np.float32)
+    return (x64 - x32.astype(np.float64)).astype(np.float32)
+
+
+def _use_dd():
+    """High-accuracy double-single (two-f32) recurrence mode.
+
+    Enabled with HERACLES_TPU_SHT_DD=1 (or per-call ``dd=True``): the
+    Wigner-d three-term recurrence carries (hi, lo) f32 pairs, removing
+    the f32 recurrence error that dominates the top multipole band
+    (~2-3e-5 band-max Cl at l >~ 0.9*lmax, measured on TPU at nside
+    512/2048/4096) at ~2-3x the scan cost.  Effective on the jnp scan
+    path (the fused Pallas kernels are bypassed in this mode).
+    """
+    flag = os.environ.get("HERACLES_TPU_SHT_DD", "").strip().lower()
+    return flag in ("1", "true", "yes", "on")
+
+
+@functools.lru_cache(maxsize=32)
 def ring_weights(nside, lmax_w=None):
     """Quadrature weights per pixel of each ring (numpy, float64).
 
@@ -260,7 +287,7 @@ def _run_chunks(nm_pad, m_chunk, fn):
 
 
 @functools.lru_cache(maxsize=4)
-def _host_seed_planes(nside, nm_pad, ns):
+def _host_seed_planes(nside, nm_pad, ns, dd=False):
     """Host-f64 Wigner seed planes for the folded jnp f32 scans.
 
     The device-evaluated seed logs (:func:`wigner.wigner_seed_log`) ride
@@ -280,15 +307,14 @@ def _host_seed_planes(nside, nm_pad, ns):
     theta = np.arccos(z)
     ms = np.tile(np.arange(nm_pad), len(ns))
     nsl = np.repeat(np.asarray(ns, np.int64), nm_pad)
-    return wigner.wigner_seed_host(ms, nsl, theta)
+    return wigner.wigner_seed_host(ms, nsl, theta, dd=dd)
 
 
 def _seed_slicer(seed_planes, nspin, nm_pad, m_chunk):
     """Chunk slicer over the stacked host seed planes (traced start)."""
     if seed_planes is None:
         return lambda start: None
-    mant = jnp.asarray(seed_planes[0])
-    kk = jnp.asarray(seed_planes[1])
+    planes = tuple(jnp.asarray(p) for p in seed_planes)
 
     def sl(start):
         def rows(p):
@@ -302,7 +328,7 @@ def _seed_slicer(seed_planes, nspin, nm_pad, m_chunk):
                 axis=0,
             )
 
-        return rows(mant), rows(kk)
+        return tuple(rows(p) for p in planes)
 
     return sl
 
@@ -322,7 +348,7 @@ def _fold_rings(F, nside):
 
 
 def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
-                   geom_lo=None):
+                   geom_lo=None, dd=False):
     """Run the ring-pair-folded Wigner analysis scan over m-chunks.
 
     ``Fw``: tuple of (..., nr, nm_pad) complex arrays over *full* rings,
@@ -343,12 +369,15 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
     msign = jnp.where(jnp.arange(nm_pad) % 2 == 0, 1.0, -1.0)
     folded = [_fold_rings(f, nside) for f in Fw]
 
+    dd = dd and Fw[0].dtype == jnp.complex64
+
     # TPU fast path: the fused Pallas kernel (spin 0, f32, any batch)
     if (
         not cross
         and abs(int(ns[0])) == 0
         and Fw[0].dtype == jnp.complex64
         and _use_pallas()
+        and not dd
     ):
         from . import pallas_sht
 
@@ -372,6 +401,7 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
         cross
         and Fw[0].dtype == jnp.complex64
         and _use_pallas()
+        and not dd
     ):
         from . import pallas_sht
 
@@ -386,11 +416,12 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
     # f32 fallback: host-f64 seeds (the device f32 log/lgamma seed path
     # costs ~1% alm error at production orders — see _host_seed_planes)
     seed_sl = _seed_slicer(
-        _host_seed_planes(nside, nm_pad, tuple(int(n) for n in ns))
+        _host_seed_planes(nside, nm_pad, tuple(int(n) for n in ns), dd=dd)
         if Fw[0].dtype == jnp.complex64
         else None,
         nspin, nm_pad, m_chunk,
     )
+    x_lo = jnp.asarray(_x_lo_array(nside)) if dd else None
 
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
@@ -407,7 +438,7 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
         return wigner.lambda_analysis_scan_folded(
             ms_l, ns_l, x, logch, logsh, lmax,
             slice_cat(FN), slice_cat(FS), cross=cross,
-            seed=seed_sl(start),
+            seed=seed_sl(start), dd=dd, x_lo=x_lo,
         )
 
     ys = _run_chunks(nm_pad, m_chunk, chunk)
@@ -477,7 +508,7 @@ def _analysis_rect_points(Fw, x, logch, logsh, lmax, ns, m_chunk,
 
 
 def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
-                    geom_lo=None):
+                    geom_lo=None, dd=False):
     """Inverse: tuple of rectangular alms (..., lmax+1, nm_pad) -> ring G.
 
     Ring-pair folded: each branch's full-ring G is reassembled from the
@@ -488,12 +519,15 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
     nspin = len(ns)
     cross = nspin == 2
 
+    dd = dd and alms[0].dtype == jnp.complex64
+
     # TPU fast path: fused Pallas synthesis (spin 0, f32, any batch)
     if (
         not cross
         and abs(int(ns[0])) == 0
         and alms[0].dtype == jnp.complex64
         and _use_pallas()
+        and not dd
     ):
         from . import pallas_sht
 
@@ -510,6 +544,7 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
         cross
         and alms[0].dtype == jnp.complex64
         and _use_pallas()
+        and not dd
     ):
         from . import pallas_sht
 
@@ -526,11 +561,12 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
 
     # f32 fallback: host-f64 seeds (see _host_seed_planes)
     seed_sl = _seed_slicer(
-        _host_seed_planes(nside, nm_pad, tuple(int(n) for n in ns))
+        _host_seed_planes(nside, nm_pad, tuple(int(n) for n in ns), dd=dd)
         if alms[0].dtype == jnp.complex64
         else None,
         nspin, nm_pad, m_chunk,
     )
+    x_lo = jnp.asarray(_x_lo_array(nside)) if dd else None
 
     def chunk(start):
         ms = start + jnp.arange(m_chunk, dtype=jnp.int32)
@@ -542,7 +578,7 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
         )
         return wigner.lambda_synthesis_scan_folded(
             ms_l, ns_l, x, logch, logsh, lmax, alm_l, cross=cross,
-            seed=seed_sl(start),
+            seed=seed_sl(start), dd=dd, x_lo=x_lo,
         )
 
     GN, GS = _run_chunks(nm_pad, m_chunk, chunk)
@@ -574,7 +610,7 @@ def _weights_arr(nside, weights, dtype):
 
 def map2alm(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
             iterations=0, m_chunk=DEFAULT_M_CHUNK, packed=True,
-            fft_chirps=None, fft_chirps_synth=None):
+            fft_chirps=None, fft_chirps_synth=None, dd=None):
     """Spin-0/2 spherical harmonic analysis of HEALPix RING maps.
 
     ``maps``: (..., npix) real for spin 0; (..., 2, npix) [Q, U] for spin 2.
@@ -585,12 +621,15 @@ def map2alm(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
     healpy's ``iter=`` analog; suppresses the HEALPix m-aliasing coupling
     (m >= nph of polar rings), which is exponentially small for
     lmax <= ~2*nside but visible at toy resolutions.
+    ``dd``: high-accuracy double-single f32 recurrence (default: the
+    HERACLES_TPU_SHT_DD env flag; see :func:`_use_dd`).
     Returns packed alms (..., nlm) for spin 0, or (..., 2, nlm) (E, B) for
     spin 2 (packed=False returns rectangular (..., lmax+1, mmax+1)).
     """
+    dd = _use_dd() if dd is None else bool(dd)
     out = _map2alm_once(maps, lmax, mmax, spin=spin, weights=weights,
                         m_chunk=m_chunk, packed=False,
-                        fft_chirps=fft_chirps)
+                        fft_chirps=fft_chirps, dd=dd)
     if iterations:
         nside = npix2nside(jnp.shape(maps)[-1])
         lmax_r = resolve_lmax(nside, lmax)
@@ -598,10 +637,12 @@ def map2alm(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
             resid = jnp.asarray(maps) - alm2map(
                 out, nside, lmax=lmax_r, mmax=mmax, spin=spin,
                 m_chunk=m_chunk, packed=False, fft_chirps=fft_chirps_synth,
+                dd=dd,
             )
             out = out + _map2alm_once(
                 resid, lmax, mmax, spin=spin, weights=weights,
                 m_chunk=m_chunk, packed=False, fft_chirps=fft_chirps,
+                dd=dd,
             )
     if packed:
         lmax_r = resolve_lmax(npix2nside(jnp.shape(maps)[-1]), lmax)
@@ -611,7 +652,8 @@ def map2alm(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
 
 
 def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
-                  m_chunk=DEFAULT_M_CHUNK, packed=True, fft_chirps=None):
+                  m_chunk=DEFAULT_M_CHUNK, packed=True, fft_chirps=None,
+                  dd=False):
     """Single-pass analysis (no refinement)."""
     maps = jnp.asarray(maps)
     spin = abs(int(spin))
@@ -635,7 +677,7 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
                                      chirps=fft_chirps)
         (alm,) = _analysis_rect(
             (pad_m(F * w),), x, logch, logsh, lmax, mmax, (0,), m_chunk,
-            geom_lo=geom_lo,
+            geom_lo=geom_lo, dd=dd,
         )
         alm = alm[..., : mmax + 1]
         out = alm
@@ -648,7 +690,7 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
         a_p, a_m = _analysis_rect(
             (pad_m(F * w), pad_m(jnp.conj(Fneg) * w)),
             x, logch, logsh, lmax, mmax, (spin, -spin), m_chunk,
-            geom_lo=geom_lo,
+            geom_lo=geom_lo, dd=dd,
         )
         a_p = a_p[..., : mmax + 1]
         a_m = a_m[..., : mmax + 1]
@@ -661,12 +703,15 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
 
 
 def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
-            m_chunk=DEFAULT_M_CHUNK, packed=True, fft_chirps=None):
+            m_chunk=DEFAULT_M_CHUNK, packed=True, fft_chirps=None,
+            dd=None):
     """Spin-0/2 spherical harmonic synthesis onto a HEALPix RING map.
 
     ``alm``: packed (..., nlm) (spin 0) or (..., 2, nlm) (E, B) (spin 2);
     rectangular when packed=False.  Returns (..., npix) or (..., 2, npix).
+    ``dd``: high-accuracy double-single f32 recurrence (see map2alm).
     """
+    dd = _use_dd() if dd is None else bool(dd)
     alm = jnp.asarray(alm)
     spin = abs(int(spin))
     if lmax is None:
@@ -692,7 +737,7 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
     if spin == 0:
         (G,) = _synthesis_rect(
             (pad_m(alm),), x, logch, logsh, lmax, (0,), m_chunk, nside,
-            geom_lo=geom_lo,
+            geom_lo=geom_lo, dd=dd,
         )
         G = G[..., : mmax + 1]
         return ringfft.ring_synthesis(G, None, nside, chirps=fft_chirps)
@@ -706,7 +751,7 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
     Gp, Gm = _synthesis_rect(
         (pad_m(a_p), pad_m(jnp.conj(a_m))),
         x, logch, logsh, lmax, (spin, -spin), m_chunk, nside,
-        geom_lo=geom_lo,
+        geom_lo=geom_lo, dd=dd,
     )
     Gp = Gp[..., : mmax + 1]
     Gm = Gm[..., : mmax + 1]
@@ -718,12 +763,15 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
 map2alm_jit = jax.jit(
     map2alm,
     static_argnames=(
-        "lmax", "mmax", "spin", "weights", "iterations", "m_chunk", "packed"
+        "lmax", "mmax", "spin", "weights", "iterations", "m_chunk",
+        "packed", "dd",
     ),
 )
 alm2map_jit = jax.jit(
     alm2map,
-    static_argnames=("nside", "lmax", "mmax", "spin", "m_chunk", "packed"),
+    static_argnames=(
+        "nside", "lmax", "mmax", "spin", "m_chunk", "packed", "dd"
+    ),
 )
 
 
@@ -738,13 +786,16 @@ _map2alm_planes = jax.jit(
         map2alm(maps, **kw)
     ),
     static_argnames=(
-        "lmax", "mmax", "spin", "weights", "iterations", "m_chunk", "packed"
+        "lmax", "mmax", "spin", "weights", "iterations", "m_chunk",
+        "packed", "dd",
     ),
 )  # fft_chirps rides through **kw as a traced pytree argument
 
 _alm2map_planes = jax.jit(
     lambda re, im, nside, **kw: alm2map(re + 1j * im, nside, **kw),
-    static_argnames=("nside", "lmax", "mmax", "spin", "m_chunk", "packed"),
+    static_argnames=(
+        "nside", "lmax", "mmax", "spin", "m_chunk", "packed", "dd"
+    ),
 )
 
 

@@ -127,7 +127,7 @@ def _log_factorials(n):
     return lf
 
 
-def wigner_seed_host(ms, ns, theta):
+def wigner_seed_host(ms, ns, theta, dd=False):
     """Host-f64 seed planes (mant, k) for the device scans.
 
     Seed value per (lane, ring) = ``mant * 2^(60*k)`` — the same split the
@@ -141,7 +141,8 @@ def wigner_seed_host(ms, ns, theta):
 
     ``theta``: (nr,) colatitudes, float64.  Returns ``mant`` (lanes, nr)
     float32 (sign folded in, incl. the (-1)^m slm factor) and ``k``
-    (lanes, nr) int32.
+    (lanes, nr) int32; with ``dd=True`` returns (mant_hi, mant_lo, k)
+    for the double-single high-accuracy scans.
     """
     ms = np.asarray(ms, dtype=np.int64)
     ns = np.asarray(ns, dtype=np.int64)
@@ -179,9 +180,13 @@ def wigner_seed_host(ms, ns, theta):
         k = np.floor(ls)
     tiny = ~np.isfinite(k)  # exact poles: sin or cos of theta/2 is 0
     k = np.where(tiny, -(2**30), k).astype(np.int32)
-    mant = np.where(
+    mant64 = np.where(
         tiny, 0.0, sign[:, None] * np.exp2((ls - k) * _SCALE_LOG2)
-    ).astype(np.float32)
+    )
+    mant = mant64.astype(np.float32)
+    if dd:
+        lo = (mant64 - mant.astype(np.float64)).astype(np.float32)
+        return mant, lo, k
     return mant, k
 
 
@@ -213,6 +218,168 @@ def _recurrence_coeffs(ell, mp, npar, fdt):
 def _emit_factor(k):
     """Multiplier turning a scaled mantissa into a contribution (0 if tiny)."""
     return jnp.where(k == 0, 1.0, jnp.where(k == -1, _INV_SCALE, 0.0))
+
+
+# -- double-single (two-float32) arithmetic for the high-accuracy scans ------
+#
+# The f32 three-term recurrence loses ~2-3e-5 band-max Cl accuracy at the
+# top multipoles (l >~ 0.9 lmax), measured on TPU at nside 512/2048/4096;
+# error decomposition shows it is *recurrence* rounding (both the carried
+# d-values and the per-l coefficients), not accumulation.  Carrying both
+# as renormalised (hi, lo) f32 pairs removes it: a numpy probe of the
+# normalised-Legendre recurrence at lmax=3000 gives top-band max relative
+# errors 2.8e-3 (plain f32), 7.8e-4 (dd carries only), 3.1e-7 (dd carries
+# + dd coefficients) vs f64.  Same primitives as ops/pallas_sht (Dekker
+# two-products, Knuth two-sums), restated here so the jnp scans do not
+# import the Pallas module at load time.
+
+
+def _dd_two_sum(a, b):
+    """Knuth two-sum: s + e == a + b exactly."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _dd_split(a):
+    """Dekker split into high/low halves of the f32 mantissa."""
+    c = jnp.float32(4097.0) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _dd_two_prod(a, b):
+    """Dekker two-product: p + e == a * b exactly (FMA-free)."""
+    p = a * b
+    a1, a2 = _dd_split(a)
+    b1, b2 = _dd_split(b)
+    e = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, e
+
+
+def _dd_add(h1, l1, h2, l2):
+    """(h1, l1) + (h2, l2), renormalised."""
+    s, e = _dd_two_sum(h1, h2)
+    e = e + (l1 + l2)
+    return _dd_two_sum(s, e)
+
+
+def _dd_mul(h1, l1, h2, l2):
+    """(h1, l1) * (h2, l2), renormalised (drops the l1*l2 term: O(eps^2))."""
+    p, pe = _dd_two_prod(h1, h2)
+    e = pe + (h1 * l2 + l1 * h2)
+    return _dd_two_sum(p, e)
+
+
+def _dd_div(h1, l1, h2, l2):
+    """(h1, l1) / (h2, l2) via one Newton correction of the f32 quotient."""
+    q0 = h1 / h2
+    p, pe = _dd_two_prod(q0, h2)
+    # r = (h1, l1) - q0 * (h2, l2)
+    rh, rl = _dd_add(h1, l1, -p, -(pe + q0 * l2))
+    q1 = (rh + rl) / h2
+    return _dd_two_sum(q0, q1)
+
+
+def _dd_sqrt(h, l):
+    """sqrt of a dd value via one Newton correction (h must be > 0)."""
+    s0 = jnp.sqrt(h)
+    p, pe = _dd_two_prod(s0, s0)
+    r = (h - p) + (l - pe)
+    s1 = r / (2.0 * s0)
+    return _dd_two_sum(s0, s1)
+
+
+def _recurrence_coeffs_dd(ell, mp, npar):
+    """Double-single recurrence coefficients, exact-integer construction.
+
+    All inputs are integer-valued (l <= ~2^23, |m|, |n| <= ~4600), so
+    l^2, m^2, n^2, m*n and their two-products are *exact* in dd form; the
+    only rounding enters through the dd sqrt/div (O(eps^2) relative).
+    Returns ((A1h, A1l), (A0h, A0l), (Bh, Bl)) per lane, zeroed where the
+    recurrence is not yet live (a(l) == 0).
+    """
+    f = jnp.float32
+    l = ell.astype(f)
+    lm1 = jnp.maximum(l - 1.0, 1.0)
+    m2 = (mp * mp).astype(f)
+    n2 = (npar * npar).astype(f)
+    mn = (mp * npar).astype(f)
+    zeros = jnp.zeros_like(m2)
+
+    def u_of(lf):
+        # u = (l^2 - m^2)(l^2 - n^2), dd-exact
+        l2h, l2l = _dd_two_prod(lf, lf)
+        ah, al = _dd_add(l2h, l2l, -m2, zeros)
+        bh, bl = _dd_add(l2h, l2l, -n2, zeros)
+        return _dd_mul(ah, al, bh, bl)
+
+    uh, ul = u_of(l)
+    live = uh > 0
+    sh_, sl_ = _dd_sqrt(jnp.where(live, uh, 1.0), jnp.where(live, ul, 0.0))
+    # inv = 1 / a(l) = l / sqrt(u(l))
+    invh, invl = _dd_div(l * jnp.ones_like(sh_), zeros, sh_, sl_)
+    invh = jnp.where(live, invh, 0.0)
+    invl = jnp.where(live, invl, 0.0)
+    c2l = 2.0 * l - 1.0  # exact integer in f32
+    A1h, A1l = _dd_mul(c2l * jnp.ones_like(invh), zeros, invh, invl)
+    # A0 = -(2l-1) * mn / ((l-1) l) * inv
+    nh, nl = _dd_two_prod(c2l * jnp.ones_like(mn), mn)
+    dh, dl = _dd_two_prod(lm1, l)
+    th, tl = _dd_div(nh, nl, dh + zeros, dl + zeros)
+    th, tl = _dd_mul(th, tl, invh, invl)
+    A0h, A0l = -th, -tl
+    # B = a(l-1) * inv = sqrt(u(l-1)) / (l-1) * inv
+    u1h, u1l = u_of(lm1)
+    live1 = u1h > 0
+    s1h, s1l = _dd_sqrt(jnp.where(live1, u1h, 1.0), jnp.where(live1, u1l, 0.0))
+    s1h = jnp.where(live1, s1h, 0.0)
+    s1l = jnp.where(live1, s1l, 0.0)
+    a1h, a1l = _dd_div(s1h, s1l, lm1 * jnp.ones_like(s1h), zeros)
+    Bh, Bl = _dd_mul(a1h, a1l, invh, invl)
+    return (A1h, A1l), (A0h, A0l), (Bh, Bl)
+
+
+def _prepare_scan_dd(ms, ns, seed):
+    """Initial dd state from host seed planes (mant_hi, mant_lo, k)."""
+    mp = -jnp.asarray(ms, dtype=jnp.int32)
+    npar = -jnp.asarray(ns, dtype=jnp.int32)
+    j0 = jnp.maximum(jnp.abs(mp), jnp.abs(npar))
+    seed_hi = jnp.asarray(seed[0], jnp.float32)
+    seed_lo = jnp.asarray(seed[1], jnp.float32)
+    seed_k = jnp.asarray(seed[2], jnp.int32)
+    zeros = jnp.zeros_like(seed_hi)
+    k = jnp.full_like(seed_k, -(2**30))
+    state = (zeros, zeros, zeros, zeros, k)
+    return mp, npar, j0, seed_hi, seed_lo, seed_k, state
+
+
+def _advance_dd(state, ell, mp, npar, j0, seed_hi, seed_lo, seed_k, xh, xl):
+    """One l-step of the scaled recurrence in double-single arithmetic."""
+    dph, dpl, dch, dcl, k = state
+    (A1h, A1l), (A0h, A0l), (Bh, Bl) = _recurrence_coeffs_dd(ell, mp, npar)
+    th, tl = _dd_mul(A1h[:, None], A1l[:, None], xh[None, :], xl[None, :])
+    th, tl = _dd_add(th, tl, A0h[:, None], A0l[:, None])
+    c1h, c1l = _dd_mul(th, tl, dch, dcl)
+    c2h, c2l = _dd_mul(Bh[:, None], Bl[:, None], dph, dpl)
+    ch_, cl_ = _dd_add(c1h, c1l, -c2h, -c2l)
+    is_seed = (ell == j0)[:, None]
+    grow = (ell > j0)[:, None]
+    dh = jnp.where(is_seed, seed_hi, jnp.where(grow, ch_, 0.0))
+    dl = jnp.where(is_seed, seed_lo, jnp.where(grow, cl_, 0.0))
+    k_new = jnp.where(is_seed, seed_k, k)
+    over = jnp.abs(dh) > _SCALE
+    scale = jnp.where(over, jnp.float32(_INV_SCALE), jnp.float32(1.0))
+    dh, dl = dh * scale, dl * scale  # exact power-of-2 rescale
+    dp_h, dp_l = dch * scale, dcl * scale
+    k_new = jnp.where(over, k_new + 1, k_new)
+    fdt = dh.dtype
+    norm = jnp.sqrt(
+        (2.0 * ell.astype(fdt) + 1.0) * jnp.asarray(0.25 / np.pi, fdt)
+    )
+    lam = (dh + dl) * _emit_factor(k_new) * norm
+    return (dp_h, dp_l, dh, dl, k_new), lam
 
 
 def _scan_core(ms, ns, x, logch, logsh, lmax, step_extra, carry_extra, fdt,
@@ -318,7 +485,8 @@ def _swap_blocks(arr, axis=-1):
 
 
 def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
-                                cross=False, seed=None):
+                                cross=False, seed=None, dd=False,
+                                x_lo=None):
     """Ring-pair-folded analysis: half the rings, parity-split spectra.
 
     The N/S mirror symmetry slm^{(n)}(pi-t) = (-1)^{l+m} slm^{(-n)}(t)
@@ -333,12 +501,31 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
 
     ``x``/``logch``/``logsh``: (nhalf,) northern-ring geometry;
     ``FN``/``FS``: (..., nhalf, lanes) complex.
+    ``dd``: run the recurrence in double-single (two-f32) arithmetic
+    (the high-accuracy f32 mode); requires host seed planes
+    (mant_hi, mant_lo, k) in ``seed`` and the x residual in ``x_lo``.
     Returns (..., lmax+1, lanes) complex.
     """
     fdt = x.dtype
-    mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k = _prepare_scan(
-        ms, ns, x, logch, logsh, fdt, seed=seed
-    )
+    if dd:
+        mp, npar, j0, seed_hi, seed_lo, seed_k, state0 = _prepare_scan_dd(
+            ms, ns, seed
+        )
+
+        def adv(state, ell):
+            return _advance_dd(state, ell, mp, npar, j0, seed_hi, seed_lo,
+                               seed_k, x, x_lo)
+
+    else:
+        mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k = _prepare_scan(
+            ms, ns, x, logch, logsh, fdt, seed=seed
+        )
+        state0 = (d_prev, d_curr, k)
+
+        def adv(state, ell):
+            return _advance(state, ell, mp, npar, j0, seed_mant,
+                            seed_k, x, fdt)
+
     niter = (lmax + 2) // 2
 
     if not cross:
@@ -346,8 +533,7 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
         Fo = FN - FS
 
         def substep(state, ell, F):
-            state, lam = _advance(state, ell, mp, npar, j0, seed_mant,
-                                  seed_k, x, fdt)
+            state, lam = adv(state, ell)
             return state, jnp.einsum("lr,...rl->...l", lam, F)
 
         def step(carry, i):
@@ -359,8 +545,7 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
     else:
 
         def substep(state, ell, sign):
-            state, lam = _advance(state, ell, mp, npar, j0, seed_mant,
-                                  seed_k, x, fdt)
+            state, lam = adv(state, ell)
             north = jnp.einsum("lr,...rl->...l", lam, FN)
             south = jnp.einsum("lr,...rl->...l", lam, FS)
             return state, north + sign * _swap_blocks(south)
@@ -372,7 +557,7 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
             return state, (out0, out1)
 
     _, (ys0, ys1) = jax.lax.scan(
-        step, (d_prev, d_curr, k), jnp.arange(niter, dtype=jnp.int32)
+        step, state0, jnp.arange(niter, dtype=jnp.int32)
     )
     # interleave even/odd rows -> (2*niter, ..., lanes), trim to lmax+1
     ys = jnp.stack([ys0, ys1], axis=1)
@@ -381,19 +566,37 @@ def lambda_analysis_scan_folded(ms, ns, x, logch, logsh, lmax, FN, FS,
 
 
 def lambda_synthesis_scan_folded(ms, ns, x, logch, logsh, lmax, alm,
-                                 cross=False, seed=None):
+                                 cross=False, seed=None, dd=False,
+                                 x_lo=None):
     """Ring-pair-folded synthesis.
 
     Returns (GN, GS) of shape (..., nhalf, lanes): the ring spectra on
     the northern rings and on their (mirrored) southern partners,
     G(pi-t)[L] = (-1)^{m_L} sum_l (-1)^l a[l, P(L)] lam[l, L] routed back
     to column L via the block swap (P is the +-n block swap when
-    ``cross``, identity otherwise).
+    ``cross``, identity otherwise).  ``dd``/``x_lo``: see
+    :func:`lambda_analysis_scan_folded`.
     """
     fdt = x.dtype
-    mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k = _prepare_scan(
-        ms, ns, x, logch, logsh, fdt, seed=seed
-    )
+    if dd:
+        mp, npar, j0, seed_hi, seed_lo, seed_k, state0 = _prepare_scan_dd(
+            ms, ns, seed
+        )
+
+        def adv(state, ell):
+            return _advance_dd(state, ell, mp, npar, j0, seed_hi, seed_lo,
+                               seed_k, x, x_lo)
+
+    else:
+        mp, npar, j0, seed_mant, seed_k, d_prev, d_curr, k = _prepare_scan(
+            ms, ns, x, logch, logsh, fdt, seed=seed
+        )
+        state0 = (d_prev, d_curr, k)
+
+        def adv(state, ell):
+            return _advance(state, ell, mp, npar, j0, seed_mant,
+                            seed_k, x, fdt)
+
     niter = (lmax + 2) // 2
     nlanes = mp.shape[0]
     nr = x.shape[0]
@@ -413,19 +616,17 @@ def lambda_synthesis_scan_folded(ms, ns, x, logch, logsh, lmax, alm,
     def step(carry, xs):
         state, GN, S = carry
         i, a2, aP2 = xs
-        state, lam0 = _advance(state, 2 * i, mp, npar, j0, seed_mant,
-                               seed_k, x, fdt)
+        state, lam0 = adv(state, 2 * i)
         GN = GN + a2[0][..., :, None] * lam0
         S = S + aP2[0][..., :, None] * lam0
-        state, lam1 = _advance(state, 2 * i + 1, mp, npar, j0, seed_mant,
-                               seed_k, x, fdt)
+        state, lam1 = adv(state, 2 * i + 1)
         GN = GN + a2[1][..., :, None] * lam1
         S = S - aP2[1][..., :, None] * lam1
         return (state, GN, S), None
 
     (_, GN, S), _ = jax.lax.scan(
         step,
-        ((d_prev, d_curr, k), GN0, S0),
+        (state0, GN0, S0),
         (jnp.arange(niter, dtype=jnp.int32), alm_t, almP_t),
     )
     # route south back to its own column and apply the (-1)^m order sign
