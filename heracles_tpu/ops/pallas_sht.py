@@ -176,8 +176,21 @@ def _norm_col(blk):
     return jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
 
 
+def _f32(a):
+    """Coerce Python-float operands to f32 for the error-free transforms.
+
+    A bare Python float rides through ``_split_hi``/``_two_sum`` as
+    *trace-time f64 Python arithmetic*, so the Dekker split silently
+    never happens and the "exact" error term is wrong by ~eps of the
+    product (measured: a 1.2e-7 frac error -> 5e-6 seed-value error in
+    the dd kernel via the ``inv`` constant).
+    """
+    return jnp.float32(a) if isinstance(a, (int, float)) else a
+
+
 def _two_sum(a, b):
     """Knuth two-sum: s + err == a + b exactly (f32)."""
+    a, b = _f32(a), _f32(b)
     s = a + b
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
@@ -193,6 +206,7 @@ def _split_hi(a):
 
 def _two_prod(a, b):
     """Dekker two-product: p + err == a * b exactly (f32, FMA-free)."""
+    a, b = _f32(a), _f32(b)
     p = a * b
     a1, a2 = _split_hi(a)
     b1, b2 = _split_hi(b)
@@ -225,6 +239,251 @@ def _comp_seed_frac(lc_hi, lc_lo, terms):
     k0 = jnp.floor(ls + ls_lo)
     frac = (ls - k0) + ls_lo
     return frac, k0
+
+
+# -- double-single (two-f32) arithmetic for the dd high-accuracy kernels ----
+#
+# Same primitives as ops/df32.py and the jnp dd scans (ops/wigner.py):
+# genuinely wider arithmetic, not sub-ulp compensation tricks — the lo
+# channel carries its own f32 value, which Mosaic's rounding preserves
+# (the df32 Gram kernels measure ~1e-15 relative on TPU hardware).
+
+
+def _dd_add(h1, l1, h2, l2):
+    """(h1, l1) + (h2, l2), renormalised."""
+    s, e = _two_sum(h1, h2)
+    e = e + (l1 + l2)
+    return _two_sum(s, e)
+
+
+def _dd_mul(h1, l1, h2, l2):
+    """(h1, l1) * (h2, l2), renormalised (drops l1*l2: O(eps^2))."""
+    p, pe = _two_prod(h1, h2)
+    e = pe + (h1 * l2 + l1 * h2)
+    return _two_sum(p, e)
+
+
+def _dd_div(h1, l1, h2, l2):
+    """(h1, l1) / (h2, l2) via one Newton correction of the f32 quotient."""
+    q0 = h1 / h2
+    p, pe = _two_prod(q0, h2)
+    rh, rl = _dd_add(h1, l1, -p, -pe)
+    rl = rl - q0 * l2
+    q1 = (rh + rl) / h2
+    return _two_sum(q0, q1)
+
+
+def _dd_sqrt(h, l):
+    """sqrt of (h, l) via one Newton correction (h > 0)."""
+    s0 = jnp.sqrt(h)
+    p, pe = _two_prod(s0, s0)
+    r = (h - p) + (l - pe)
+    s1 = r / (2.0 * s0)
+    return _two_sum(s0, s1)
+
+
+def _comp_seed_frac_dd(lc_hi, lc_lo, terms):
+    """Like :func:`_comp_seed_frac` but keeps the fraction as (hi, lo)."""
+    s = lc_hi
+    lo = lc_lo
+    for c, g_hi, g_lo in terms:
+        p, pe = _two_prod(c, g_hi)
+        s, se = _two_sum(s, p)
+        lo = lo + (pe + se + c * g_lo)
+    # 1/(ln2 * 60) as an (hi, lo) pair: a single-f32 constant scales the
+    # whole log-magnitude s (|s| can be hundreds) by (1 + ~eps), which
+    # survives the k0 subtraction as an O(|s|*eps) fraction error — a
+    # measured 2.5e-6 seed-value error floor in the dd kernel.
+    inv = 1.0 / (_LN2 * _SCALE_LOG2)
+    inv_hi = float(np.float32(inv))
+    inv_lo = float(np.float32(inv - inv_hi))
+    ls, le = _two_prod(s, inv_hi)
+    ls_lo = le + (lo * inv_hi + s * inv_lo)
+    k0 = jnp.floor(ls + ls_lo)
+    # ls - k0 is NOT exact in general: ls - k0 lands in [0, 1), which can
+    # be a coarser binade than ls itself (e.g. |ls| ~ 0.29 -> 0.71 has a
+    # 4x wider ulp), losing an eps/2 of frac = 1.2e-6 of seed value.
+    # Keep the subtraction as a pair.
+    th, te = _two_sum(ls, -k0)
+    fh, fe = _two_sum(th, ls_lo + te)
+    return fh, fe, k0
+
+
+def _seed_dd(frac_h, frac_e, sign):
+    """(hi, lo) seed mantissa = sign * 2^(frac * SCALE_LOG2).
+
+    exp2 of the hi fraction, first-order-corrected by the lo residual in
+    the *lo channel* — unlike the reverted plain-f32 seed corrections
+    (commit 4f60b13), the correction here rides in its own float, which
+    hardware rounding cannot absorb.
+    """
+    ah, ae = _two_prod(frac_h, float(_SCALE_LOG2))
+    ae = ae + frac_e * float(_SCALE_LOG2)
+    # exp2 evaluated only on the small fractional part: exp2(x) for x up
+    # to 60 costs ~x*eps relative (argument scaling by a rounded ln2
+    # inside the implementation — measured 5e-6 at x~48 on CPU); the
+    # integer power is built exactly from the exponent bits.
+    ai = jnp.round(ah)
+    af = ah - ai  # exact: |af| <= 0.5 and ah, ai share scale
+    p2 = jax.lax.bitcast_convert_type(
+        (ai.astype(jnp.int32) + 127) << 23, jnp.float32
+    )
+    s0 = p2 * jnp.exp2(af)
+    lo = s0 * (ae * _LN2)
+    return sign * s0, sign * lo
+
+
+def _coeffs_spin0_dd(ell, m):
+    """dd recurrence rows for l > m: c1 = (2l-1)/a(l), c2 = a(l-1)/a(l).
+
+    Integer-valued inputs make l^2, m^2 and their two-products exact;
+    rounding enters only through the dd sqrt/div (O(eps^2) relative).
+    Row-shaped ((1, m_chunk)) — cheap next to the ring-block-shaped
+    recurrence math.
+    """
+    lm1 = ell - 1.0
+    zeros = jnp.zeros_like(m)
+
+    def a_of(lf):
+        l2h, l2l = _two_prod(lf, lf)
+        m2h, m2l = _two_prod(m, m)
+        uh, ul = _dd_add(l2h, l2l, -m2h, -m2l)
+        return _dd_sqrt(uh, ul)
+
+    ah, al = a_of(ell * jnp.ones_like(m))
+    c1h, c1l = _dd_div(2.0 * ell - 1.0 + zeros, zeros, ah, al)
+    a1h, a1l = a_of(lm1 * jnp.ones_like(m))
+    c2h, c2l = _dd_div(a1h, a1l, ah, al)
+    return (c1h, c1l), (c2h, c2l)
+
+
+def _advance_spin0_dd(carry, ell, m, xh, xl, seed_h, seed_l, k0):
+    """One l-step of the scaled spin-0 recurrence in dd arithmetic."""
+    dph, dpl, dch, dcl, k = carry
+    l_f = ell.astype(jnp.float32)
+    zeros = jnp.zeros_like(m)
+
+    def u_of(lf):
+        l2h, l2l = _two_prod(lf + zeros, lf + zeros)
+        m2h, m2l = _two_prod(m, m)
+        return _dd_add(l2h, l2l, -m2h, -m2l)
+
+    uh, ul = u_of(l_f)
+    live = uh > 0.0
+    ah, al = _dd_sqrt(jnp.where(live, uh, 1.0), jnp.where(live, ul, 0.0))
+    c1h, c1l = _dd_div(2.0 * l_f - 1.0 + zeros, zeros, ah, al)
+    c1h = jnp.where(live, c1h, 0.0)
+    c1l = jnp.where(live, c1l, 0.0)
+    u1h, u1l = u_of(l_f - 1.0)
+    live1 = u1h > 0.0
+    a1h, a1l = _dd_sqrt(jnp.where(live1, u1h, 1.0),
+                        jnp.where(live1, u1l, 0.0))
+    a1h = jnp.where(live1, a1h, 0.0)
+    a1l = jnp.where(live1, a1l, 0.0)
+    c2h, c2l = _dd_div(a1h, a1l, ah, al)
+    c2h = jnp.where(live, c2h, 0.0)
+    c2l = jnp.where(live, c2l, 0.0)
+
+    xdh, xdl = _dd_mul(xh, xl, dch, dcl)
+    t1h, t1l = _dd_mul(c1h, c1l, xdh, xdl)
+    t2h, t2l = _dd_mul(c2h, c2l, dph, dpl)
+    ch_, cl_ = _dd_add(t1h, t1l, -t2h, -t2l)
+
+    is_seed = l_f == m
+    grow = l_f > m
+    d_h = jnp.where(is_seed, seed_h, jnp.where(grow, ch_, 0.0))
+    d_l = jnp.where(is_seed, seed_l, jnp.where(grow, cl_, 0.0))
+    k_new = jnp.where(is_seed, k0, k)
+    over = jnp.abs(d_h) > _SCALE
+    sc = jnp.where(over, _INV_SCALE, 1.0)
+    d_h, d_l = d_h * sc, d_l * sc  # exact power-of-2 rescale
+    dp_h, dp_l = dch * sc, dcl * sc
+    k_new = jnp.where(over, k_new + 1.0, k_new)
+    emit = _emit_of(k_new)
+    norm = jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
+    lam = (d_h + d_l) * emit * norm
+    return (dp_h, dp_l, d_h, d_l, k_new), lam
+
+
+def _coeffs_pair_dd(l_f, m, s2_h, mn, guard=False):
+    """dd rows for the pair recurrence at l (jnp analog: wigner.py dd).
+
+    d_new = c0*(x*d_curr) - cm*d_curr - c2*d_prev with
+    a(l) = sqrt((l^2-m^2)(l^2-s^2))/l, c0 = (2l-1)/a(l),
+    cm = c0*mn/((l-1)l), c2 = a(l-1)/a(l).  All integer-valued inputs
+    two_prod exactly; ``guard`` masks the sub-seed region (u <= 0).
+    Returns ((c0h, c0l), (cmh, cml), (c2h, c2l)).
+    """
+    zeros = jnp.zeros_like(m)
+    lm1 = l_f - 1.0
+
+    def u_of(lf):
+        l2h, l2l = _two_prod(lf + zeros, lf + zeros)
+        m2h, m2l = _two_prod(m, m)
+        ah, al = _dd_add(l2h, l2l, -m2h, -m2l)
+        bh, bl = _dd_add(l2h, l2l, -s2_h, 0.0)
+        return _dd_mul(ah, al, bh, bl)
+
+    def a_of(lf):
+        uh, ul = u_of(lf)
+        live = uh > 0.0
+        sh_, sl_ = _dd_sqrt(jnp.where(live, uh, 1.0),
+                            jnp.where(live, ul, 0.0))
+        sh_ = jnp.where(live, sh_, 0.0)
+        sl_ = jnp.where(live, sl_, 0.0)
+        qh, ql = _dd_div(sh_, sl_, lf + zeros, zeros)
+        return qh, ql, live
+
+    ah, al, live = a_of(l_f)
+    saf_h = jnp.where(live, ah, 1.0)
+    saf_l = jnp.where(live, al, 0.0)
+    c0h, c0l = _dd_div(2.0 * l_f - 1.0 + zeros, zeros, saf_h, saf_l)
+    # mn / ((l-1) l): exact two_prod denominator, one dd division
+    dh, dl = _two_prod(jnp.maximum(lm1, 1.0) + zeros,
+                       jnp.maximum(l_f, 1.0) + zeros)
+    qh, ql = _dd_div(mn, jnp.zeros_like(mn), dh, dl)
+    cmh, cml = _dd_mul(c0h, c0l, qh, ql)
+    a1h, a1l, _ = a_of(lm1)
+    c2h, c2l = _dd_div(a1h, a1l, saf_h, saf_l)
+    if guard:
+        c0h = jnp.where(live, c0h, 0.0)
+        c0l = jnp.where(live, c0l, 0.0)
+        cmh = jnp.where(live, cmh, 0.0)
+        cml = jnp.where(live, cml, 0.0)
+        c2h = jnp.where(live, c2h, 0.0)
+        c2l = jnp.where(live, c2l, 0.0)
+    return (c0h, c0l), (cmh, cml), (c2h, c2l)
+
+
+def _advance_pair_dd(carry, ell, m, s2_h, mn, xh, xl, j0, seed_h, seed_l,
+                     seed_k):
+    """One l-step of the scaled spin-pair recurrence in dd arithmetic."""
+    dph, dpl, dch, dcl, k = carry
+    l_f = ell.astype(jnp.float32)
+    (c0h, c0l), (cmh, cml), (c2h, c2l) = _coeffs_pair_dd(
+        l_f, m, s2_h, mn, guard=True
+    )
+    xdh, xdl = _dd_mul(xh, xl, dch, dcl)
+    t0h, t0l = _dd_mul(c0h, c0l, xdh, xdl)
+    tmh, tml = _dd_mul(cmh, cml, dch, dcl)
+    t2h, t2l = _dd_mul(c2h, c2l, dph, dpl)
+    sh_, sl_ = _dd_add(t0h, t0l, -tmh, -tml)
+    ch_, cl_ = _dd_add(sh_, sl_, -t2h, -t2l)
+
+    is_seed = l_f == j0
+    grow = l_f > j0
+    d_h = jnp.where(is_seed, seed_h, jnp.where(grow, ch_, 0.0))
+    d_l = jnp.where(is_seed, seed_l, jnp.where(grow, cl_, 0.0))
+    k_new = jnp.where(is_seed, seed_k, k)
+    over = jnp.abs(d_h) > _SCALE
+    sc = jnp.where(over, _INV_SCALE, 1.0)
+    d_h, d_l = d_h * sc, d_l * sc  # exact power-of-2 rescale
+    dp_h, dp_l = dch * sc, dcl * sc
+    k_new = jnp.where(over, k_new + 1.0, k_new)
+    emit = _emit_of(k_new)
+    norm = jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
+    lam = (d_h + d_l) * emit * norm
+    return (dp_h, dp_l, d_h, d_l, k_new), lam
 
 
 def _vmem_limit(*words):
@@ -355,6 +614,100 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
     carry = jax.lax.fori_loop(
         m0 // 8, diag_end, diag_body, (zeros, zeros, kinit)
+    )
+    jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
+
+
+def _kernel_dd(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *,
+               lmax, m_chunk, ring_block, nb=1):
+    """dd (double-single f32) variant of :func:`_kernel`.
+
+    Same grid/blocking/triangle-skip structure; the recurrence carries
+    and coefficients are (hi, lo) f32 pairs, removing the f32 recurrence
+    rounding that dominates the top multipole band (~2-3e-5 band-max Cl
+    at l >~ 0.9 lmax with the plain kernel; <~1e-6 in dd — see
+    ops/wigner.py's jnp dd scans, same arithmetic).  ``x_ref`` carries
+    the (hi, lo) pair of cos(theta) in its second axis.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    m = seed_ref[3]
+    msign = seed_ref[2]
+    xh = x_ref[:, 0:1]
+    xl = x_ref[:, 1:2]
+    logsum_hi = logsum_ref[:, 0:1]
+    logsum_lo = logsum_ref[:, 1:2]
+
+    frac_h, frac_e, k0 = _comp_seed_frac_dd(
+        seed_ref[0], seed_ref[1], [(m, logsum_hi, logsum_lo)]
+    )
+    seed_h, seed_l = _seed_dd(frac_h, frac_e, msign)
+
+    def F_planes(q, t):
+        ref = Fe_ref if t % 2 == 0 else Fo_ref
+        return ref[0, 2 * q], ref[0, 2 * q + 1]
+
+    def diag_body(blk, carry):
+        rows = [[] for _ in range(2 * nb)]
+        for t in range(8):
+            carry, lam = _advance_spin0_dd(
+                carry, 8 * blk + t, m, xh, xl, seed_h, seed_l, k0
+            )
+            for q in range(nb):
+                Fr, Fi = F_planes(q, t)
+                rows[2 * q].append(_rsum(lam * Fr))
+                rows[2 * q + 1].append(_rsum(lam * Fi))
+        sl = pl.ds(8 * blk, 8)
+        for p in range(2 * nb):
+            out_ref[0, p, sl, :] += jnp.concatenate(rows[p], axis=0)
+        return carry
+
+    def bulk_body(blk, carry):
+        dph, dpl, dch, dcl, k = carry
+        emit = _emit_of(k)
+        ds = []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            (c1h, c1l), (c2h, c2l) = _coeffs_spin0_dd(ell, m)
+            xdh, xdl = _dd_mul(xh, xl, dch, dcl)
+            t1h, t1l = _dd_mul(c1h, c1l, xdh, xdl)
+            t2h, t2l = _dd_mul(c2h, c2l, dph, dpl)
+            dnh, dnl = _dd_add(t1h, t1l, -t2h, -t2l)
+            ds.append(dnh + dnl)
+            dph, dpl, dch, dcl = dch, dcl, dnh, dnl
+
+        @pl.when(jnp.max(k) > -1.5)
+        def _emit_block():
+            rows = [[] for _ in range(2 * nb)]
+            for t in range(8):
+                lam = ds[t] * emit
+                for q in range(nb):
+                    Fr, Fi = F_planes(q, t)
+                    rows[2 * q].append(_rsum(lam * Fr))
+                    rows[2 * q + 1].append(_rsum(lam * Fi))
+            norm = _norm_col(blk)
+            sl = pl.ds(8 * blk, 8)
+            for p in range(2 * nb):
+                out_ref[0, p, sl, :] += (
+                    jnp.concatenate(rows[p], axis=0) * norm
+                )
+
+        over = jnp.abs(dch) > _SCALE
+        sc = jnp.where(over, _INV_SCALE, 1.0)
+        return (dph * sc, dpl * sc, dch * sc, dcl * sc,
+                jnp.where(over, k + 1.0, k))
+
+    nblocks = (lmax + 8) // 8
+    m0 = seed_ref[3, 0, 0].astype(jnp.int32)
+    diag_end = _diag_end(m0, m_chunk, nblocks)
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body, (zeros, zeros, zeros, zeros, kinit)
     )
     jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
 
@@ -503,6 +856,156 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     init = ((zeros, zeros, kinit), (zeros, zeros, kinit))
     # the pair seed sits at j0 = max(m, spin) >= m0 for every lane, so
     # blocks below m0//8 contribute nothing for the whole chunk
+    carry = jax.lax.fori_loop(m0 // 8, diag_end, diag_body, init)
+    jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
+
+
+def _pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
+                    FNm_ref, Sm_ref, out_ref, *, lmax, spin, m_chunk,
+                    ring_block, nb=1):
+    """dd (double-single f32) variant of :func:`_pair_kernel`.
+
+    Same grid/blocking/output layout; both branch recurrences carry
+    (hi, lo) f32 pairs (see :func:`_kernel_dd`).  ``x_ref`` carries the
+    (hi, lo) pair of cos(theta) in its second axis.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    xh = x_ref[:, 0:1]
+    xl = x_ref[:, 1:2]
+    logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
+    logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
+    m = seed_ref[7]
+    j0 = seed_ref[6]
+    s2 = float(spin * spin)
+
+    def seed_vals(lc_hi, lc_lo, sign, pc, ps):
+        fh, fe, k0 = _comp_seed_frac_dd(
+            lc_hi, lc_lo,
+            [(pc, logch[0], logch[1]), (ps, logsh[0], logsh[1])],
+        )
+        sh_, sl_ = _seed_dd(fh, fe, sign)
+        return sh_, sl_, k0
+
+    pc_p = m + float(spin)
+    ps_p = jnp.abs(m - float(spin))
+    pc_m = jnp.abs(m - float(spin))
+    ps_m = m + float(spin)
+    sp_h, sp_l, k0_p = seed_vals(seed_ref[0], seed_ref[1], seed_ref[2],
+                                 pc_p, ps_p)
+    sm_h, sm_l, k0_m = seed_vals(seed_ref[3], seed_ref[4], seed_ref[5],
+                                 pc_m, ps_m)
+    mn_p = m * float(spin)
+    mn_m = m * float(-spin)
+
+    def F_of(ref, q):
+        return (ref[0, 2 * q], ref[0, 2 * q + 1])
+
+    def diag_body(blk, carry):
+        carry_p, carry_m = carry
+        rows = [[] for _ in range(4 * nb)]
+        for t in range(8):
+            ell = 8 * blk + t
+            sgn = 1.0 if t % 2 == 0 else -1.0
+            carry_p, lam_p = _advance_pair_dd(
+                carry_p, ell, m, s2, mn_p, xh, xl, j0, sp_h, sp_l, k0_p
+            )
+            carry_m, lam_m = _advance_pair_dd(
+                carry_m, ell, m, s2, mn_m, xh, xl, j0, sm_h, sm_l, k0_m
+            )
+            for q in range(nb):
+                FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
+                FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
+                for c in range(2):
+                    rows[4 * q + c].append(
+                        _rsum(lam_p * FNp[c] + sgn * lam_m * Sp[c])
+                    )
+                    rows[4 * q + 2 + c].append(
+                        _rsum(lam_m * FNm[c] + sgn * lam_p * Sm[c])
+                    )
+        sl = pl.ds(8 * blk, 8)
+        for plane in range(4 * nb):
+            out_ref[0, plane, sl, :] += jnp.concatenate(rows[plane], axis=0)
+        return carry_p, carry_m
+
+    def bulk_body(blk, carry):
+        (dph, dpl, dch, dcl, k_p), (eph, epl, ech, ecl, k_m) = carry
+        emit_p = _emit_of(k_p)
+        emit_m = _emit_of(k_m)
+        dps, dms = [], []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            (c0p, c0pl), (cmp_, cmpl), (c2p, c2pl) = _coeffs_pair_dd(
+                ell, m, s2, mn_p
+            )
+            (c0m, c0ml), (cmm, cmml), (c2m, c2ml) = _coeffs_pair_dd(
+                ell, m, s2, mn_m
+            )
+
+            def step(c0, c0l_, cm, cml_, c2, c2l_, ph, pll, ch_, cl_):
+                xdh, xdl = _dd_mul(xh, xl, ch_, cl_)
+                t0h, t0l = _dd_mul(c0, c0l_, xdh, xdl)
+                tmh, tml = _dd_mul(cm, cml_, ch_, cl_)
+                t2h, t2l = _dd_mul(c2, c2l_, ph, pll)
+                sh_, sl_ = _dd_add(t0h, t0l, -tmh, -tml)
+                return _dd_add(sh_, sl_, -t2h, -t2l)
+
+            dnh, dnl = step(c0p, c0pl, cmp_, cmpl, c2p, c2pl,
+                            dph, dpl, dch, dcl)
+            enh, enl = step(c0m, c0ml, cmm, cmml, c2m, c2ml,
+                            eph, epl, ech, ecl)
+            dps.append(dnh + dnl)
+            dms.append(enh + enl)
+            dph, dpl, dch, dcl = dch, dcl, dnh, dnl
+            eph, epl, ech, ecl = ech, ecl, enh, enl
+
+        @pl.when(jnp.maximum(jnp.max(k_p), jnp.max(k_m)) > -1.5)
+        def _emit_block():
+            rows = [[] for _ in range(4 * nb)]
+            for t in range(8):
+                lam_p = dps[t] * emit_p
+                lam_m = dms[t] * emit_m
+                for q in range(nb):
+                    FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
+                    FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
+                    for c in range(2):
+                        tp = lam_p * FNp[c]
+                        tm = lam_m * Sp[c]
+                        rows[4 * q + c].append(
+                            _rsum(tp + tm if t % 2 == 0 else tp - tm)
+                        )
+                        tp2 = lam_m * FNm[c]
+                        tm2 = lam_p * Sm[c]
+                        rows[4 * q + 2 + c].append(
+                            _rsum(tp2 + tm2 if t % 2 == 0 else tp2 - tm2)
+                        )
+            norm = _norm_col(blk)
+            sl = pl.ds(8 * blk, 8)
+            for plane in range(4 * nb):
+                out_ref[0, plane, sl, :] += (
+                    jnp.concatenate(rows[plane], axis=0) * norm
+                )
+
+        def resc(ph, pll, ch_, cl_, k):
+            over = jnp.abs(ch_) > _SCALE
+            sc = jnp.where(over, _INV_SCALE, 1.0)
+            return (ph * sc, pll * sc, ch_ * sc, cl_ * sc,
+                    jnp.where(over, k + 1.0, k))
+
+        return (resc(dph, dpl, dch, dcl, k_p),
+                resc(eph, epl, ech, ecl, k_m))
+
+    nblocks = (lmax + 8) // 8
+    m0 = seed_ref[7, 0, 0].astype(jnp.int32)
+    diag_end = _diag_end(m0, m_chunk, nblocks)
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    init = ((zeros, zeros, zeros, zeros, kinit),
+            (zeros, zeros, zeros, zeros, kinit))
     carry = jax.lax.fori_loop(m0 // 8, diag_end, diag_body, init)
     jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
 
@@ -1135,11 +1638,13 @@ def _pick_nb(B, lmax, limit=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret"),
+    static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret",
+                     "dd"),
 )
 def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
                           logsh_lo=None, seed_planes=None, m_chunk=128,
-                          ring_block=None, nb=None, interpret=False):
+                          ring_block=None, nb=None, interpret=False,
+                          dd=False, x_lo=None):
     """alm[l, m] = sum_r lam_{lm}(x_r) * F(e/o by l parity)[r, m].
 
     ``Fe``/``Fo``: (..., nhalf, nm_pad) complex64/128 parity-combined
@@ -1149,6 +1654,9 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
     compensated seed path; pass them for full accuracy at high m).
     Batched maps are grouped ``nb`` per program (auto): the Wigner
     recurrence runs once per tile for all nb maps.
+    ``dd``: run the recurrence in double-single arithmetic (the
+    high-accuracy mode, ~2-4x slower); pass the f32 residual of f64
+    cos(theta) in ``x_lo``.
     Returns (..., lmax+1, nm_pad) complex64.
     """
     B, batch, (Fe, Fo) = _flatten_batch((Fe, Fo))
@@ -1179,7 +1687,27 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
     Fo2 = prep(Fo)
     if seed_planes is None:
         seed_planes = spin0_seed_planes(np.arange(nm_pad))
-    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+    if dd:
+        # (nr_pad, 2) hi/lo pair of cos(theta)
+        if x_lo is None:
+            x_lo = jnp.zeros_like(x)
+        xp = jnp.stack(
+            [
+                jnp.pad(x.astype(jnp.float32), (0, pad)),
+                jnp.pad(x_lo.astype(jnp.float32), (0, pad)),
+            ],
+            axis=-1,
+        )
+        kernel = _kernel_dd
+        x_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        carry_words = 10
+    else:
+        xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+        kernel = _kernel
+        x_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        carry_words = 4
     logsum = _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad)
 
     lpad = -(-(lmax + 1) // 8) * 8
@@ -1191,12 +1719,11 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block, nb=nb
+            kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block, nb=nb
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
-            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 1, m_chunk), lambda b, i, j: (0, 0, i),
@@ -1215,7 +1742,7 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
             vmem_limit_bytes=_vmem_limit(
                 nb * 2 * lpad * m_chunk,           # resident out tile
                 2 * 2 * nb * 2 * ring_block * m_chunk,  # dbuf Fe/Fo
-                4 * ring_block * m_chunk,          # recurrence carries
+                carry_words * ring_block * m_chunk,  # recurrence carries
             ),
         ),
         interpret=interpret,

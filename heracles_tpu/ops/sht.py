@@ -371,13 +371,13 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
 
     dd = dd and Fw[0].dtype == jnp.complex64
 
-    # TPU fast path: the fused Pallas kernel (spin 0, f32, any batch)
+    # TPU fast path: the fused Pallas kernel (spin 0, f32, any batch);
+    # dd=True routes to the double-single high-accuracy kernel variant
     if (
         not cross
         and abs(int(ns[0])) == 0
         and Fw[0].dtype == jnp.complex64
         and _use_pallas()
-        and not dd
     ):
         from . import pallas_sht
 
@@ -387,6 +387,8 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
         alm = pallas_sht.analysis_spin0_folded(
             FN0 + FS0, FN0 - FS0, x, logch, logsh, lmax,
             logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
+            dd=dd,
+            x_lo=jnp.asarray(_x_lo_array(nside)) if dd else None,
         )
         return (alm,)
 

@@ -70,7 +70,7 @@ def _stage_synth(nside, lmax, spin, path):
     print(f"synth f64 done: {maps.shape}")
 
 
-def _stage_analyse(path, out, lmax, spin, dtype, iters=0):
+def _stage_analyse(path, out, lmax, spin, dtype, iters=0, dd=False):
     import jax
 
     if dtype == "f64":
@@ -88,9 +88,11 @@ def _stage_analyse(path, out, lmax, spin, dtype, iters=0):
     maps = np.load(path)["maps"]
     if dtype == "f32":
         maps = maps.astype(np.float32)
-    back = sht.map2alm_host(maps, lmax=lmax, spin=spin, iterations=iters)
+    back = sht.map2alm_host(maps, lmax=lmax, spin=spin, iterations=iters,
+                            dd=dd)
     np.savez(out, back=back)
-    print(f"analyse {dtype} iters={iters} done on {jax.default_backend()}")
+    print(f"analyse {dtype} iters={iters} dd={dd} done on "
+          f"{jax.default_backend()}")
 
 
 def _cl_of(alm, lmax):
@@ -131,18 +133,21 @@ def run(nside, spin, partial=False, lmax=None):
     if not os.path.exists(base + ".npz"):
         sub(["--stage", "synth", "--nside", str(nside), "--spin", str(spin),
              "--path", base + ".npz", "--lmax", str(lmax)])
-    variants = (("f64", "f64", 0), ("f32", "f32", 0),
-                ("f64_it1", "f64", 1), ("f32_it1", "f32", 1))
+    variants = (("f64", "f64", 0, 0), ("f32", "f32", 0, 0),
+                ("f64_it1", "f64", 1, 0), ("f32_it1", "f32", 1, 0),
+                ("f32_dd", "f32", 0, 1), ("f32_dd_it1", "f32", 1, 1))
     if os.environ.get("HERACLES_TPU_SWEEP_CPU"):
         # host-f32 rows are recorded separately from the TPU-f32 rows
-        variants = (("f32_cpu", "f32", 0), ("f32_it1_cpu", "f32", 1))
-    for name, dt, it in variants:
+        variants = (("f32_cpu", "f32", 0, 0), ("f32_it1_cpu", "f32", 1, 0),
+                    ("f32_dd_cpu", "f32", 0, 1))
+    for name, dt, it, dd in variants:
         if not os.path.exists(f"{base}_{name}.npz"):
             if partial:
                 continue  # report whatever stages exist (f32 needs TPU)
             sub(["--stage", "analyse", "--path", base + ".npz",
                  "--out", f"{base}_{name}.npz", "--lmax", str(lmax),
-                 "--spin", str(spin), "--dtype", dt, "--iters", str(it)])
+                 "--spin", str(spin), "--dtype", dt, "--iters", str(it)]
+                + (["--dd"] if dd else []))
 
     truth = np.load(base + ".npz")["alm"]
     scale = np.abs(truth).max()
@@ -156,7 +161,7 @@ def run(nside, spin, partial=False, lmax=None):
         results = json.load(open(RESULTS))
     rec = results.get(key, {})
     rec.update({"nside": nside, "lmax": lmax, "spin": spin})
-    for name, _, _ in variants:
+    for name, _, _, _ in variants:
         if not os.path.exists(f"{base}_{name}.npz"):
             continue
         back = np.load(f"{base}_{name}.npz")["back"]
@@ -205,13 +210,14 @@ def main():
     ap.add_argument("--lmax", type=int)
     ap.add_argument("--dtype", choices=["f32", "f64"])
     ap.add_argument("--iters", type=int, default=0)
+    ap.add_argument("--dd", action="store_true")
     args = ap.parse_args()
     if args.stage == "synth":
         lmax = args.lmax if args.lmax else 3 * args.nside // 2
         _stage_synth(args.nside, lmax, args.spin, args.path)
     elif args.stage == "analyse":
         _stage_analyse(args.path, args.out, args.lmax, args.spin, args.dtype,
-                       args.iters)
+                       args.iters, dd=args.dd)
     elif args.table:
         table()
     else:
