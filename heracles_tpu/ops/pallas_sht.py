@@ -1053,12 +1053,12 @@ def _vec_pair(hi, lo, pad):
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "nb",
-                     "interpret"),
+                     "interpret", "dd"),
 )
 def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
                          logch_lo=None, logsh_lo=None, seed_planes=None,
                          m_chunk=128, ring_block=None, nb=None,
-                         interpret=False):
+                         interpret=False, dd=False, x_lo=None):
     """Folded spin-pair analysis on the Pallas kernel.
 
     Inputs as built by the jnp cross path: FN* northern rows per branch,
@@ -1066,8 +1066,10 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     leading batch dims (..., nhalf, nm_pad).  ``logch_lo``/``logsh_lo``
     are the optional f32 residuals of the f64 ring geometry (compensated
     seed path).  Batched maps group ``nb`` per program (recurrence runs
-    once per tile).  Returns (alm_p, alm_m) rectangular (..., lmax+1,
-    nm_pad) complex64.
+    once per tile).  ``dd``: run both branch recurrences in double-single
+    arithmetic (the high-accuracy mode); pass the f32 residual of f64
+    cos(theta) in ``x_lo``.  Returns (alm_p, alm_m) rectangular
+    (..., lmax+1, nm_pad) complex64.
     """
     B, batch, (FNp, Sp, FNm, Sm) = _flatten_batch((FNp, Sp, FNm, Sm))
     if nb is None:
@@ -1096,20 +1098,36 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     n_mchunks = nm_pad // m_chunk
     n_rblocks = nr_pad // ring_block
 
-    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
     logchp = _vec_pair(logch, logch_lo, pad)
     logshp = _vec_pair(logsh, logsh_lo, pad)
 
-    vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
-                            memory_space=pltpu.VMEM)
     pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                              memory_space=pltpu.VMEM)
+    if dd:
+        if x_lo is None:
+            x_lo = jnp.zeros_like(x)
+        xp = jnp.stack(
+            [
+                jnp.pad(x.astype(jnp.float32), (0, pad)),
+                jnp.pad(x_lo.astype(jnp.float32), (0, pad)),
+            ],
+            axis=-1,
+        )
+        kernel = _pair_kernel_dd
+        vec_spec = pair_spec
+        carry_words = 10
+    else:
+        xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+        kernel = _pair_kernel
+        vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
+                                memory_space=pltpu.VMEM)
+        carry_words = 6
     F_spec = pl.BlockSpec((1, nb * 2, ring_block, m_chunk),
                           lambda b, i, j: (b, 0, j, i),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _pair_kernel, lmax=lmax, spin=abs(int(spin)), m_chunk=m_chunk,
+            kernel, lmax=lmax, spin=abs(int(spin)), m_chunk=m_chunk,
             ring_block=ring_block, nb=nb,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
@@ -1130,7 +1148,7 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
             vmem_limit_bytes=_vmem_limit(
                 nb * 4 * lpad * m_chunk,
                 2 * 4 * nb * 2 * ring_block * m_chunk,
-                6 * ring_block * m_chunk,
+                carry_words * ring_block * m_chunk,
             ),
         ),
         interpret=interpret,

@@ -398,12 +398,12 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
         partner = folded[nspin - 1 - b] if cross else folded[b]
         FS.append(partner[1] * msign)
 
-    # TPU fast path for spin pairs: the fused cross-mode Pallas kernel
+    # TPU fast path for spin pairs: the fused cross-mode Pallas kernel;
+    # dd=True routes to the double-single high-accuracy kernel variant
     if (
         cross
         and Fw[0].dtype == jnp.complex64
         and _use_pallas()
-        and not dd
     ):
         from . import pallas_sht
 
@@ -412,6 +412,8 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
             FN[0], FS[1], FN[1], FS[0], x, logch, logsh, lmax,
             abs(int(ns[0])), logch_lo=lo_ch, logsh_lo=lo_sh,
             m_chunk=m_chunk,
+            dd=dd,
+            x_lo=jnp.asarray(_x_lo_array(nside)) if dd else None,
         )
         return (alm_p, alm_m)
 

@@ -592,3 +592,65 @@ def test_pallas_dd_analysis_beats_plain():
     err_plain = np.abs(got_plain - want).max() / scale
     assert err_dd < 5e-7, err_dd
     assert err_dd < err_plain / 10
+
+
+def test_pallas_dd_pair_beats_plain():
+    """dd spin-pair analysis kernel: ~f64 accuracy on f32 inputs.
+
+    Both branch recurrences carry (hi, lo) pairs (_pair_kernel_dd);
+    against an f64 jnp cross-scan truth the dd kernel must land well
+    below the plain pair kernel's f32 recurrence error.
+    """
+    from heracles_tpu.ops.pallas_sht import analysis_pair_folded
+
+    nside, lmax, spin = 32, 48, 2
+    rng = np.random.default_rng(5)
+    nhalf = 2 * nside
+    nm_pad = 128
+
+    def rand():
+        return (rng.normal(size=(nhalf, nm_pad))
+                + 1j * rng.normal(size=(nhalf, nm_pad))).astype(np.complex64)
+
+    FNp, Sp, FNm, Sm = rand(), rand(), rand(), rand()
+    x64, logch64, logsh64 = sht._geom_arrays(nside, "float64")
+    x64, logch64, logsh64 = x64[:nhalf], logch64[:nhalf], logsh64[:nhalf]
+    x = x64.astype(np.float32)
+    x_lo = (x64 - x.astype(np.float64)).astype(np.float32)
+    logch = logch64.astype(np.float32)
+    logch_lo = (logch64 - logch.astype(np.float64)).astype(np.float32)
+    logsh = logsh64.astype(np.float32)
+    logsh_lo = (logsh64 - logsh.astype(np.float64)).astype(np.float32)
+
+    ms = jnp.tile(jnp.arange(nm_pad, dtype=jnp.int32), 2)
+    nsv = jnp.repeat(jnp.asarray([spin, -spin], jnp.int32), nm_pad)
+    FN_l = jnp.concatenate(
+        [jnp.asarray(FNp), jnp.asarray(FNm)], axis=-1
+    ).astype(jnp.complex128)
+    FS_l = jnp.concatenate(
+        [jnp.asarray(Sm), jnp.asarray(Sp)], axis=-1
+    ).astype(jnp.complex128)
+    want = np.asarray(
+        wigner.lambda_analysis_scan_folded(
+            ms, nsv, jnp.asarray(x64), jnp.asarray(logch64),
+            jnp.asarray(logsh64), lmax, FN_l, FS_l, cross=True,
+        )
+    )
+
+    args = (jnp.asarray(FNp), jnp.asarray(Sp), jnp.asarray(FNm),
+            jnp.asarray(Sm), jnp.asarray(x), jnp.asarray(logch),
+            jnp.asarray(logsh), lmax, spin)
+    kw = dict(logch_lo=jnp.asarray(logch_lo), logsh_lo=jnp.asarray(logsh_lo),
+              ring_block=32, interpret=True)
+    ap_dd, am_dd = analysis_pair_folded(
+        *args, dd=True, x_lo=jnp.asarray(x_lo), **kw
+    )
+    ap_pl, am_pl = analysis_pair_folded(*args, **kw)
+
+    scale = np.abs(want).max()
+    got_dd = np.concatenate([np.asarray(ap_dd), np.asarray(am_dd)], axis=-1)
+    got_pl = np.concatenate([np.asarray(ap_pl), np.asarray(am_pl)], axis=-1)
+    err_dd = np.abs(got_dd - want).max() / scale
+    err_plain = np.abs(got_pl - want).max() / scale
+    assert err_dd < 5e-7, err_dd
+    assert err_dd < err_plain / 10, (err_dd, err_plain)
