@@ -150,8 +150,11 @@ def mapper_from_config(config, section):
             import jax
 
             device_maps = jax.default_backend() == "tpu"
+        dd = config.getboolean(section, "dd", fallback=None)
+        iterations = config.getint(section, "iterations", fallback=0)
         return HealpixMapper(nside, lmax, deconvolve=deconvolve,
-                             device_maps=device_maps)
+                             device_maps=device_maps, dd=dd,
+                             iterations=iterations)
     if mapper == "discrete":
         from .mappers import DiscreteMapper
 

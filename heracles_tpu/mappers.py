@@ -63,7 +63,7 @@ class HealpixMapper:
     batched_transform = True
 
     def __init__(self, nside, lmax=None, *, deconvolve=None, dtype=np.float64,
-                 device_maps=False):
+                 device_maps=False, dd=None, iterations=0):
         self._nside = int(nside)
         self._lmax = sht.resolve_lmax(nside, lmax)
         self._deconv = True if deconvolve is None else bool(deconvolve)
@@ -73,6 +73,12 @@ class HealpixMapper:
         # never crosses the host<->device boundary (~1.6 GB round trip
         # per nside=4096 map otherwise)
         self._device_maps = bool(device_maps)
+        # accuracy knobs, threaded into every analysis this mapper runs:
+        # dd — double-single f32 recurrence (f64-class accuracy on TPU,
+        # ~2-4x the SHT cost; default: the HERACLES_TPU_SHT_DD env flag);
+        # iterations — Jacobi refinement steps (healpy's iter= analog)
+        self._dd = dd
+        self._iterations = int(iterations)
 
     @property
     def nside(self):
@@ -212,13 +218,20 @@ class HealpixMapper:
             chirps = sht._host_chirps(
                 arr.shape[-1], self._lmax, None, arr.dtype, from_npix=True
             )
+            synth_chirps = (
+                sht._host_chirps(arr.shape[-1], self._lmax, None, arr.dtype,
+                                 from_npix=True, kind="synthesis")
+                if self._iterations else None
+            )
             alm = sht.map2alm_jit(
                 arr, lmax=self._lmax, spin=spin, weights="ring",
-                fft_chirps=chirps,
+                fft_chirps=chirps, fft_chirps_synth=synth_chirps,
+                dd=self._dd, iterations=self._iterations,
             )
         else:
             alm = sht.map2alm_host(arr, lmax=self._lmax, spin=spin,
-                                   weights="ring")
+                                   weights="ring", dd=self._dd,
+                                   iterations=self._iterations)
         return self._finish_alm(alm, md, spin)
 
     def transform_sharded(self, mesh, data, spin=0):

@@ -1253,13 +1253,103 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
         out_ref[0, 4 * q + 3] = Si * msign
 
 
+def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
+                     m_chunk, ring_block, nb=1):
+    """dd (double-single f32) variant of :func:`_synth_kernel`.
+
+    Same grid/blocking/output layout; the Wigner recurrence carries and
+    coefficients are (hi, lo) f32 pairs (see :func:`_kernel_dd`) while
+    the G accumulation stays plain f32 (random-walk noise well below the
+    recurrence error it removes — same split as the jnp dd scans).
+    ``x_ref`` carries the (hi, lo) pair of cos(theta) in its second axis.
+    """
+    m = seed_ref[3]
+    msign = seed_ref[2]
+    xh = x_ref[:, 0:1]
+    xl = x_ref[:, 1:2]
+
+    frac_h, frac_e, k0 = _comp_seed_frac_dd(
+        seed_ref[0], seed_ref[1],
+        [(m, logsum_ref[:, 0:1], logsum_ref[:, 1:2])],
+    )
+    seed_h, seed_l = _seed_dd(frac_h, frac_e, msign)
+
+    def step_maps(rows, t, sgn, lam, acc):
+        new = []
+        for q in range(nb):
+            GNr, GNi, Sr, Si = acc[q]
+            t_re = rows[2 * q, t, :][None, :] * lam
+            t_im = rows[2 * q + 1, t, :][None, :] * lam
+            new.append((GNr + t_re, GNi + t_im,
+                        Sr + sgn * t_re, Si + sgn * t_im))
+        return new
+
+    def diag_body(blk, carry):
+        state, acc = carry
+        rows = alm_ref[0, :, pl.ds(8 * blk, 8), :]  # (nb*2, 8, m_chunk)
+        for t in range(8):
+            state, lam = _advance_spin0_dd(
+                state, 8 * blk + t, m, xh, xl, seed_h, seed_l, k0
+            )
+            acc = step_maps(rows, t, 1.0 if t % 2 == 0 else -1.0, lam, acc)
+        return state, acc
+
+    def bulk_body(blk, carry):
+        (dph, dpl, dch, dcl, k), acc = carry
+        emit = _emit_of(k)
+        ds = []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            (c1h, c1l), (c2h, c2l) = _coeffs_spin0_dd(ell, m)
+            xdh, xdl = _dd_mul(xh, xl, dch, dcl)
+            t1h, t1l = _dd_mul(c1h, c1l, xdh, xdl)
+            t2h, t2l = _dd_mul(c2h, c2l, dph, dpl)
+            dnh, dnl = _dd_add(t1h, t1l, -t2h, -t2l)
+            ds.append(dnh + dnl)
+            dph, dpl, dch, dcl = dch, dcl, dnh, dnl
+
+        def _accumulate(acc):
+            norm = _norm_col(blk)
+            rows = alm_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            for t in range(8):
+                acc = step_maps(rows, t, 1.0 if t % 2 == 0 else -1.0,
+                                ds[t] * emit, acc)
+            return acc
+
+        acc = jax.lax.cond(jnp.max(k) > -1.5, _accumulate, lambda a: a, acc)
+        over = jnp.abs(dch) > _SCALE
+        sc = jnp.where(over, _INV_SCALE, 1.0)
+        return (dph * sc, dpl * sc, dch * sc, dcl * sc,
+                jnp.where(over, k + 1.0, k)), acc
+
+    nblocks = (lmax + 8) // 8
+    m0 = seed_ref[3, 0, 0].astype(jnp.int32)
+    diag_end = _diag_end(m0, m_chunk, nblocks)
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    acc0 = [(zeros, zeros, zeros, zeros) for _ in range(nb)]
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body,
+        ((zeros, zeros, zeros, zeros, kinit), acc0),
+    )
+    _, acc = jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
+    for q in range(nb):
+        GNr, GNi, Sr, Si = acc[q]
+        out_ref[0, 4 * q + 0] = GNr
+        out_ref[0, 4 * q + 1] = GNi
+        out_ref[0, 4 * q + 2] = Sr * msign
+        out_ref[0, 4 * q + 3] = Si * msign
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret"),
+    static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret",
+                     "dd"),
 )
 def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
                            logsh_lo=None, seed_planes=None, m_chunk=128,
-                           ring_block=None, nb=None, interpret=False):
+                           ring_block=None, nb=None, interpret=False,
+                           dd=False, x_lo=None):
     """Folded spin-0 synthesis: rectangular alm -> (GN, GS) ring spectra.
 
     ``alm``: (..., lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
@@ -1267,6 +1357,8 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
     GS is the mirrored-southern spectrum with the (-1)^m sign applied,
     matching :func:`heracles_tpu.ops.wigner.lambda_synthesis_scan_folded`.
     Batched alms group ``nb`` per program (shared recurrence).
+    ``dd``: run the recurrence in double-single arithmetic; pass the f32
+    residual of f64 cos(theta) in ``x_lo``.
     """
     B, batch, (alm,) = _flatten_batch((alm,))
     if nb is None:
@@ -1294,7 +1386,24 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
 
     if seed_planes is None:
         seed_planes = spin0_seed_planes(np.arange(nm_pad))
-    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+    if dd:
+        if x_lo is None:
+            x_lo = jnp.zeros_like(x)
+        xp = jnp.stack(
+            [
+                jnp.pad(x.astype(jnp.float32), (0, pad)),
+                jnp.pad(x_lo.astype(jnp.float32), (0, pad)),
+            ],
+            axis=-1,
+        )
+        kernel = _synth_kernel_dd
+        x_width = 2
+        carry_words = 4 * nb + 6
+    else:
+        xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+        kernel = _synth_kernel
+        x_width = 1
+        carry_words = 4 * nb + 3
     logsum = _logsum_pair(logch, logsh, logch_lo, logsh_lo, pad)
 
     n_mchunks = nm_pad // m_chunk
@@ -1302,12 +1411,12 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
 
     out = pl.pallas_call(
         functools.partial(
-            _synth_kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block,
+            kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block,
             nb=nb,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
-            pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
+            pl.BlockSpec((ring_block, x_width), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -1329,7 +1438,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
             vmem_limit_bytes=_vmem_limit(
                 2 * nb * 2 * lpad * m_chunk,
                 nb * 4 * ring_block * m_chunk,
-                (4 * nb + 3) * ring_block * m_chunk,
+                carry_words * ring_block * m_chunk,
             ),
         ),
         interpret=interpret,
@@ -1473,15 +1582,162 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
         out_ref[0, 8 * q + 7] = Smi * msign
 
 
+def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
+                          am_ref, out_ref, *, lmax, spin, m_chunk,
+                          ring_block, nb=1):
+    """dd (double-single f32) variant of :func:`_synth_pair_kernel`.
+
+    Same grid/blocking/output layout; both branch recurrences carry
+    (hi, lo) f32 pairs while the G accumulation stays plain f32 (see
+    :func:`_synth_kernel_dd`).  ``x_ref`` carries the (hi, lo) pair of
+    cos(theta) in its second axis.
+    """
+    xh = x_ref[:, 0:1]
+    xl = x_ref[:, 1:2]
+    logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
+    logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
+    m = seed_ref[7]
+    j0 = seed_ref[6]
+    msign = jnp.where(m - 2.0 * jnp.floor(m * 0.5) == 0.0, 1.0, -1.0)
+    s2 = float(spin * spin)
+
+    def seed_vals(lc_hi, lc_lo, sign, pc, ps):
+        fh, fe, k0 = _comp_seed_frac_dd(
+            lc_hi, lc_lo,
+            [(pc, logch[0], logch[1]), (ps, logsh[0], logsh[1])],
+        )
+        sh_, sl_ = _seed_dd(fh, fe, sign)
+        return sh_, sl_, k0
+
+    pc_p = m + float(spin)
+    ps_p = jnp.abs(m - float(spin))
+    sp_h, sp_l, k0_p = seed_vals(seed_ref[0], seed_ref[1], seed_ref[2],
+                                 pc_p, ps_p)
+    sm_h, sm_l, k0_m = seed_vals(seed_ref[3], seed_ref[4], seed_ref[5],
+                                 ps_p, pc_p)
+    mn_p = m * float(spin)
+    mn_m = m * float(-spin)
+
+    def step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc):
+        new = []
+        for q in range(nb):
+            GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
+            apr = rows_p[2 * q, t, :][None, :]
+            api = rows_p[2 * q + 1, t, :][None, :]
+            amr = rows_m[2 * q, t, :][None, :]
+            ami = rows_m[2 * q + 1, t, :][None, :]
+            new.append((
+                GNpr + apr * lam_p, GNpi + api * lam_p,
+                Spr + sgn * apr * lam_m, Spi + sgn * api * lam_m,
+                GNmr + amr * lam_m, GNmi + ami * lam_m,
+                Smr + sgn * amr * lam_p, Smi + sgn * ami * lam_p,
+            ))
+        return new
+
+    def diag_body(blk, carry):
+        state_p, state_m, acc = carry
+        rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :]
+        rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :]
+        for t in range(8):
+            ell = 8 * blk + t
+            sgn = 1.0 if t % 2 == 0 else -1.0
+            state_p, lam_p = _advance_pair_dd(
+                state_p, ell, m, s2, mn_p, xh, xl, j0, sp_h, sp_l, k0_p
+            )
+            state_m, lam_m = _advance_pair_dd(
+                state_m, ell, m, s2, mn_m, xh, xl, j0, sm_h, sm_l, k0_m
+            )
+            acc = step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc)
+        return state_p, state_m, acc
+
+    def bulk_body(blk, carry):
+        ((dph, dpl, dch, dcl, k_p),
+         (eph, epl, ech, ecl, k_m), acc) = carry
+        emit_p = _emit_of(k_p)
+        emit_m = _emit_of(k_m)
+        dps, dms = [], []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            (c0p, c0pl), (cmp_, cmpl), (c2p, c2pl) = _coeffs_pair_dd(
+                ell, m, s2, mn_p
+            )
+            (c0m, c0ml), (cmm, cmml), (c2m, c2ml) = _coeffs_pair_dd(
+                ell, m, s2, mn_m
+            )
+
+            def step(c0, c0l_, cm, cml_, c2, c2l_, ph, pll, ch_, cl_):
+                xdh, xdl = _dd_mul(xh, xl, ch_, cl_)
+                t0h, t0l = _dd_mul(c0, c0l_, xdh, xdl)
+                tmh, tml = _dd_mul(cm, cml_, ch_, cl_)
+                t2h, t2l = _dd_mul(c2, c2l_, ph, pll)
+                sh_, sl_ = _dd_add(t0h, t0l, -tmh, -tml)
+                return _dd_add(sh_, sl_, -t2h, -t2l)
+
+            dnh, dnl = step(c0p, c0pl, cmp_, cmpl, c2p, c2pl,
+                            dph, dpl, dch, dcl)
+            enh, enl = step(c0m, c0ml, cmm, cmml, c2m, c2ml,
+                            eph, epl, ech, ecl)
+            dps.append(dnh + dnl)
+            dms.append(enh + enl)
+            dph, dpl, dch, dcl = dch, dcl, dnh, dnl
+            eph, epl, ech, ecl = ech, ecl, enh, enl
+
+        def _accumulate(acc):
+            norm = _norm_col(blk)
+            rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            for t in range(8):
+                sgn = 1.0 if t % 2 == 0 else -1.0
+                acc = step_maps(rows_p, rows_m, t, sgn, dps[t] * emit_p,
+                                dms[t] * emit_m, acc)
+            return acc
+
+        acc = jax.lax.cond(
+            jnp.maximum(jnp.max(k_p), jnp.max(k_m)) > -1.5,
+            _accumulate, lambda a: a, acc,
+        )
+
+        def resc(ph, pll, ch_, cl_, k):
+            over = jnp.abs(ch_) > _SCALE
+            sc = jnp.where(over, _INV_SCALE, 1.0)
+            return (ph * sc, pll * sc, ch_ * sc, cl_ * sc,
+                    jnp.where(over, k + 1.0, k))
+
+        return (resc(dph, dpl, dch, dcl, k_p),
+                resc(eph, epl, ech, ecl, k_m), acc)
+
+    nblocks = (lmax + 8) // 8
+    m0 = seed_ref[7, 0, 0].astype(jnp.int32)
+    diag_end = _diag_end(m0, m_chunk, nblocks)
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    state0 = (zeros, zeros, zeros, zeros, kinit)
+    acc0 = [(zeros,) * 8 for _ in range(nb)]
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body, (state0, state0, acc0)
+    )
+    _, _, acc = jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
+    for q in range(nb):
+        GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
+        out_ref[0, 8 * q + 0] = GNpr
+        out_ref[0, 8 * q + 1] = GNpi
+        out_ref[0, 8 * q + 2] = Spr * msign
+        out_ref[0, 8 * q + 3] = Spi * msign
+        out_ref[0, 8 * q + 4] = GNmr
+        out_ref[0, 8 * q + 5] = GNmi
+        out_ref[0, 8 * q + 6] = Smr * msign
+        out_ref[0, 8 * q + 7] = Smi * msign
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "nb",
-                     "interpret"),
+                     "interpret", "dd"),
 )
 def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
                           logch_lo=None, logsh_lo=None, seed_planes=None,
                           m_chunk=128, ring_block=None, nb=None,
-                          interpret=False):
+                          interpret=False, dd=False, x_lo=None):
     """Folded spin-pair synthesis on the Pallas kernel.
 
     ``alm_p``/``alm_m``: rectangular (..., lmax+1, nm_pad) complex alms
@@ -1519,23 +1775,39 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     seed = (pair_seed_planes(np.arange(nm_pad), spin)
             if seed_planes is None else seed_planes)
 
-    xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+    pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
+                             memory_space=pltpu.VMEM)
+    if dd:
+        if x_lo is None:
+            x_lo = jnp.zeros_like(x)
+        xp = jnp.stack(
+            [
+                jnp.pad(x.astype(jnp.float32), (0, pad)),
+                jnp.pad(x_lo.astype(jnp.float32), (0, pad)),
+            ],
+            axis=-1,
+        )
+        kernel = _synth_pair_kernel_dd
+        vec_spec = pair_spec
+        carry_words = 8 * nb + 10
+    else:
+        xp = jnp.pad(x.astype(jnp.float32), (0, pad))[:, None]
+        kernel = _synth_pair_kernel
+        vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
+                                memory_space=pltpu.VMEM)
+        carry_words = 8 * nb + 6
     logchp = _vec_pair(logch, logch_lo, pad)
     logshp = _vec_pair(logsh, logsh_lo, pad)
 
     n_mchunks = nm_pad // m_chunk
     n_rblocks = nr_pad // ring_block
 
-    vec_spec = pl.BlockSpec((ring_block, 1), lambda b, i, j: (j, 0),
-                            memory_space=pltpu.VMEM)
-    pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
-                             memory_space=pltpu.VMEM)
     alm_spec = pl.BlockSpec((1, nb * 2, lpad, m_chunk),
                             lambda b, i, j: (b, 0, 0, i),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _synth_pair_kernel, lmax=lmax, spin=abs(int(spin)),
+            kernel, lmax=lmax, spin=abs(int(spin)),
             m_chunk=m_chunk, ring_block=ring_block, nb=nb,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
@@ -1557,7 +1829,7 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
             vmem_limit_bytes=_vmem_limit(
                 2 * 2 * nb * 2 * lpad * m_chunk,
                 nb * 8 * ring_block * m_chunk,
-                (8 * nb + 6) * ring_block * m_chunk,
+                carry_words * ring_block * m_chunk,
             ),
         ),
         interpret=interpret,

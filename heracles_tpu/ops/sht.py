@@ -525,13 +525,13 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
 
     dd = dd and alms[0].dtype == jnp.complex64
 
-    # TPU fast path: fused Pallas synthesis (spin 0, f32, any batch)
+    # TPU fast path: fused Pallas synthesis (spin 0, f32, any batch);
+    # dd=True routes to the double-single high-accuracy kernel variant
     if (
         not cross
         and abs(int(ns[0])) == 0
         and alms[0].dtype == jnp.complex64
         and _use_pallas()
-        and not dd
     ):
         from . import pallas_sht
 
@@ -539,6 +539,8 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
         GN, GS = pallas_sht.synthesis_spin0_folded(
             alms[0], x, logch, logsh, lmax,
             logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
+            dd=dd,
+            x_lo=jnp.asarray(_x_lo_array(nside)) if dd else None,
         )
         south = jnp.flip(GS[..., :-1, :], axis=-2)
         return (jnp.concatenate([GN, south], axis=-2),)
@@ -548,7 +550,6 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
         cross
         and alms[0].dtype == jnp.complex64
         and _use_pallas()
-        and not dd
     ):
         from . import pallas_sht
 
@@ -556,6 +557,8 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
         GNp, GSp, GNm, GSm = pallas_sht.synthesis_pair_folded(
             alms[0], alms[1], x, logch, logsh, lmax, abs(int(ns[0])),
             logch_lo=lo_ch, logsh_lo=lo_sh, m_chunk=m_chunk,
+            dd=dd,
+            x_lo=jnp.asarray(_x_lo_array(nside)) if dd else None,
         )
         outs = []
         for GN, GS in ((GNp, GSp), (GNm, GSm)):

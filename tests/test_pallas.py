@@ -654,3 +654,78 @@ def test_pallas_dd_pair_beats_plain():
     err_plain = np.abs(got_pl - want).max() / scale
     assert err_dd < 5e-7, err_dd
     assert err_dd < err_plain / 10, (err_dd, err_plain)
+
+
+def test_pallas_dd_synthesis_beats_plain():
+    """dd synthesis kernels (spin 0 + pair): ~f64 accuracy on f32 inputs."""
+    from heracles_tpu.ops.pallas_sht import (
+        synthesis_pair_folded,
+        synthesis_spin0_folded,
+    )
+
+    nside, lmax, spin = 32, 48, 2
+    rng = np.random.default_rng(7)
+    nhalf = 2 * nside
+    nm_pad = 128
+    x64, logch64, logsh64 = sht._geom_arrays(nside, "float64")
+    x64, logch64, logsh64 = x64[:nhalf], logch64[:nhalf], logsh64[:nhalf]
+    x = x64.astype(np.float32)
+    x_lo = (x64 - x.astype(np.float64)).astype(np.float32)
+    logch = logch64.astype(np.float32)
+    logch_lo = (logch64 - logch.astype(np.float64)).astype(np.float32)
+    logsh = logsh64.astype(np.float32)
+    logsh_lo = (logsh64 - logsh.astype(np.float64)).astype(np.float32)
+    kw = dict(logch_lo=jnp.asarray(logch_lo), logsh_lo=jnp.asarray(logsh_lo),
+              ring_block=32, interpret=True)
+    ms = jnp.arange(nm_pad, dtype=jnp.int32)
+
+    def rand(*shape):
+        return (rng.normal(size=shape)
+                + 1j * rng.normal(size=shape)).astype(np.complex64)
+
+    def err(got, want, scale):
+        return max(
+            np.abs(np.asarray(g) - np.asarray(w)).max() / scale
+            for g, w in zip(got, want)
+        )
+
+    # spin 0
+    alm = rand(lmax + 1, nm_pad)
+    wantN, wantS = wigner.lambda_synthesis_scan_folded(
+        ms, jnp.zeros(nm_pad, jnp.int32), jnp.asarray(x64),
+        jnp.asarray(logch64), jnp.asarray(logsh64), lmax,
+        jnp.asarray(alm).astype(jnp.complex128), cross=False,
+    )
+    scale = float(np.abs(np.asarray(wantN)).max())
+    args = (jnp.asarray(alm), jnp.asarray(x), jnp.asarray(logch),
+            jnp.asarray(logsh), lmax)
+    e_dd = err(synthesis_spin0_folded(*args, dd=True,
+                                      x_lo=jnp.asarray(x_lo), **kw),
+               (wantN, wantS), scale)
+    e_pl = err(synthesis_spin0_folded(*args, **kw), (wantN, wantS), scale)
+    assert e_dd < 5e-7, e_dd
+    assert e_dd < e_pl / 10, (e_dd, e_pl)
+
+    # spin pair
+    ap, am = rand(lmax + 1, nm_pad), rand(lmax + 1, nm_pad)
+    ms2 = jnp.tile(ms, 2)
+    nsv = jnp.repeat(jnp.asarray([spin, -spin], jnp.int32), nm_pad)
+    alm_l = jnp.concatenate(
+        [jnp.asarray(ap), jnp.asarray(am)], axis=-1
+    ).astype(jnp.complex128)
+    wantN, wantS = wigner.lambda_synthesis_scan_folded(
+        ms2, nsv, jnp.asarray(x64), jnp.asarray(logch64),
+        jnp.asarray(logsh64), lmax, alm_l, cross=True,
+    )
+    wantN, wantS = np.asarray(wantN), np.asarray(wantS)
+    want4 = (wantN[..., :nm_pad], wantS[..., :nm_pad],
+             wantN[..., nm_pad:], wantS[..., nm_pad:])
+    scale = float(np.abs(wantN).max())
+    args = (jnp.asarray(ap), jnp.asarray(am), jnp.asarray(x),
+            jnp.asarray(logch), jnp.asarray(logsh), lmax, spin)
+    e_dd = err(synthesis_pair_folded(*args, dd=True,
+                                     x_lo=jnp.asarray(x_lo), **kw),
+               want4, scale)
+    e_pl = err(synthesis_pair_folded(*args, **kw), want4, scale)
+    assert e_dd < 5e-7, e_dd
+    assert e_dd < e_pl / 10, (e_dd, e_pl)
