@@ -259,7 +259,7 @@ class HealpixMapper:
             jnp.asarray(arr), parallel.NamedSharding(mesh, spec)
         )
         rect = parallel.map2alm_sharded(
-            mesh, dev, self._lmax, spin=spin, weights="ring"
+            mesh, dev, self._lmax, spin=spin, weights="ring", dd=self._dd
         )
         re, im = jax.device_get((jnp.real(rect), jnp.imag(rect)))
         rect_np = (re + 1j * im)[..., : self._lmax + 1]

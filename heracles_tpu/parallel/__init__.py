@@ -77,7 +77,8 @@ def _m_block(lmax, n_m):
 
 
 def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
-                    engine="jnp", seed_planes=None, geom_lo=None):
+                    engine="jnp", seed_planes=None, geom_lo=None,
+                    dd=False, x_lo=None, seed_jnp=None):
     """Folded Wigner analysis of this device's m block (inside shard_map).
 
     ``x``/``logch``/``logsh`` cover the northern half (incl. equator);
@@ -90,6 +91,11 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
     requires ``seed_planes`` — this device's block of the host-built
     seed planes, sharded over the mesh's "m" axis) or "pallas-interpret"
     (same kernels in interpret mode, for CPU-mesh tests).
+    ``dd``: double-single f32 recurrence (the high-accuracy mode); pass
+    the f32 residual of f64 cos(theta) in ``x_lo`` and, for the jnp
+    engine, this device's block of host seed planes in ``seed_jnp``
+    (shape (nspin, per, nhalf) per plane; see
+    :func:`_sharded_jnp_seed_planes`).
     """
     m0 = jax.lax.axis_index("m") * per
     ms = m0 + jnp.arange(per, dtype=jnp.int32)
@@ -97,6 +103,11 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
     use_pallas = engine in ("pallas", "pallas-interpret")
     interpret = engine == "pallas-interpret"
     lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
+    if seed_jnp is not None:
+        # (nspin, per, nhalf) blocks -> the scan's (nspin*per, nhalf) lanes
+        seed_jnp = tuple(
+            p.reshape((-1,) + p.shape[2:]) for p in seed_jnp
+        )
 
     if spin == 0:
         F, _ = ringfft.ring_analysis(maps_local, nside, per, m0=m0)
@@ -108,12 +119,13 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
             alm = pallas_sht.analysis_spin0_folded(
                 FN + FSs, FN - FSs, x, logch, logsh, lmax,
                 logch_lo=lo_ch, logsh_lo=lo_sh, seed_planes=seed_planes,
-                interpret=interpret,
+                interpret=interpret, dd=dd, x_lo=x_lo,
             )
         else:
             alm = wigner.lambda_analysis_scan_folded(
                 ms, jnp.zeros(per, jnp.int32), x, logch, logsh, lmax,
                 FN, FS * msign, cross=False,
+                seed=seed_jnp, dd=dd, x_lo=x_lo,
             )
         return alm * (ms <= lmax)
 
@@ -131,7 +143,7 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
             fold_p[0], fold_p[1] * msign, fold_m[0], fold_m[1] * msign,
             x, logch, logsh, lmax, spin,
             logch_lo=lo_ch, logsh_lo=lo_sh, seed_planes=seed_planes,
-            interpret=interpret,
+            interpret=interpret, dd=dd, x_lo=x_lo,
         )
     else:
         FN = jnp.concatenate([fold_p[0], fold_m[0]], axis=-1)
@@ -141,7 +153,8 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
             [jnp.full(per, spin, jnp.int32), jnp.full(per, -spin, jnp.int32)]
         )
         alm = wigner.lambda_analysis_scan_folded(
-            ms_l, ns_l, x, logch, logsh, lmax, FN, FS, cross=True
+            ms_l, ns_l, x, logch, logsh, lmax, FN, FS, cross=True,
+            seed=seed_jnp, dd=dd, x_lo=x_lo,
         )
         a_p, a_m = alm[..., :per], alm[..., per:]
     alm_e = -(a_p + a_m) / 2
@@ -185,8 +198,33 @@ def _sharded_seed_planes(mesh, lmax, n_m, spin):
     )
 
 
+def _sharded_jnp_seed_planes(mesh, nside, lmax, n_m, spin, dd):
+    """Host-f64 Wigner seed planes for the sharded jnp dd scans.
+
+    Built for all orders at once and sharded over the mesh's "m" axis;
+    each plane is (nspin, nm_tot, nhalf) so a device's local block
+    reshapes to the scan's (nspin*per, nhalf) lane layout (the pair
+    lanes are [+spin block, -spin block], matching
+    :func:`_local_analysis`).
+    """
+    nm_tot = _m_block(lmax, n_m) * n_m
+    z = sht._geom_arrays(nside, "float64")[0][: 2 * nside]
+    theta = np.arccos(z)
+    ns = (0,) if spin == 0 else (spin, -spin)
+    ms = np.tile(np.arange(nm_tot), len(ns))
+    nsl = np.repeat(np.asarray(ns, np.int64), nm_tot)
+    planes = wigner.wigner_seed_host(ms, nsl, theta, dd=dd)
+    sharding = NamedSharding(mesh, P(None, "m", None))
+    return tuple(
+        jax.device_put(
+            jnp.asarray(p.reshape(len(ns), nm_tot, -1)), sharding
+        )
+        for p in planes
+    )
+
+
 def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0,
-                    engine="auto"):
+                    engine="auto", dd=None):
     """Sharded analysis: bins over "batch", harmonic orders over "m".
 
     ``maps``: (nbins, npix) sharded P("batch", None) for spin 0, or
@@ -198,12 +236,18 @@ def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0,
     per-ring constant, so sharding is unaffected).
     ``engine``: "auto" (fused Pallas kernels on TPU, jnp scans
     elsewhere), "jnp", "pallas", or "pallas-interpret" (CPU-mesh tests).
+    ``dd``: double-single f32 recurrence (the same high-accuracy mode as
+    ``sht.map2alm(dd=True)``; f32 maps only — default: the
+    HERACLES_TPU_SHT_DD env flag).
     """
     nside = npix2nside(maps.shape[-1])
     per = _m_block(lmax, mesh.shape["m"])
     x, logch, logsh, w = _engine_arrays(maps, nside, weights)
     engine = _resolve_engine(engine)
     spin = abs(int(spin))
+    dd = sht._use_dd() if dd is None else bool(dd)
+    dd = dd and maps.dtype == jnp.float32
+    x_lo = sht._x_lo_array(nside) if dd else None
 
     if spin == 0:
         in_specs, out_specs = P("batch", None), P("batch", None, "m")
@@ -211,15 +255,36 @@ def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0,
         in_specs, out_specs = P("batch", None, None), P("batch", None, None, "m")
 
     if engine == "jnp":
+        seed_jnp = (
+            _sharded_jnp_seed_planes(mesh, nside, lmax, mesh.shape["m"],
+                                     spin, dd)
+            if dd else None
+        )
+        seed_specs = (
+            tuple(P(None, "m", None) for _ in seed_jnp)
+            if seed_jnp is not None else None
+        )
 
-        @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+        if seed_jnp is None:
+
+            @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs)
+            def local(maps_local):
+                return _local_analysis(
+                    maps_local, nside, lmax, per, w, x, logch, logsh, spin
+                )
+
+            return local(maps)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_specs, seed_specs),
                  out_specs=out_specs)
-        def local(maps_local):
+        def local_dd(maps_local, seed_local):
             return _local_analysis(
-                maps_local, nside, lmax, per, w, x, logch, logsh, spin
+                maps_local, nside, lmax, per, w, x, logch, logsh, spin,
+                dd=True, x_lo=x_lo, seed_jnp=seed_local,
             )
 
-        return local(maps)
+        return local_dd(maps, seed_jnp)
 
     planes = _sharded_seed_planes(mesh, lmax, mesh.shape["m"], spin)
     geom_lo = sht._geom_lo_arrays(nside)
@@ -233,12 +298,13 @@ def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0,
         return _local_analysis(
             maps_local, nside, lmax, per, w, x, logch, logsh, spin,
             engine=engine, seed_planes=planes_local, geom_lo=geom_lo,
+            dd=dd, x_lo=x_lo,
         )
 
     return local(maps, planes)
 
 
-def pipeline_step(mesh, maps, lmax, maps2=None, *, engine="auto"):
+def pipeline_step(mesh, maps, lmax, maps2=None, *, engine="auto", dd=None):
     """Full sharded pipeline step: maps -> alms -> all-pair spectra.
 
     ``maps``: (nbins, npix) spin-0 batch; ``maps2`` (optional):
@@ -248,12 +314,17 @@ def pipeline_step(mesh, maps, lmax, maps2=None, *, engine="auto"):
     psum over the "m" axis) besides the all-gather of the plane stack
     over "batch".  The contraction is the same
     :func:`heracles_tpu.twopoint.rect_pair_grid` the host pipeline uses.
+    ``dd``: double-single f32 recurrence for the analyses (Pallas
+    engines only here; use :func:`map2alm_sharded` for a jnp dd path).
     """
     nside = npix2nside(maps.shape[-1])
     per = _m_block(lmax, mesh.shape["m"])
     x, logch, logsh, w = _engine_arrays(maps, nside, "ring")
     with_spin2 = maps2 is not None
     engine = _resolve_engine(engine)
+    dd = sht._use_dd() if dd is None else bool(dd)
+    dd = dd and maps.dtype == jnp.float32 and engine != "jnp"
+    x_lo = sht._x_lo_array(nside) if dd else None
     if engine == "jnp":
         seeds0 = seeds2 = None
         geom_lo = None
@@ -271,11 +342,13 @@ def pipeline_step(mesh, maps, lmax, maps2=None, *, engine="auto"):
         planes = _local_analysis(
             maps_local, nside, lmax, per, w, x, logch, logsh, 0,
             engine=engine, seed_planes=s0_local, geom_lo=geom_lo,
+            dd=dd, x_lo=x_lo,
         )
         if maps2_local is not None:
             eb = _local_analysis(
                 maps2_local, nside, lmax, per, w, x, logch, logsh, 2,
                 engine=engine, seed_planes=s2_local, geom_lo=geom_lo,
+                dd=dd, x_lo=x_lo,
             )
             eb = eb.reshape((-1,) + eb.shape[-2:])  # (2*nbins2, lmax+1, per)
             planes = jnp.concatenate([planes, eb], axis=0)
