@@ -60,7 +60,7 @@ def _chirps(nside, lmax, kind="analysis"):
     return ringfft.chirp_fft_planes(nside, lmax + 1, "float32", kind)
 
 
-def build_spin0(nside, lmax):
+def build_spin0(nside, lmax, dd=False):
     import jax
     import jax.numpy as jnp
 
@@ -73,7 +73,7 @@ def build_spin0(nside, lmax):
     ch = _chirps(nside, lmax)
     fn = jax.jit(
         lambda m, c: jnp.sum(_cl_power(
-            sht.map2alm(m, lmax=lmax, packed=False, fft_chirps=c)
+            sht.map2alm(m, lmax=lmax, packed=False, fft_chirps=c, dd=dd)
         ))
     )
     return lambda: float(fn(maps, ch))
@@ -425,6 +425,13 @@ CONFIGS = {
         build=lambda: build_spin2_masked(4096, 3000),
         reps=3,
         cpu=("spin2_masked_n512_l768", _sht_scale(4096, 3000, 512, 768)),
+    ),
+    # high-accuracy mode: the double-single f32 recurrence (~f64-class
+    # alms on f32 hardware; see tools/accuracy_sweep.json *_dd rows)
+    "spin0_dd_n4096_l3000": dict(
+        build=lambda: build_spin0(4096, 3000, dd=True),
+        reps=3,
+        cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
     ),
     "pipeline_n4096_l3000": dict(
         build=lambda: build_pipeline(4096, 3000),
