@@ -49,6 +49,17 @@ def test_mapper_from_config():
     assert mapper_from_config(config, "c") is None
 
 
+def test_mapper_from_config_accuracy_knobs():
+    config = make_config(
+        "[a]\nnside = 8\nlmax = 10\ndd = true\niterations = 3\n"
+        "[b]\nnside = 8\n"
+    )
+    m = mapper_from_config(config, "a")
+    assert m._dd is True and m._iterations == 3
+    m = mapper_from_config(config, "b")
+    assert m._dd is None and m._iterations == 0
+
+
 def test_fields_from_config():
     from heracles_tpu.fields import Positions, Shears, Visibility
 
