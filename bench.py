@@ -626,8 +626,22 @@ def main():
 
     for name in names:
         cfg = CONFIGS[name]
-        fn = cfg["build"]()
-        dt = _timeit(fn, args.reps or cfg["reps"])
+        # one bad metric (OOM, a TPU-worker restart mid-run) must not
+        # take down the rest of the bench: report it and move on
+        try:
+            fn = cfg["build"]()
+            dt = _timeit(fn, args.reps or cfg["reps"])
+        except Exception as exc:  # noqa: BLE001
+            print(f"# {name} failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            print(json.dumps({
+                "metric": name,
+                "value": 0,
+                "unit": "error",
+                "vs_baseline": None,
+                "baseline": "failed",
+            }), flush=True)
+            continue
         cpu_name, scale = cfg["cpu"]
         rec = baselines.get(cpu_name)
         if rec is not None:
