@@ -593,17 +593,24 @@ def main():
 
     # the tunnelled TPU backend hangs at init when the tunnel is down;
     # probe it in a killable subprocess so a dead tunnel yields a clear
-    # error line instead of an indefinite hang
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "print(float(jnp.sum(jnp.arange(4.0))))"],
-            capture_output=True, timeout=300, cwd=HERE,
-        )
-        backend_ok = probe.returncode == 0
-    except subprocess.TimeoutExpired:
-        backend_ok = False
+    # error line instead of an indefinite hang.  The tunnel is also
+    # *flaky* — a single timed-out probe does not mean it is down, so
+    # retry a few times before giving up on the whole bench.
+    backend_ok = False
+    for attempt in range(3):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.arange(4.0))))"],
+                capture_output=True, timeout=300, cwd=HERE,
+            )
+            backend_ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            backend_ok = False
+        if backend_ok:
+            break
+        print(f"# backend probe {attempt + 1} failed", file=sys.stderr)
     if not backend_ok:
         print(json.dumps({
             "metric": "backend_unreachable",

@@ -11,6 +11,10 @@ Run on TPU:  python examples/discrete.py
 """
 
 import os
+import sys
+
+# runnable from anywhere: put the repo root (the package home) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -9,6 +9,10 @@ jackknife covariance with shrinkage.
 """
 
 import os
+import sys
+
+# runnable from anywhere: put the repo root (the package home) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

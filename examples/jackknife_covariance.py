@@ -12,6 +12,10 @@ Run on TPU:  python examples/jackknife_covariance.py
 """
 
 import os
+import sys
+
+# runnable from anywhere: put the repo root (the package home) on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 
 import jax
