@@ -10,6 +10,7 @@ Public API parity: reference ``heracles/__init__.py:23-79``.
 """
 
 __version__ = "0.1.0"
+__version_tuple__ = (0, 1, 0)
 
 
 def _enable_compile_cache():
@@ -106,6 +107,8 @@ from .twopoint import (
 from .unmixing import naturalspice
 
 __all__ = [
+    "__version__",
+    "__version_tuple__",
     "AlmFits",
     "ArrayCatalog",
     "Catalog",
