@@ -30,6 +30,7 @@ lowering, so seed coefficients are precomputed on the host.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +168,80 @@ def _rsum(a):
         n //= 2
         a = a[:n] + a[n:]
     return jnp.sum(a, axis=0, keepdims=True)
+
+
+def _env_contract():
+    """Default ring-contraction strategy: "tree" or "fma".
+
+    Resolved at trace time from ``HERACLES_TPU_SHT_CONTRACT`` when the
+    wrappers' ``contract`` argument is None; pass the argument
+    explicitly (as the kernel tuner does) to override per call.
+    """
+    return os.environ.get("HERACLES_TPU_SHT_CONTRACT", "tree")
+
+
+def _chain_bounds(n):
+    """Split ``n`` rows (a multiple of 8) into up to 4 tile chains."""
+    tiles = n // 8
+    nch = min(4, tiles)
+    return [8 * ((c * tiles) // nch) for c in range(nch + 1)]
+
+
+def _chain_reduce(accs):
+    """Pairwise-combine per-chain (8, lanes) partials, then row-reduce."""
+    while len(accs) > 1:
+        nxt = [accs[i] + accs[i + 1] for i in range(0, len(accs) - 1, 2)]
+        if len(accs) % 2:
+            nxt.append(accs[-1])
+        accs = nxt
+    return jnp.sum(accs[0], axis=0, keepdims=True)
+
+
+def _dot_rows(a, b):
+    """sum over axis 0 of a*b -> (1, lanes) in fused multiply-add form.
+
+    ``_rsum(a * b)`` lowers to a full elementwise multiply plus a
+    halving-tree of adds (~2 VPU ops per element).  Accumulating one
+    (8, lanes) sublane tile at a time as ``acc = a_t * b_t + acc`` maps
+    each tile onto a single fused multiply-add (~1 op per element);
+    four independent chains keep the FMA latency off the critical path
+    and the rounding depth near the tree's (and each FMA rounds once
+    where mul+add round twice).
+    """
+    n = a.shape[0]
+    if n % 8 or n <= 8:
+        return _rsum(a * b)
+    bounds = _chain_bounds(n)
+    accs = []
+    for c in range(len(bounds) - 1):
+        lo, hi = bounds[c], bounds[c + 1]
+        acc = a[lo:lo + 8] * b[lo:lo + 8]
+        for i in range(lo + 8, hi, 8):
+            acc = a[i:i + 8] * b[i:i + 8] + acc
+        accs.append(acc)
+    return _chain_reduce(accs)
+
+
+def _dot_rows2(a1, b1, a2, b2):
+    """sum over axis 0 of a1*b1 + a2*b2, fused (see :func:`_dot_rows`).
+
+    Callers fold any sign into ``a2`` once per l-step (shared across
+    maps/components) rather than per call.
+    """
+    n = a1.shape[0]
+    if n % 8 or n <= 8:
+        return _rsum(a1 * b1 + a2 * b2)
+    bounds = _chain_bounds(n)
+    accs = []
+    for c in range(len(bounds) - 1):
+        lo, hi = bounds[c], bounds[c + 1]
+        acc = a1[lo:lo + 8] * b1[lo:lo + 8]
+        acc = a2[lo:lo + 8] * b2[lo:lo + 8] + acc
+        for i in range(lo + 8, hi, 8):
+            acc = a1[i:i + 8] * b1[i:i + 8] + acc
+            acc = a2[i:i + 8] * b2[i:i + 8] + acc
+        accs.append(acc)
+    return _chain_reduce(accs)
 
 
 def _norm_col(blk):
@@ -508,7 +583,7 @@ def _flatten_batch(arrays, core_ndim=2):
 
 
 def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
-            m_chunk, ring_block, nb=1):
+            m_chunk, ring_block, nb=1, contract="tree"):
     """Grid: (B//nb, n_mchunks, n_ringblocks); ring blocks accumulate.
 
     The l-loop is split per m-chunk: blocks below the chunk's lowest
@@ -554,6 +629,8 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     )
     seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
+    dot1 = _dot_rows if contract == "fma" else (lambda a, b: _rsum(a * b))
+
     def F_planes(q, t):
         ref = Fe_ref if t % 2 == 0 else Fo_ref
         return ref[0, 2 * q], ref[0, 2 * q + 1]
@@ -565,10 +642,8 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
             carry, lam = _advance_spin0(carry, 8 * blk + t, m, x, seed_mant, k0)
             for q in range(nb):
                 Fr, Fi = F_planes(q, t)
-                rows[2 * q].append(_rsum(lam * Fr))
-                rows[2 * q + 1].append(
-                    _rsum(lam * Fi)
-                )
+                rows[2 * q].append(dot1(lam, Fr))
+                rows[2 * q + 1].append(dot1(lam, Fi))
         sl = pl.ds(8 * blk, 8)
         for p in range(2 * nb):
             out_ref[0, p, sl, :] += jnp.concatenate(rows[p], axis=0)
@@ -596,8 +671,8 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
                 lam = ds[t] * emit
                 for q in range(nb):
                     Fr, Fi = F_planes(q, t)
-                    rows[2 * q].append(_rsum(lam * Fr))
-                    rows[2 * q + 1].append(_rsum(lam * Fi))
+                    rows[2 * q].append(dot1(lam, Fr))
+                    rows[2 * q + 1].append(dot1(lam, Fi))
             norm = _norm_col(blk)
             sl = pl.ds(8 * blk, 8)
             for p in range(2 * nb):
@@ -619,7 +694,7 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
 
 
 def _kernel_dd(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *,
-               lmax, m_chunk, ring_block, nb=1):
+               lmax, m_chunk, ring_block, nb=1, contract="tree"):
     """dd (double-single f32) variant of :func:`_kernel`.
 
     Same grid/blocking/triangle-skip structure; the recurrence carries
@@ -647,6 +722,8 @@ def _kernel_dd(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *,
     )
     seed_h, seed_l = _seed_dd(frac_h, frac_e, msign)
 
+    dot1 = _dot_rows if contract == "fma" else (lambda a, b: _rsum(a * b))
+
     def F_planes(q, t):
         ref = Fe_ref if t % 2 == 0 else Fo_ref
         return ref[0, 2 * q], ref[0, 2 * q + 1]
@@ -659,8 +736,8 @@ def _kernel_dd(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *,
             )
             for q in range(nb):
                 Fr, Fi = F_planes(q, t)
-                rows[2 * q].append(_rsum(lam * Fr))
-                rows[2 * q + 1].append(_rsum(lam * Fi))
+                rows[2 * q].append(dot1(lam, Fr))
+                rows[2 * q + 1].append(dot1(lam, Fi))
         sl = pl.ds(8 * blk, 8)
         for p in range(2 * nb):
             out_ref[0, p, sl, :] += jnp.concatenate(rows[p], axis=0)
@@ -687,8 +764,8 @@ def _kernel_dd(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *,
                 lam = ds[t] * emit
                 for q in range(nb):
                     Fr, Fi = F_planes(q, t)
-                    rows[2 * q].append(_rsum(lam * Fr))
-                    rows[2 * q + 1].append(_rsum(lam * Fi))
+                    rows[2 * q].append(dot1(lam, Fr))
+                    rows[2 * q + 1].append(dot1(lam, Fi))
             norm = _norm_col(blk)
             sl = pl.ds(8 * blk, 8)
             for p in range(2 * nb):
@@ -714,7 +791,7 @@ def _kernel_dd(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *,
 
 def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
                  FNm_ref, Sm_ref, out_ref, *, lmax, spin, m_chunk, ring_block,
-                 nb=1):
+                 nb=1, contract="tree"):
     """Spin-pair (cross) analysis: columns n = +s and n = -s together.
 
     Grid (B//nb, n_mchunks, n_ringblocks).  The two Wigner columns share
@@ -768,28 +845,51 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     def F_of(ref, q):
         return (ref[0, 2 * q], ref[0, 2 * q + 1])
 
+    fma = contract == "fma"
+
+    def rows_of_t(rows, t, lam_p, lam_m):
+        """Append the 4*nb (1, m_chunk) rows for one l-step."""
+        if fma:
+            # fold the (-1)^l mirror sign into the partner lambda once
+            # per step (shared across maps/components), then contract
+            # both products in one fused-multiply-add chain
+            lam_ps = lam_p if t % 2 == 0 else -lam_p
+            lam_ms = lam_m if t % 2 == 0 else -lam_m
+        for q in range(nb):
+            FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
+            FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
+            for c in range(2):
+                if fma:
+                    rows[4 * q + c].append(
+                        _dot_rows2(lam_p, FNp[c], lam_ms, Sp[c])
+                    )
+                    rows[4 * q + 2 + c].append(
+                        _dot_rows2(lam_m, FNm[c], lam_ps, Sm[c])
+                    )
+                else:
+                    tp = lam_p * FNp[c]
+                    tm = lam_m * Sp[c]
+                    rows[4 * q + c].append(
+                        _rsum(tp + tm if t % 2 == 0 else tp - tm)
+                    )
+                    tp2 = lam_m * FNm[c]
+                    tm2 = lam_p * Sm[c]
+                    rows[4 * q + 2 + c].append(
+                        _rsum(tp2 + tm2 if t % 2 == 0 else tp2 - tm2)
+                    )
+
     def diag_body(blk, carry):
         carry_p, carry_m = carry
         rows = [[] for _ in range(4 * nb)]
         for t in range(8):
             ell = 8 * blk + t
-            sgn = 1.0 if t % 2 == 0 else -1.0
             carry_p, lam_p = _advance_pair(
                 carry_p, ell, m, s2, mn_p, x, j0, seed_p, k0_p
             )
             carry_m, lam_m = _advance_pair(
                 carry_m, ell, m, s2, mn_m, x, j0, seed_m, k0_m
             )
-            for q in range(nb):
-                FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
-                FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
-                for c in range(2):
-                    rows[4 * q + c].append(
-                        _rsum(lam_p * FNp[c] + sgn * lam_m * Sp[c])
-                    )
-                    rows[4 * q + 2 + c].append(
-                        _rsum(lam_m * FNm[c] + sgn * lam_p * Sm[c])
-                    )
+            rows_of_t(rows, t, lam_p, lam_m)
         sl = pl.ds(8 * blk, 8)
         for plane in range(4 * nb):
             out_ref[0, plane, sl, :] += jnp.concatenate(rows[plane], axis=0)
@@ -820,20 +920,7 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             for t in range(8):
                 lam_p = dps[t] * emit_p
                 lam_m = dms[t] * emit_m
-                for q in range(nb):
-                    FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
-                    FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
-                    for c in range(2):
-                        tp = lam_p * FNp[c]
-                        tm = lam_m * Sp[c]
-                        rows[4 * q + c].append(
-                            _rsum(tp + tm if t % 2 == 0 else tp - tm)
-                        )
-                        tp2 = lam_m * FNm[c]
-                        tm2 = lam_p * Sm[c]
-                        rows[4 * q + 2 + c].append(
-                            _rsum(tp2 + tm2 if t % 2 == 0 else tp2 - tm2)
-                        )
+                rows_of_t(rows, t, lam_p, lam_m)
             norm = _norm_col(blk)
             sl = pl.ds(8 * blk, 8)
             for plane in range(4 * nb):
@@ -862,7 +949,7 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
 
 def _pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
                     FNm_ref, Sm_ref, out_ref, *, lmax, spin, m_chunk,
-                    ring_block, nb=1):
+                    ring_block, nb=1, contract="tree"):
     """dd (double-single f32) variant of :func:`_pair_kernel`.
 
     Same grid/blocking/output layout; both branch recurrences carry
@@ -905,28 +992,48 @@ def _pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     def F_of(ref, q):
         return (ref[0, 2 * q], ref[0, 2 * q + 1])
 
+    fma = contract == "fma"
+
+    def rows_of_t(rows, t, lam_p, lam_m):
+        """Append the 4*nb (1, m_chunk) rows for one l-step."""
+        if fma:
+            lam_ps = lam_p if t % 2 == 0 else -lam_p
+            lam_ms = lam_m if t % 2 == 0 else -lam_m
+        for q in range(nb):
+            FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
+            FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
+            for c in range(2):
+                if fma:
+                    rows[4 * q + c].append(
+                        _dot_rows2(lam_p, FNp[c], lam_ms, Sp[c])
+                    )
+                    rows[4 * q + 2 + c].append(
+                        _dot_rows2(lam_m, FNm[c], lam_ps, Sm[c])
+                    )
+                else:
+                    tp = lam_p * FNp[c]
+                    tm = lam_m * Sp[c]
+                    rows[4 * q + c].append(
+                        _rsum(tp + tm if t % 2 == 0 else tp - tm)
+                    )
+                    tp2 = lam_m * FNm[c]
+                    tm2 = lam_p * Sm[c]
+                    rows[4 * q + 2 + c].append(
+                        _rsum(tp2 + tm2 if t % 2 == 0 else tp2 - tm2)
+                    )
+
     def diag_body(blk, carry):
         carry_p, carry_m = carry
         rows = [[] for _ in range(4 * nb)]
         for t in range(8):
             ell = 8 * blk + t
-            sgn = 1.0 if t % 2 == 0 else -1.0
             carry_p, lam_p = _advance_pair_dd(
                 carry_p, ell, m, s2, mn_p, xh, xl, j0, sp_h, sp_l, k0_p
             )
             carry_m, lam_m = _advance_pair_dd(
                 carry_m, ell, m, s2, mn_m, xh, xl, j0, sm_h, sm_l, k0_m
             )
-            for q in range(nb):
-                FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
-                FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
-                for c in range(2):
-                    rows[4 * q + c].append(
-                        _rsum(lam_p * FNp[c] + sgn * lam_m * Sp[c])
-                    )
-                    rows[4 * q + 2 + c].append(
-                        _rsum(lam_m * FNm[c] + sgn * lam_p * Sm[c])
-                    )
+            rows_of_t(rows, t, lam_p, lam_m)
         sl = pl.ds(8 * blk, 8)
         for plane in range(4 * nb):
             out_ref[0, plane, sl, :] += jnp.concatenate(rows[plane], axis=0)
@@ -969,20 +1076,7 @@ def _pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             for t in range(8):
                 lam_p = dps[t] * emit_p
                 lam_m = dms[t] * emit_m
-                for q in range(nb):
-                    FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
-                    FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
-                    for c in range(2):
-                        tp = lam_p * FNp[c]
-                        tm = lam_m * Sp[c]
-                        rows[4 * q + c].append(
-                            _rsum(tp + tm if t % 2 == 0 else tp - tm)
-                        )
-                        tp2 = lam_m * FNm[c]
-                        tm2 = lam_p * Sm[c]
-                        rows[4 * q + 2 + c].append(
-                            _rsum(tp2 + tm2 if t % 2 == 0 else tp2 - tm2)
-                        )
+                rows_of_t(rows, t, lam_p, lam_m)
             norm = _norm_col(blk)
             sl = pl.ds(8 * blk, 8)
             for plane in range(4 * nb):
@@ -1053,12 +1147,13 @@ def _vec_pair(hi, lo, pad):
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "nb",
-                     "interpret", "dd"),
+                     "interpret", "dd", "contract"),
 )
 def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
                          logch_lo=None, logsh_lo=None, seed_planes=None,
                          m_chunk=128, ring_block=None, nb=None,
-                         interpret=False, dd=False, x_lo=None):
+                         interpret=False, dd=False, x_lo=None,
+                         contract=None):
     """Folded spin-pair analysis on the Pallas kernel.
 
     Inputs as built by the jnp cross path: FN* northern rows per branch,
@@ -1071,6 +1166,7 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     cos(theta) in ``x_lo``.  Returns (alm_p, alm_m) rectangular
     (..., lmax+1, nm_pad) complex64.
     """
+    contract = contract or _env_contract()
     B, batch, (FNp, Sp, FNm, Sm) = _flatten_batch((FNp, Sp, FNm, Sm))
     if nb is None:
         # out tiles are 2x the spin-0 ones: halve the map grouping
@@ -1128,7 +1224,7 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     out = pl.pallas_call(
         functools.partial(
             kernel, lmax=lmax, spin=abs(int(spin)), m_chunk=m_chunk,
-            ring_block=ring_block, nb=nb,
+            ring_block=ring_block, nb=nb, contract=contract,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
@@ -1163,7 +1259,7 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
 
 
 def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
-                  m_chunk, ring_block, nb=1):
+                  m_chunk, ring_block, nb=1, contract="tree"):
     """Folded spin-0 synthesis: G accumulates in VMEM, written once.
 
     Grid (B//nb, n_mchunks, n_ringblocks); outputs 4 planes per map
@@ -1183,20 +1279,38 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
     )
     seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
 
+    fma = contract == "fma"
+
+    def acc_step(rows, t, lam, acc):
+        """One l-step of the G accumulation across the nb maps."""
+        new = []
+        if fma:
+            # re-multiply per accumulator (alm row broadcast x lam) so
+            # each update is a single fused multiply-add; the mirror
+            # parity sign folds into lam once per step
+            lam_s = lam if t % 2 == 0 else -lam
+            for q in range(nb):
+                GNr, GNi, Sr, Si = acc[q]
+                apr = rows[2 * q, t, :][None, :]
+                api = rows[2 * q + 1, t, :][None, :]
+                new.append((GNr + apr * lam, GNi + api * lam,
+                            Sr + apr * lam_s, Si + api * lam_s))
+            return new
+        sgn = 1.0 if t % 2 == 0 else -1.0
+        for q in range(nb):
+            GNr, GNi, Sr, Si = acc[q]
+            t_re = rows[2 * q, t, :][None, :] * lam
+            t_im = rows[2 * q + 1, t, :][None, :] * lam
+            new.append((GNr + t_re, GNi + t_im,
+                        Sr + sgn * t_re, Si + sgn * t_im))
+        return new
+
     def diag_body(blk, carry):
         state, acc = carry
         rows = alm_ref[0, :, pl.ds(8 * blk, 8), :]  # (nb*2, 8, m_chunk)
         for t in range(8):
             state, lam = _advance_spin0(state, 8 * blk + t, m, x, seed_mant, k0)
-            sgn = 1.0 if t % 2 == 0 else -1.0
-            new = []
-            for q in range(nb):
-                GNr, GNi, Sr, Si = acc[q]
-                t_re = rows[2 * q, t, :][None, :] * lam
-                t_im = rows[2 * q + 1, t, :][None, :] * lam
-                new.append((GNr + t_re, GNi + t_im,
-                            Sr + sgn * t_re, Si + sgn * t_im))
-            acc = new
+            acc = acc_step(rows, t, lam, acc)
         return state, acc
 
     def bulk_body(blk, carry):
@@ -1217,16 +1331,7 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
             norm = _norm_col(blk)
             rows = alm_ref[0, :, pl.ds(8 * blk, 8), :] * norm
             for t in range(8):
-                lam = ds[t] * emit
-                sgn = 1.0 if t % 2 == 0 else -1.0
-                new = []
-                for q in range(nb):
-                    GNr, GNi, Sr, Si = acc[q]
-                    t_re = rows[2 * q, t, :][None, :] * lam
-                    t_im = rows[2 * q + 1, t, :][None, :] * lam
-                    new.append((GNr + t_re, GNi + t_im,
-                                Sr + sgn * t_re, Si + sgn * t_im))
-                acc = new
+                acc = acc_step(rows, t, ds[t] * emit, acc)
             return acc
 
         acc = jax.lax.cond(
@@ -1254,7 +1359,7 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
 
 
 def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
-                     m_chunk, ring_block, nb=1):
+                     m_chunk, ring_block, nb=1, contract="tree"):
     """dd (double-single f32) variant of :func:`_synth_kernel`.
 
     Same grid/blocking/output layout; the Wigner recurrence carries and
@@ -1274,8 +1379,20 @@ def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
     )
     seed_h, seed_l = _seed_dd(frac_h, frac_e, msign)
 
-    def step_maps(rows, t, sgn, lam, acc):
+    fma = contract == "fma"
+
+    def step_maps(rows, t, lam, acc):
         new = []
+        if fma:
+            lam_s = lam if t % 2 == 0 else -lam  # see _synth_kernel
+            for q in range(nb):
+                GNr, GNi, Sr, Si = acc[q]
+                apr = rows[2 * q, t, :][None, :]
+                api = rows[2 * q + 1, t, :][None, :]
+                new.append((GNr + apr * lam, GNi + api * lam,
+                            Sr + apr * lam_s, Si + api * lam_s))
+            return new
+        sgn = 1.0 if t % 2 == 0 else -1.0
         for q in range(nb):
             GNr, GNi, Sr, Si = acc[q]
             t_re = rows[2 * q, t, :][None, :] * lam
@@ -1291,7 +1408,7 @@ def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
             state, lam = _advance_spin0_dd(
                 state, 8 * blk + t, m, xh, xl, seed_h, seed_l, k0
             )
-            acc = step_maps(rows, t, 1.0 if t % 2 == 0 else -1.0, lam, acc)
+            acc = step_maps(rows, t, lam, acc)
         return state, acc
 
     def bulk_body(blk, carry):
@@ -1312,8 +1429,7 @@ def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
             norm = _norm_col(blk)
             rows = alm_ref[0, :, pl.ds(8 * blk, 8), :] * norm
             for t in range(8):
-                acc = step_maps(rows, t, 1.0 if t % 2 == 0 else -1.0,
-                                ds[t] * emit, acc)
+                acc = step_maps(rows, t, ds[t] * emit, acc)
             return acc
 
         acc = jax.lax.cond(jnp.max(k) > -1.5, _accumulate, lambda a: a, acc)
@@ -1344,12 +1460,12 @@ def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret",
-                     "dd"),
+                     "dd", "contract"),
 )
 def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
                            logsh_lo=None, seed_planes=None, m_chunk=128,
                            ring_block=None, nb=None, interpret=False,
-                           dd=False, x_lo=None):
+                           dd=False, x_lo=None, contract=None):
     """Folded spin-0 synthesis: rectangular alm -> (GN, GS) ring spectra.
 
     ``alm``: (..., lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
@@ -1360,6 +1476,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
     ``dd``: run the recurrence in double-single arithmetic; pass the f32
     residual of f64 cos(theta) in ``x_lo``.
     """
+    contract = contract or _env_contract()
     B, batch, (alm,) = _flatten_batch((alm,))
     if nb is None:
         # alm blocks double-buffer per map: stay below the spin-0
@@ -1412,7 +1529,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
     out = pl.pallas_call(
         functools.partial(
             kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block,
-            nb=nb,
+            nb=nb, contract=contract,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
@@ -1452,7 +1569,8 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
 
 
 def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
-                       out_ref, *, lmax, spin, m_chunk, ring_block, nb=1):
+                       out_ref, *, lmax, spin, m_chunk, ring_block, nb=1,
+                       contract="tree"):
     """Folded spin-pair synthesis: both Wigner columns in one program.
 
     Grid (B, n_mchunks, n_ringblocks); outputs 8 planes per tile:
@@ -1488,20 +1606,37 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
     mn_p = m * float(spin)
     mn_m = m * float(-spin)
 
-    def step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc):
+    fma = contract == "fma"
+
+    def step_maps(rows_p, rows_m, t, lam_p, lam_m, acc):
         new = []
+        if fma:
+            # mirror parity sign folded into the partner lambda once per
+            # step so every accumulator update is one fused multiply-add
+            lam_ps = lam_p if t % 2 == 0 else -lam_p
+            lam_ms = lam_m if t % 2 == 0 else -lam_m
+        else:
+            sgn = 1.0 if t % 2 == 0 else -1.0
         for q in range(nb):
             GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
             apr = rows_p[2 * q, t, :][None, :]
             api = rows_p[2 * q + 1, t, :][None, :]
             amr = rows_m[2 * q, t, :][None, :]
             ami = rows_m[2 * q + 1, t, :][None, :]
-            new.append((
-                GNpr + apr * lam_p, GNpi + api * lam_p,
-                Spr + sgn * apr * lam_m, Spi + sgn * api * lam_m,
-                GNmr + amr * lam_m, GNmi + ami * lam_m,
-                Smr + sgn * amr * lam_p, Smi + sgn * ami * lam_p,
-            ))
+            if fma:
+                new.append((
+                    GNpr + apr * lam_p, GNpi + api * lam_p,
+                    Spr + apr * lam_ms, Spi + api * lam_ms,
+                    GNmr + amr * lam_m, GNmi + ami * lam_m,
+                    Smr + amr * lam_ps, Smi + ami * lam_ps,
+                ))
+            else:
+                new.append((
+                    GNpr + apr * lam_p, GNpi + api * lam_p,
+                    Spr + sgn * apr * lam_m, Spi + sgn * api * lam_m,
+                    GNmr + amr * lam_m, GNmi + ami * lam_m,
+                    Smr + sgn * amr * lam_p, Smi + sgn * ami * lam_p,
+                ))
         return new
 
     def diag_body(blk, carry):
@@ -1510,14 +1645,13 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
         rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :]
         for t in range(8):
             ell = 8 * blk + t
-            sgn = 1.0 if t % 2 == 0 else -1.0
             state_p, lam_p = _advance_pair(
                 state_p, ell, m, s2, mn_p, x, j0, seed_p, k0_p
             )
             state_m, lam_m = _advance_pair(
                 state_m, ell, m, s2, mn_m, x, j0, seed_m, k0_m
             )
-            acc = step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc)
+            acc = step_maps(rows_p, rows_m, t, lam_p, lam_m, acc)
         return state_p, state_m, acc
 
     def bulk_body(blk, carry):
@@ -1542,10 +1676,9 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
             rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :] * norm
             rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :] * norm
             for t in range(8):
-                sgn = 1.0 if t % 2 == 0 else -1.0
                 lam_p = dps[t] * emit_p
                 lam_m = dms[t] * emit_m
-                acc = step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc)
+                acc = step_maps(rows_p, rows_m, t, lam_p, lam_m, acc)
             return acc
 
         acc = jax.lax.cond(
@@ -1584,7 +1717,7 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
 
 def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
                           am_ref, out_ref, *, lmax, spin, m_chunk,
-                          ring_block, nb=1):
+                          ring_block, nb=1, contract="tree"):
     """dd (double-single f32) variant of :func:`_synth_pair_kernel`.
 
     Same grid/blocking/output layout; both branch recurrences carry
@@ -1618,20 +1751,35 @@ def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
     mn_p = m * float(spin)
     mn_m = m * float(-spin)
 
-    def step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc):
+    fma = contract == "fma"
+
+    def step_maps(rows_p, rows_m, t, lam_p, lam_m, acc):
         new = []
+        if fma:
+            lam_ps = lam_p if t % 2 == 0 else -lam_p  # see _synth_pair_kernel
+            lam_ms = lam_m if t % 2 == 0 else -lam_m
+        else:
+            sgn = 1.0 if t % 2 == 0 else -1.0
         for q in range(nb):
             GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
             apr = rows_p[2 * q, t, :][None, :]
             api = rows_p[2 * q + 1, t, :][None, :]
             amr = rows_m[2 * q, t, :][None, :]
             ami = rows_m[2 * q + 1, t, :][None, :]
-            new.append((
-                GNpr + apr * lam_p, GNpi + api * lam_p,
-                Spr + sgn * apr * lam_m, Spi + sgn * api * lam_m,
-                GNmr + amr * lam_m, GNmi + ami * lam_m,
-                Smr + sgn * amr * lam_p, Smi + sgn * ami * lam_p,
-            ))
+            if fma:
+                new.append((
+                    GNpr + apr * lam_p, GNpi + api * lam_p,
+                    Spr + apr * lam_ms, Spi + api * lam_ms,
+                    GNmr + amr * lam_m, GNmi + ami * lam_m,
+                    Smr + amr * lam_ps, Smi + ami * lam_ps,
+                ))
+            else:
+                new.append((
+                    GNpr + apr * lam_p, GNpi + api * lam_p,
+                    Spr + sgn * apr * lam_m, Spi + sgn * api * lam_m,
+                    GNmr + amr * lam_m, GNmi + ami * lam_m,
+                    Smr + sgn * amr * lam_p, Smi + sgn * ami * lam_p,
+                ))
         return new
 
     def diag_body(blk, carry):
@@ -1640,14 +1788,13 @@ def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
         rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :]
         for t in range(8):
             ell = 8 * blk + t
-            sgn = 1.0 if t % 2 == 0 else -1.0
             state_p, lam_p = _advance_pair_dd(
                 state_p, ell, m, s2, mn_p, xh, xl, j0, sp_h, sp_l, k0_p
             )
             state_m, lam_m = _advance_pair_dd(
                 state_m, ell, m, s2, mn_m, xh, xl, j0, sm_h, sm_l, k0_m
             )
-            acc = step_maps(rows_p, rows_m, t, sgn, lam_p, lam_m, acc)
+            acc = step_maps(rows_p, rows_m, t, lam_p, lam_m, acc)
         return state_p, state_m, acc
 
     def bulk_body(blk, carry):
@@ -1687,8 +1834,7 @@ def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
             rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :] * norm
             rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :] * norm
             for t in range(8):
-                sgn = 1.0 if t % 2 == 0 else -1.0
-                acc = step_maps(rows_p, rows_m, t, sgn, dps[t] * emit_p,
+                acc = step_maps(rows_p, rows_m, t, dps[t] * emit_p,
                                 dms[t] * emit_m, acc)
             return acc
 
@@ -1732,12 +1878,13 @@ def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "nb",
-                     "interpret", "dd"),
+                     "interpret", "dd", "contract"),
 )
 def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
                           logch_lo=None, logsh_lo=None, seed_planes=None,
                           m_chunk=128, ring_block=None, nb=None,
-                          interpret=False, dd=False, x_lo=None):
+                          interpret=False, dd=False, x_lo=None,
+                          contract=None):
     """Folded spin-pair synthesis on the Pallas kernel.
 
     ``alm_p``/``alm_m``: rectangular (..., lmax+1, nm_pad) complex alms
@@ -1747,6 +1894,7 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     northern ring spectra and the (-1)^m-signed mirrored-southern
     spectra per branch, matching the jnp cross scan.
     """
+    contract = contract or _env_contract()
     B, batch, (alm_p, alm_m) = _flatten_batch((alm_p, alm_m))
     if nb is None:
         # two alm-block streams double-buffer per map — halve the
@@ -1809,6 +1957,7 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
         functools.partial(
             kernel, lmax=lmax, spin=abs(int(spin)),
             m_chunk=m_chunk, ring_block=ring_block, nb=nb,
+            contract=contract,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
@@ -1929,12 +2078,12 @@ def _pick_nb(B, lmax, limit=None):
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret",
-                     "dd"),
+                     "dd", "contract"),
 )
 def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
                           logsh_lo=None, seed_planes=None, m_chunk=128,
                           ring_block=None, nb=None, interpret=False,
-                          dd=False, x_lo=None):
+                          dd=False, x_lo=None, contract=None):
     """alm[l, m] = sum_r lam_{lm}(x_r) * F(e/o by l parity)[r, m].
 
     ``Fe``/``Fo``: (..., nhalf, nm_pad) complex64/128 parity-combined
@@ -1949,6 +2098,7 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
     cos(theta) in ``x_lo``.
     Returns (..., lmax+1, nm_pad) complex64.
     """
+    contract = contract or _env_contract()
     B, batch, (Fe, Fo) = _flatten_batch((Fe, Fo))
     if nb is None:
         nb = _pick_nb(B, lmax)
@@ -2009,7 +2159,8 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block, nb=nb
+            kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block,
+            nb=nb, contract=contract,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
