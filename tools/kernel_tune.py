@@ -32,6 +32,16 @@ def main():
     ap.add_argument("--nside", type=int, default=4096)
     ap.add_argument("--lmax", type=int, default=3000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--contract", default="tree",
+                    help="comma list of ring-contraction variants "
+                         "(tree, fma); non-tree variants tag entries "
+                         "rb{rb}_mc{mc}_{variant}")
+    ap.add_argument("--only", default=None,
+                    help="comma list of kernel names to tune")
+    ap.add_argument("--rbs", default=None,
+                    help="comma list overriding the ring_block grid")
+    ap.add_argument("--mcs", default=None,
+                    help="comma list overriding the m_chunk grid")
     args = ap.parse_args()
 
     import jax
@@ -72,32 +82,33 @@ def main():
 
     grids = {
         "analysis_spin0": (
-            lambda rb, mc: pallas_sht.analysis_spin0_folded(
+            lambda rb, mc, ct: pallas_sht.analysis_spin0_folded(
                 F[0], F[1], x, logch, logsh, lmax,
-                ring_block=rb, m_chunk=mc,
+                ring_block=rb, m_chunk=mc, contract=ct,
             ),
             [128, 256, 512, 1024, 2048],
             [64, 128, 256],
         ),
         "analysis_pair": (
-            lambda rb, mc: pallas_sht.analysis_pair_folded(
+            lambda rb, mc, ct: pallas_sht.analysis_pair_folded(
                 F[0], F[1], F[2], F[3], x, logch, logsh, lmax, 2,
-                ring_block=rb, m_chunk=mc,
+                ring_block=rb, m_chunk=mc, contract=ct,
             )[0],
             [64, 128, 256, 512],
             [64, 128, 256],
         ),
         "synthesis_spin0": (
-            lambda rb, mc: pallas_sht.synthesis_spin0_folded(
+            lambda rb, mc, ct: pallas_sht.synthesis_spin0_folded(
                 A[0], x, logch, logsh, lmax, ring_block=rb, m_chunk=mc,
+                contract=ct,
             )[0],
             [256, 512, 1024, 2048],
             [64, 128, 256],
         ),
         "synthesis_pair": (
-            lambda rb, mc: pallas_sht.synthesis_pair_folded(
+            lambda rb, mc, ct: pallas_sht.synthesis_pair_folded(
                 A[0], A[1], x, logch, logsh, lmax, 2,
-                ring_block=rb, m_chunk=mc,
+                ring_block=rb, m_chunk=mc, contract=ct,
             )[0],
             [64, 128, 256, 512],
             [64, 128, 256],
@@ -112,14 +123,26 @@ def main():
     key = f"n{nside}_l{lmax}"
     results.setdefault(key, {})
 
+    contracts = [c.strip() for c in args.contract.split(",") if c.strip()]
+    only = (None if args.only is None
+            else {n.strip() for n in args.only.split(",")})
+    rbs_cli = (None if args.rbs is None
+               else [int(v) for v in args.rbs.split(",")])
+    mcs_cli = (None if args.mcs is None
+               else [int(v) for v in args.mcs.split(",")])
+
     for name, (build, rbs, mcs) in grids.items():
+        if only is not None and name not in only:
+            continue
         results[key].setdefault(name, {})
-        for rb, mc in itertools.product(rbs, mcs):
-            tag = f"rb{rb}_mc{mc}"
+        rbs = rbs_cli or rbs
+        mcs = mcs_cli or mcs
+        for ct, rb, mc in itertools.product(contracts, rbs, mcs):
+            tag = f"rb{rb}_mc{mc}" + ("" if ct == "tree" else f"_{ct}")
             if tag in results[key][name]:
                 continue
             try:
-                dt = timeit(lambda: build(rb, mc))
+                dt = timeit(lambda: build(rb, mc, ct))
                 results[key][name][tag] = round(dt * 1e3, 2)
                 print(f"{name} {tag}: {dt * 1e3:.1f} ms", flush=True)
             except Exception as e:  # noqa: BLE001 - record and move on
