@@ -729,3 +729,65 @@ def test_pallas_dd_synthesis_beats_plain():
     e_pl = err(synthesis_pair_folded(*args, **kw), want4, scale)
     assert e_dd < 5e-7, e_dd
     assert e_dd < e_pl / 10, (e_dd, e_pl)
+
+
+@pytest.mark.parametrize("dd", [False, True])
+def test_pallas_fma_contract_matches_tree(dd):
+    """contract="fma" (fused multiply-add chains) == "tree" at roundoff.
+
+    The fma contraction reassociates the ring sum (serial per-tile FMA
+    chains instead of the halving tree), so agreement is at f32 ring-
+    accumulation roundoff, not bit-exact.
+    """
+    from heracles_tpu.ops.pallas_sht import (
+        analysis_pair_folded,
+        analysis_spin0_folded,
+        synthesis_pair_folded,
+        synthesis_spin0_folded,
+    )
+
+    nside, lmax, spin = 16, 24, 2
+    rng = np.random.default_rng(7)
+    nhalf, nm_pad = 2 * nside, 128
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+
+    def crand(shape):
+        return (rng.normal(size=shape)
+                + 1j * rng.normal(size=shape)).astype(np.complex64)
+
+    Fs = [jnp.asarray(crand((nhalf, nm_pad))) for _ in range(4)]
+    alms = [jnp.asarray(crand((lmax + 1, nm_pad))) for _ in range(2)]
+    kw = dict(ring_block=32, interpret=True, dd=dd)
+
+    def close(u, v):
+        u, v = np.asarray(u), np.asarray(v)
+        scale = max(np.abs(u).max(), 1e-30)
+        np.testing.assert_allclose(v, u, atol=1e-5 * scale, rtol=1e-4)
+
+    a_t = analysis_spin0_folded(Fs[0], Fs[1], x, logch, logsh, lmax,
+                                contract="tree", **kw)
+    a_f = analysis_spin0_folded(Fs[0], Fs[1], x, logch, logsh, lmax,
+                                contract="fma", **kw)
+    close(a_t, a_f)
+
+    p_t = analysis_pair_folded(*Fs, x, logch, logsh, lmax, spin,
+                               contract="tree", **kw)
+    p_f = analysis_pair_folded(*Fs, x, logch, logsh, lmax, spin,
+                               contract="fma", **kw)
+    for u, v in zip(p_t, p_f):
+        close(u, v)
+
+    s_t = synthesis_spin0_folded(alms[0], x, logch, logsh, lmax,
+                                 contract="tree", **kw)
+    s_f = synthesis_spin0_folded(alms[0], x, logch, logsh, lmax,
+                                 contract="fma", **kw)
+    for u, v in zip(s_t, s_f):
+        close(u, v)
+
+    q_t = synthesis_pair_folded(alms[0], alms[1], x, logch, logsh, lmax,
+                                spin, contract="tree", **kw)
+    q_f = synthesis_pair_folded(alms[0], alms[1], x, logch, logsh, lmax,
+                                spin, contract="fma", **kw)
+    for u, v in zip(q_t, q_f):
+        close(u, v)
