@@ -170,14 +170,18 @@ def _rsum(a):
     return jnp.sum(a, axis=0, keepdims=True)
 
 
-def _env_contract():
+def _env_contract(default="tree"):
     """Default ring-contraction strategy: "tree" or "fma".
 
     Resolved at trace time from ``HERACLES_TPU_SHT_CONTRACT`` when the
     wrappers' ``contract`` argument is None; pass the argument
-    explicitly (as the kernel tuner does) to override per call.
+    explicitly (as the kernel tuner does) to override per call.  Each
+    wrapper supplies its tuned per-kernel ``default``
+    (tools/kernel_tune.json, n4096_l3000: fma wins only for the pair
+    analysis — 415 ms rb256 vs 454 ms tree rb128; the synthesis kernels
+    regress under fma and keep the tree).
     """
-    return os.environ.get("HERACLES_TPU_SHT_CONTRACT", "tree")
+    return os.environ.get("HERACLES_TPU_SHT_CONTRACT", default)
 
 
 def _chain_bounds(n):
@@ -1166,7 +1170,7 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     cos(theta) in ``x_lo``.  Returns (alm_p, alm_m) rectangular
     (..., lmax+1, nm_pad) complex64.
     """
-    contract = contract or _env_contract()
+    contract = contract or _env_contract("fma")
     B, batch, (FNp, Sp, FNm, Sm) = _flatten_batch((FNp, Sp, FNm, Sm))
     if nb is None:
         # out tiles are 2x the spin-0 ones: halve the map grouping
@@ -1174,8 +1178,10 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
     nhalf, nm_pad = FNp.shape[-2:]
     if ring_block is None:
         # 4 double-buffered F blocks + 6 carries + the (nb*4, lmax+1, m)
-        # output block must fit the VMEM budget
-        ring_block = min(nhalf, 128 if lmax > 2048 else 256)
+        # output block must fit the VMEM budget; with the fma contraction
+        # rb256 beats rb128 at north-star size (tools/kernel_tune.json:
+        # 415 vs 448 ms)
+        ring_block = min(nhalf, 256)
     nr_pad = -(-nhalf // ring_block) * ring_block
     pad = nr_pad - nhalf
 
