@@ -664,25 +664,36 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
             ds.append(d_new)
             d_prev, d_curr = d_curr, d_new
 
-        # wavefront skip: emit is computed once per block from k at
-        # entry, so k < -1 everywhere means every lam of this block is
-        # exactly zero in the current numbering — skip the contraction
-        # (polar tiles spend most l's below the Legendre wavefront)
-        @pl.when(jnp.max(k) > -1.5)
-        def _emit_block():
+        def _contract(lams):
             rows = [[] for _ in range(2 * nb)]
             for t in range(8):
-                lam = ds[t] * emit
                 for q in range(nb):
                     Fr, Fi = F_planes(q, t)
-                    rows[2 * q].append(dot1(lam, Fr))
-                    rows[2 * q + 1].append(dot1(lam, Fi))
+                    rows[2 * q].append(dot1(lams[t], Fr))
+                    rows[2 * q + 1].append(dot1(lams[t], Fi))
             norm = _norm_col(blk)
             sl = pl.ds(8 * blk, 8)
             for p in range(2 * nb):
                 out_ref[0, p, sl, :] += (
                     jnp.concatenate(rows[p], axis=0) * norm
                 )
+
+        # wavefront skip: emit is computed once per block from k at
+        # entry, so k < -1 everywhere means every lam of this block is
+        # exactly zero in the current numbering — skip the contraction
+        # (polar tiles spend most l's below the Legendre wavefront).
+        # emit skip: k == 0 everywhere means emit == 1.0 exactly — the
+        # emit multiply is a bitwise no-op, so skip it (most blocks past
+        # the wavefront run this branch; saves 1 of ~8 VPU ops/element)
+        kmin, kmax = jnp.min(k), jnp.max(k)
+
+        @pl.when(kmin > -0.5)
+        def _emit_fast():
+            _contract(ds)
+
+        @pl.when((kmax > -1.5) & (kmin <= -0.5))
+        def _emit_scaled():
+            _contract([d * emit for d in ds])
 
         return _block_rescale(d_prev, d_curr, k)
 
@@ -915,22 +926,32 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             dp_prev, dp_curr = dp_curr, dp_new
             dm_prev, dm_curr = dm_curr, dm_new
 
-        # wavefront skip (see _kernel.bulk_body): block emit factors come
-        # from k at entry, so k < -1 on both branches means every lam of
-        # this block is exactly zero — skip the contraction work
-        @pl.when(jnp.maximum(jnp.max(k_p), jnp.max(k_m)) > -1.5)
-        def _emit_block():
+        def _contract(lams_p, lams_m):
             rows = [[] for _ in range(4 * nb)]
             for t in range(8):
-                lam_p = dps[t] * emit_p
-                lam_m = dms[t] * emit_m
-                rows_of_t(rows, t, lam_p, lam_m)
+                rows_of_t(rows, t, lams_p[t], lams_m[t])
             norm = _norm_col(blk)
             sl = pl.ds(8 * blk, 8)
             for plane in range(4 * nb):
                 out_ref[0, plane, sl, :] += (
                     jnp.concatenate(rows[plane], axis=0) * norm
                 )
+
+        # wavefront skip (see _kernel.bulk_body): block emit factors come
+        # from k at entry, so k < -1 on both branches means every lam of
+        # this block is exactly zero — skip the contraction work.
+        # emit skip: k == 0 on both branches means both emit factors are
+        # exactly 1.0 — the two emit multiplies are bitwise no-ops
+        kmin = jnp.minimum(jnp.min(k_p), jnp.min(k_m))
+        kmax = jnp.maximum(jnp.max(k_p), jnp.max(k_m))
+
+        @pl.when(kmin > -0.5)
+        def _emit_fast():
+            _contract(dps, dms)
+
+        @pl.when((kmax > -1.5) & (kmin <= -0.5))
+        def _emit_scaled():
+            _contract([d * emit_p for d in dps], [d * emit_m for d in dms])
 
         return (
             _block_rescale(dp_prev, dp_curr, k_p),
@@ -1332,16 +1353,31 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
 
         # wavefront skip (see _kernel.bulk_body): emit comes from k at
         # entry, so k < -1 everywhere makes this block's lam all zero —
-        # skip the accumulation work on polar tiles below the wavefront
-        def _accumulate(acc):
+        # skip the accumulation work on polar tiles below the wavefront.
+        # emit skip: k == 0 everywhere means emit == 1.0 exactly — the
+        # emit multiply is a bitwise no-op, so skip it in the common
+        # (post-wavefront) branch
+        def _accumulate_fast(acc):
+            norm = _norm_col(blk)
+            rows = alm_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            for t in range(8):
+                acc = acc_step(rows, t, ds[t], acc)
+            return acc
+
+        def _accumulate_scaled(acc):
             norm = _norm_col(blk)
             rows = alm_ref[0, :, pl.ds(8 * blk, 8), :] * norm
             for t in range(8):
                 acc = acc_step(rows, t, ds[t] * emit, acc)
             return acc
 
+        kmin, kmax = jnp.min(k), jnp.max(k)
         acc = jax.lax.cond(
-            jnp.max(k) > -1.5, _accumulate, lambda a: a, acc
+            kmax > -1.5,
+            lambda a: jax.lax.cond(
+                kmin > -0.5, _accumulate_fast, _accumulate_scaled, a
+            ),
+            lambda a: a, acc,
         )
         return _block_rescale(d_prev, d_curr, k), acc
 
@@ -1676,8 +1712,18 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
             dp_prev, dp_curr = dp_curr, dp_new
             dm_prev, dm_curr = dm_curr, dm_new
 
-        # wavefront skip (see _kernel.bulk_body)
-        def _accumulate(acc):
+        # wavefront skip (see _kernel.bulk_body); emit skip: k == 0 on
+        # both branches makes both emit factors exactly 1.0 (a bitwise
+        # no-op multiply), so the common post-wavefront branch drops it
+        def _accumulate_fast(acc):
+            norm = _norm_col(blk)
+            rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            for t in range(8):
+                acc = step_maps(rows_p, rows_m, t, dps[t], dms[t], acc)
+            return acc
+
+        def _accumulate_scaled(acc):
             norm = _norm_col(blk)
             rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :] * norm
             rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :] * norm
@@ -1687,9 +1733,14 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
                 acc = step_maps(rows_p, rows_m, t, lam_p, lam_m, acc)
             return acc
 
+        kmin = jnp.minimum(jnp.min(k_p), jnp.min(k_m))
+        kmax = jnp.maximum(jnp.max(k_p), jnp.max(k_m))
         acc = jax.lax.cond(
-            jnp.maximum(jnp.max(k_p), jnp.max(k_m)) > -1.5,
-            _accumulate, lambda a: a, acc,
+            kmax > -1.5,
+            lambda a: jax.lax.cond(
+                kmin > -0.5, _accumulate_fast, _accumulate_scaled, a
+            ),
+            lambda a: a, acc,
         )
         return (
             _block_rescale(dp_prev, dp_curr, k_p),

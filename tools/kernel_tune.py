@@ -42,6 +42,8 @@ def main():
                     help="comma list overriding the ring_block grid")
     ap.add_argument("--mcs", default=None,
                     help="comma list overriding the m_chunk grid")
+    ap.add_argument("--force", action="store_true",
+                    help="re-time configs already recorded in the json")
     args = ap.parse_args()
 
     import jax
@@ -139,7 +141,7 @@ def main():
         mcs = mcs_cli or mcs
         for ct, rb, mc in itertools.product(contracts, rbs, mcs):
             tag = f"rb{rb}_mc{mc}" + ("" if ct == "tree" else f"_{ct}")
-            if tag in results[key][name]:
+            if tag in results[key][name] and not args.force:
                 continue
             try:
                 dt = timeit(lambda: build(rb, mc, ct))

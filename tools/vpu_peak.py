@@ -25,13 +25,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 
+_UNROLL = 64
+
+
 def _fma_kernel(a_ref, b_ref, o_ref, *, steps, nchain):
     a = a_ref[...]
     b = b_ref[...]
     accs = [a * (0.5 + 0.125 * c) for c in range(nchain)]
-    for _ in range(steps):
-        for c in range(nchain):
-            accs[c] = a * b + accs[c] * 0.9999
+
+    # fori_loop keeps the compile small; _UNROLL statements per
+    # iteration keep the loop bookkeeping off the measurement.  The
+    # cross-coupled update (acc*b then +a) defeats CSE/hoisting.
+    def body(i, accs):
+        for _ in range(_UNROLL):
+            accs = [a * b + acc * 0.9999 for acc in accs]
+        return accs
+
+    accs = jax.lax.fori_loop(0, steps // _UNROLL, body, accs)
     o_ref[...] = functools.reduce(lambda u, v: u + v, accs)
 
 
@@ -40,10 +50,19 @@ def _rec3_kernel(a_ref, b_ref, o_ref, *, steps, nchain):
     x = b_ref[...]
     prevs = [a * (0.25 * (c + 1)) for c in range(nchain)]
     currs = [a * (0.125 * (c + 1)) for c in range(nchain)]
-    for _ in range(steps):
-        for c in range(nchain):
-            new = 1.0001 * (x * currs[c]) - 0.9999 * prevs[c]
-            prevs[c], currs[c] = currs[c], new
+
+    def body(i, carry):
+        prevs, currs = carry
+        for _ in range(_UNROLL):
+            news = [
+                1.0001 * (x * currs[c]) - 0.9999 * prevs[c]
+                for c in range(nchain)
+            ]
+            prevs, currs = currs, news
+        return prevs, currs
+
+    prevs, currs = jax.lax.fori_loop(0, steps // _UNROLL, body,
+                                     (prevs, currs))
     o_ref[...] = functools.reduce(lambda u, v: u + v, currs)
 
 
