@@ -24,6 +24,10 @@ large to run on one CPU core in reasonable time, the baseline is
 measured at a smaller size and scaled by the operation's work ratio
 (``baseline`` field says which: "cpu_1core" = directly measured,
 "cpu_1core_scaled" = measured then work-scaled).
+
+SHT metrics additionally report ``vs_node_model``: measured ms against
+the BASELINE.md ducc FLOP model of a 64-core AVX-512 node (the honest
+north-star comparison; >1 means one chip beats the modeled node).
 """
 
 import argparse
@@ -413,6 +417,19 @@ def _sht_scale(nside_t, lmax_t, nside_c, lmax_c):
     return (nside_t / nside_c) * (lmax_t / lmax_c) ** 2
 
 
+def _node_model_ms(nside, lmax, nmaps):
+    """BASELINE.md ducc FLOP model: modeled 64-core-node ms for one SHT.
+
+    Work = nhalf x tri(lmax) x 6 f64 FLOP per map (libsharp-lineage inner
+    loop), evaluated at the model's 1.6-2.6 TFLOP/s effective node rate
+    (midpoint 2.1).  See BASELINE.md "ducc FLOP model" — this is the
+    honest north-star comparison, alongside the 1-core ``vs_baseline``.
+    """
+    nhalf = 2 * nside
+    flop = nhalf * (lmax + 1) * (lmax + 2) / 2 * 6.0 * nmaps
+    return flop / 2.1e12 * 1e3
+
+
 # ordered so the north-star metrics print first (the driver may cap the
 # bench wall time; each line flushes as soon as it is measured)
 CONFIGS = {
@@ -420,11 +437,13 @@ CONFIGS = {
         build=lambda: build_spin0(4096, 3000),
         reps=3,
         cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
+        node_ms=_node_model_ms(4096, 3000, 1),
     ),
     "spin2_n4096_l3000": dict(
         build=lambda: build_spin2_masked(4096, 3000),
         reps=3,
         cpu=("spin2_masked_n512_l768", _sht_scale(4096, 3000, 512, 768)),
+        node_ms=_node_model_ms(4096, 3000, 2),
     ),
     # high-accuracy mode: the double-single f32 recurrence (~f64-class
     # alms on f32 hardware; see tools/accuracy_sweep.json *_dd rows)
@@ -432,6 +451,7 @@ CONFIGS = {
         build=lambda: build_spin0(4096, 3000, dd=True),
         reps=3,
         cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
+        node_ms=_node_model_ms(4096, 3000, 1),
     ),
     "pipeline_n4096_l3000": dict(
         build=lambda: build_pipeline(4096, 3000),
@@ -451,11 +471,13 @@ CONFIGS = {
         build=lambda: build_spin0(128, 256),
         reps=5,
         cpu=("spin0_cl_n128_l256", 1.0),
+        node_ms=_node_model_ms(128, 256, 1),
     ),
     "spin2_masked_n512_l768": dict(
         build=lambda: build_spin2_masked(512, 768),
         reps=3,
         cpu=("spin2_masked_n512_l768", 1.0),
+        node_ms=_node_model_ms(512, 768, 2),
     ),
     "mixmat_eb_l3000": dict(
         build=lambda: build_mixmat_eb(3000),
@@ -484,6 +506,7 @@ CONFIGS = {
         build=lambda: build_alm2map(1024, 1536),
         reps=3,
         cpu=("alm2map_n1024_l1536", 1.0),
+        node_ms=_node_model_ms(1024, 1536, 1),
     ),
     # host ingestion: 2M rows, 2 of 8 columns decoded; the baseline is
     # the same sweep decoding all 8 columns (the pre-subset behaviour),
@@ -511,6 +534,26 @@ CPU_CONFIGS = {
     "alm2map_n1024_l1536": lambda: build_alm2map(1024, 1536),
     "ingest_2Mrows_8of8cols": lambda: build_ingest(8),
 }
+
+
+def _probe_backend(attempts=3, wait_s=0, timeout=180):
+    """True once a trivial device op completes in a killable subprocess."""
+    for attempt in range(attempts):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.arange(4.0))))"],
+                capture_output=True, timeout=timeout, cwd=HERE,
+            )
+            if probe.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# backend probe {attempt + 1} failed", file=sys.stderr)
+        if attempt + 1 < attempts and wait_s:
+            time.sleep(wait_s)
+    return False
 
 
 def _timeit(fn, reps):
@@ -594,24 +637,9 @@ def main():
     # the tunnelled TPU backend hangs at init when the tunnel is down;
     # probe it in a killable subprocess so a dead tunnel yields a clear
     # error line instead of an indefinite hang.  The tunnel is also
-    # *flaky* — a single timed-out probe does not mean it is down, so
-    # retry a few times before giving up on the whole bench.
-    backend_ok = False
-    for attempt in range(3):
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "print(float(jnp.sum(jnp.arange(4.0))))"],
-                capture_output=True, timeout=300, cwd=HERE,
-            )
-            backend_ok = probe.returncode == 0
-        except subprocess.TimeoutExpired:
-            backend_ok = False
-        if backend_ok:
-            break
-        print(f"# backend probe {attempt + 1} failed", file=sys.stderr)
-    if not backend_ok:
+    # *flaky* and can come back mid-window — probe repeatedly with waits
+    # between attempts (~25 min total) before giving up on the bench.
+    if not _probe_backend(attempts=8, wait_s=120):
         print(json.dumps({
             "metric": "backend_unreachable",
             "value": 0,
@@ -631,24 +659,42 @@ def main():
     if missing:
         baselines = _measure_cpu(sorted(missing))
 
-    for name in names:
+    for idx, name in enumerate(names):
         cfg = CONFIGS[name]
         # one bad metric (OOM, a TPU-worker restart mid-run) must not
-        # take down the rest of the bench: report it and move on
+        # take down the rest of the bench — and a crashed worker POISONS
+        # this process (CLAUDE.md), so recovery means handing the
+        # remaining metrics to a fresh subprocess, not retrying here
         try:
             fn = cfg["build"]()
             dt = _timeit(fn, args.reps or cfg["reps"])
         except Exception as exc:  # noqa: BLE001
             print(f"# {name} failed: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
-            print(json.dumps({
-                "metric": name,
-                "value": 0,
-                "unit": "error",
-                "vs_baseline": None,
-                "baseline": "failed",
-            }), flush=True)
-            continue
+            handoffs = int(os.environ.get("HERACLES_BENCH_HANDOFF", "0"))
+            rest = names[idx:] if handoffs < 3 else names[idx + 1:]
+            if handoffs < 3 and rest and _probe_backend(attempts=3,
+                                                        wait_s=60):
+                env = dict(os.environ,
+                           HERACLES_BENCH_HANDOFF=str(handoffs + 1))
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--configs", ",".join(rest)]
+                    + (["--reps", str(args.reps)] if args.reps else []),
+                    cwd=HERE, env=env,
+                )
+                return
+            for miss in ([name] if handoffs >= 3 else rest or [name]):
+                print(json.dumps({
+                    "metric": miss,
+                    "value": 0,
+                    "unit": "error",
+                    "vs_baseline": None,
+                    "baseline": "failed",
+                }), flush=True)
+            if handoffs >= 3:
+                continue
+            return
         cpu_name, scale = cfg["cpu"]
         rec = baselines.get(cpu_name)
         if rec is not None:
@@ -658,13 +704,19 @@ def main():
         else:
             vs = None
             kind = "unavailable"
-        print(json.dumps({
+        rec = {
             "metric": name,
             "value": round(dt * 1e3, 3),
             "unit": "ms",
             "vs_baseline": vs,
             "baseline": kind,
-        }), flush=True)
+        }
+        node_ms = cfg.get("node_ms")
+        if node_ms is not None:
+            # >1 means this chip beats the modeled 64-core ducc node
+            # (BASELINE.md FLOP model) on the same transform
+            rec["vs_node_model"] = round(node_ms / (dt * 1e3), 3)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

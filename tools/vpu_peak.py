@@ -35,10 +35,11 @@ def _fma_kernel(a_ref, b_ref, o_ref, *, steps, nchain):
 
     # fori_loop keeps the compile small; _UNROLL statements per
     # iteration keep the loop bookkeeping off the measurement.  The
-    # cross-coupled update (acc*b then +a) defeats CSE/hoisting.
+    # cross-coupled update (acc*b, then +a) keeps one dependent FMA per
+    # step on the critical path and leaves nothing loop-invariant.
     def body(i, accs):
         for _ in range(_UNROLL):
-            accs = [a * b + acc * 0.9999 for acc in accs]
+            accs = [acc * b + a for acc in accs]
         return accs
 
     accs = jax.lax.fori_loop(0, steps // _UNROLL, body, accs)
@@ -69,6 +70,11 @@ def _rec3_kernel(a_ref, b_ref, o_ref, *, steps, nchain):
 def run(kind, rows, steps, nchain, reps=3):
     kern = {"fma": _fma_kernel, "rec3": _rec3_kernel}[kind]
     ops_per_step = {"fma": 2, "rec3": 3}[kind]
+    # the kernels execute (steps // _UNROLL) * _UNROLL steps; count ops
+    # from the executed step count, not the requested one
+    steps = (steps // _UNROLL) * _UNROLL
+    if steps == 0:
+        raise ValueError(f"--steps must be >= {_UNROLL}")
     a = jnp.full((rows, 128), 1.0 + 2.0**-20, jnp.float32)
     b = jnp.full((rows, 128), 1.0 - 2.0**-20, jnp.float32)
     fn = jax.jit(
