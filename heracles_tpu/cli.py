@@ -1,9 +1,9 @@
 """INI-config-driven command line interface.
 
-Parity with ``/root/reference/heracles/cli.py``: the ``heracles-tpu``
-command (also ``python -m heracles_tpu``) provides the four pipeline
-stages ``maps``, ``alms``, ``spectra``, ``mixmats``, driven by the same
-INI schema:
+Parity with the reference CLI (``/root/reference/heracles/cli.py``): the
+``heracles-tpu`` command (also ``python -m heracles_tpu``) provides the
+four pipeline stages ``maps``, ``alms``, ``spectra``, ``mixmats``,
+driven by the same INI schema:
 
 * a ``defaults`` section applied everywhere (``mapper = healpix``);
 * namespaced subsections ``fields:NAME``, ``catalogs:NAME``,
@@ -14,7 +14,9 @@ INI schema:
   sqrt/log1p spacings and ``2l+1`` / ``l(l+1)`` weights.
 
 State crosses stages via FITS files, so pipelines are restartable and
-trivially sharded by selection/stage across jobs.
+trivially sharded by selection/stage across jobs.  The implementation
+here is this project's own: only the option names and their semantics
+follow the reference schema.
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from typing import Any
 
 import numpy as np
 
-# field type names -> implementations (resolvable via pkgutil.resolve_name)
+# field "type" option -> dotted implementation path
 FIELD_TYPES = {
     "positions": "heracles_tpu.fields:Positions",
     "shears": "heracles_tpu.fields:Shears",
@@ -36,32 +38,33 @@ FIELD_TYPES = {
     "weights": "heracles_tpu.fields:Weights",
 }
 
+_MISSING = object()
+
 
 def getlist(value):
     """Multi-line option value -> list of stripped non-empty lines."""
-    return list(filter(None, map(str.strip, value.splitlines())))
+    return [line for line in (s.strip() for s in value.splitlines()) if line]
 
 
 def getdict(value):
     """Multi-line 'KEY = VALUE' option value -> dict."""
     out = {}
-    for line in map(str.strip, value.splitlines()):
-        if not line:
-            continue
-        key, sep, val = line.partition("=")
-        if sep != "=":
-            raise ValueError(f"Invalid value: {line!r} (expected 'KEY = VALUE')")
-        out[key.rstrip()] = val.lstrip()
+    for line in getlist(value):
+        if "=" not in line:
+            raise ValueError(
+                f"expected 'KEY = VALUE', got {line!r}"
+            )
+        key, val = line.split("=", 1)
+        out[key.strip()] = val.strip()
     return out
 
 
 def getchoice(value, choices):
-    """Value from a fixed set of options."""
-    try:
-        return choices[value]
-    except KeyError:
-        expected = ", ".join(map(repr, choices))
-        raise ValueError(f"Invalid value: {value!r} (expected {expected})") from None
+    """Look *value* up in *choices*, with a helpful error."""
+    if value not in choices:
+        allowed = ", ".join(repr(c) for c in choices)
+        raise ValueError(f"{value!r} is not one of: {allowed}")
+    return choices[value]
 
 
 def getpath(value):
@@ -69,131 +72,155 @@ def getpath(value):
     return os.path.expanduser(os.path.expandvars(value))
 
 
+def _filter_part(part):
+    """One element of a tuple-key pattern: int, '...' wildcard, or str."""
+    if part == "...":
+        return ...
+    try:
+        return int(part)
+    except ValueError:
+        return part
+
+
 def getfilter(value):
-    """Multi-line comma-separated include/exclude patterns ('...' wildcards)."""
-    out = []
-    for row in getlist(value):
-        item = []
-        for part in map(str.strip, row.split(",")):
-            if part == "...":
-                item.append(...)
-            elif part.isdigit():
-                item.append(int(part))
-            else:
-                item.append(part)
-        out.append(tuple(item))
-    return out
+    """Multi-line comma-separated include/exclude patterns ('...' wild)."""
+    return [
+        tuple(_filter_part(p.strip()) for p in row.split(","))
+        for row in getlist(value)
+    ]
+
+
+# configparser wiring for the INI schema: '=' delimiters, '#' comments,
+# a 'defaults' section feeding every other section, no interpolation
+_PARSER_OPTIONS = dict(
+    defaults={"mapper": "healpix"},
+    dict_type=dict,
+    allow_no_value=False,
+    delimiters=("=",),
+    comment_prefixes=("#",),
+    inline_comment_prefixes=("#",),
+    strict=True,
+    empty_lines_in_values=False,
+    default_section="defaults",
+    interpolation=None,
+    converters={
+        "list": getlist,
+        "dict": getdict,
+        "path": getpath,
+        "filter": getfilter,
+    },
+)
 
 
 class ConfigParser(configparser.ConfigParser):
-    """ConfigParser with heracles converters and subsection helpers."""
-
-    _UNSET = configparser._UNSET
+    """The pipeline's config dialect (see module docstring)."""
 
     def __init__(self):
-        super().__init__(
-            defaults={"mapper": "healpix"},
-            dict_type=dict,
-            allow_no_value=False,
-            delimiters=("=",),
-            comment_prefixes=("#",),
-            inline_comment_prefixes=("#",),
-            strict=True,
-            empty_lines_in_values=False,
-            default_section="defaults",
-            interpolation=None,
-            converters={
-                "list": getlist,
-                "dict": getdict,
-                "path": getpath,
-                "filter": getfilter,
-            },
-        )
+        super().__init__(**_PARSER_OPTIONS)
 
-    def getchoice(self, section, option, choices, *, raw=False, vars=None,
-                  fallback=_UNSET):
-        try:
-            value = self.get(section, option, raw=False, vars=None)
-        except (configparser.NoSectionError, configparser.NoOptionError):
-            if fallback is not self._UNSET:
-                return fallback
-            raise
-        return getchoice(value, choices)
-
-    def sections(self, prefix=None):
-        sections = super().sections()
-        if prefix is not None:
-            sections = [s for s in sections if s.startswith(prefix)]
-        return sections
+    def getchoice(self, section, option, choices, *, fallback=_MISSING):
+        """Option value constrained to the keys of *choices*."""
+        raw = self.get(section, option, fallback=None)
+        if raw is None:
+            if fallback is _MISSING:
+                raise configparser.NoOptionError(option, section)
+            return fallback
+        return getchoice(raw, choices)
 
     def subsections(self, group):
-        sections = self.sections(f"{group}:")
-        return {s.rpartition(":")[-1].strip(): s for s in sections}
+        """Mapping of NAME -> section for all ``group:NAME`` sections."""
+        out = {}
+        for section in super().sections():
+            head, sep, tail = section.partition(":")
+            if sep and head == group:
+                out[tail.strip()] = section
+        return out
+
+
+# -- factories: config sections -> pipeline objects -------------------------
+
+
+def _healpix_mapper(config, section):
+    from .mappers import HealpixMapper
+
+    device_maps = config.getboolean(section, "device_maps", fallback=None)
+    if device_maps is None:
+        # on an accelerator keep maps/alms resident by default: the
+        # host<->device boundary costs ~GBs per stage at production
+        # nside (explicit device_maps = true/false overrides)
+        import jax
+
+        device_maps = jax.default_backend() == "tpu"
+    return HealpixMapper(
+        config.getint(section, "nside"),
+        config.getint(section, "lmax", fallback=None),
+        deconvolve=config.getboolean(section, "deconvolve", fallback=None),
+        device_maps=device_maps,
+        dd=config.getboolean(section, "dd", fallback=None),
+        iterations=config.getint(section, "iterations", fallback=0),
+    )
+
+
+def _discrete_mapper(config, section):
+    from .mappers import DiscreteMapper
+
+    return DiscreteMapper(
+        config.getint(section, "lmax", fallback=None),
+        epsilon=config.getfloat(section, "epsilon", fallback=None),
+        method=config.get(section, "method", fallback="auto"),
+    )
+
+
+_MAPPER_FACTORIES = {
+    "none": lambda config, section: None,
+    "healpix": _healpix_mapper,
+    "discrete": _discrete_mapper,
+}
 
 
 def mapper_from_config(config, section):
     """Mapper instance from a config section (none/healpix/discrete)."""
-    choices = {"none": "none", "healpix": "healpix", "discrete": "discrete"}
-    mapper = config.getchoice(section, "mapper", choices)
-    if mapper == "healpix":
-        from .mappers import HealpixMapper
-
-        nside = config.getint(section, "nside")
-        lmax = config.getint(section, "lmax", fallback=None)
-        deconvolve = config.getboolean(section, "deconvolve", fallback=None)
-        device_maps = config.getboolean(section, "device_maps",
-                                        fallback=None)
-        if device_maps is None:
-            # on an accelerator keep maps/alms resident by default: the
-            # host<->device boundary costs ~GBs per stage at production
-            # nside (explicit device_maps = true/false overrides)
-            import jax
-
-            device_maps = jax.default_backend() == "tpu"
-        dd = config.getboolean(section, "dd", fallback=None)
-        iterations = config.getint(section, "iterations", fallback=0)
-        return HealpixMapper(nside, lmax, deconvolve=deconvolve,
-                             device_maps=device_maps, dd=dd,
-                             iterations=iterations)
-    if mapper == "discrete":
-        from .mappers import DiscreteMapper
-
-        lmax = config.getint(section, "lmax", fallback=None)
-        epsilon = config.getfloat(section, "epsilon", fallback=None)
-        method = config.get(section, "method", fallback="auto")
-        return DiscreteMapper(lmax, epsilon=epsilon, method=method)
-    return None
+    factory = config.getchoice(section, "mapper", _MAPPER_FACTORIES)
+    return factory(config, section)
 
 
 def field_from_config(config, section):
     """Field instance from a config section."""
     from pkgutil import resolve_name
 
-    type_ = config.getchoice(section, "type", FIELD_TYPES)
-    if isinstance(type_, str):
-        try:
-            cls = resolve_name(type_)
-        except (ValueError, ImportError, AttributeError) as exc:
-            value = config.get(section, "type")
-            raise RuntimeError(
-                f"Internal error: field type {value!r} maps to type {type_!r}, "
-                f"which raised the following error: {exc!s}"
-            ) from None
-    else:
-        cls = type_
-    mapper = mapper_from_config(config, section)
-    columns = config.getlist(section, "columns", fallback=())
-    mask = config.get(section, "mask", fallback=None)
-    return cls(mapper, *columns, mask=mask)
+    dotted = config.getchoice(section, "type", FIELD_TYPES)
+    try:
+        cls = resolve_name(dotted)
+    except (ValueError, ImportError, AttributeError) as exc:
+        raise RuntimeError(
+            f"field type {config.get(section, 'type')!r} "
+            f"(-> {dotted!r}) failed to import: {exc!s}"
+        ) from None
+    return cls(
+        mapper_from_config(config, section),
+        *config.getlist(section, "columns", fallback=()),
+        mask=config.get(section, "mask", fallback=None),
+    )
 
 
 def fields_from_config(config):
     """All fields from the ``fields:NAME`` sections."""
-    sections = config.subsections("fields")
     return {
         name: field_from_config(config, section)
-        for name, section in sections.items()
+        for name, section in config.subsections("fields").items()
     }
+
+
+def _visibility_map(path, transform, lmax):
+    """Load one visibility map (optionally to alms) or raise ValueError."""
+    from .io import read_vmap
+
+    try:
+        return read_vmap(getpath(path), transform=transform, lmax=lmax)
+    except (TypeError, ValueError, OSError) as exc:
+        raise ValueError(
+            f"could not load visibility map {path!r}: {exc!s}"
+        ) from None
 
 
 def catalog_from_config(config, section, label=None, *, out=None):
@@ -204,57 +231,42 @@ def catalog_from_config(config, section, label=None, *, out=None):
     :class:`~heracles_tpu.catalog.CatalogView` instances.
     """
     from .catalog import FitsCatalog
-    from .io import read_vmap
 
-    source = config.getpath(section, "source")
-    visibility = config.get(section, "visibility", fallback=None)
-    visibility_transform = config.getboolean(
+    vis = config.get(section, "visibility", fallback=None)
+    vis_transform = config.getboolean(
         section, "visibility-transform", fallback=False
     )
-    visibility_lmax = config.getint(section, "visibility-lmax", fallback=None)
-    if visibility and "\n" in visibility:
-        visibility = config.getdict(section, "visibility")
-    selections = config.getdict(section, "selections")
+    vis_lmax = config.getint(section, "visibility-lmax", fallback=None)
+    if vis and "\n" in vis:
+        # one visibility per selection number
+        vis = config.getdict(section, "visibility")
 
-    base_catalog = FitsCatalog(source)
-    base_catalog.label = label
-    if isinstance(visibility, str):
-        try:
-            vmap = read_vmap(
-                getpath(visibility),
-                transform=visibility_transform,
-                lmax=visibility_lmax,
-            )
-        except (TypeError, ValueError, OSError) as exc:
-            raise ValueError(f"Cannot load visibility: {exc!s}") from None
-        base_catalog.visibility = vmap
-        del vmap
+    base = FitsCatalog(config.getpath(section, "source"))
+    base.label = label
+    if isinstance(vis, str):
+        base.visibility = _visibility_map(vis, vis_transform, vis_lmax)
 
     if out is None:
         out = {}
-    added = set()
-    for key, where in selections.items():
+    mine = set()
+    for key, where in config.getdict(section, "selections").items():
         num = int(key)
-        if out and num in out:
-            raise ValueError(f"Duplicate selection: {num}")
-        out[num] = base_catalog.where(where) if where else base_catalog
-        added.add(num)
+        if num in out:
+            raise ValueError(f"selection {num} defined more than once")
+        out[num] = base.where(where) if where else base
+        mine.add(num)
 
-    if isinstance(visibility, Mapping):
-        for key, value in visibility.items():
+    if isinstance(vis, Mapping):
+        # per-selection maps may only target selections from this section
+        for key, path in vis.items():
             num = int(key)
-            if num not in added:
-                raise ValueError(f"Invalid value: unknown selection '{num}'")
-            try:
-                vmap = read_vmap(
-                    getpath(value),
-                    transform=visibility_transform,
-                    lmax=visibility_lmax,
+            if num not in mine:
+                raise ValueError(
+                    f"visibility given for unknown selection '{num}'"
                 )
-            except (TypeError, ValueError, OSError) as exc:
-                raise ValueError(f"Cannot load visibility: {exc!s}") from None
-            out[num].visibility = vmap
-            del vmap
+            out[num].visibility = _visibility_map(
+                path, vis_transform, vis_lmax
+            )
     return out
 
 
@@ -266,57 +278,64 @@ def catalogs_from_config(config):
     return catalogs
 
 
+# bin spacing name -> (forward, inverse) axis maps
+_SPACINGS = {
+    "linear": (lambda x: x, lambda x: x),
+    "log": (np.log10, lambda x: 10**x),
+    "sqrt": (np.sqrt, np.square),
+    "log1p": (np.log1p, np.expm1),
+}
+_BIN_WEIGHTS = (None, "2l+1", "l(l+1)")
+
+
 def bins_from_config(config, section):
     """Angular bin edges + weights from '<size> <spacing> [<weights>]'."""
-    spacings = {
-        "linear": (lambda x: x, lambda x: x),
-        "log": (np.log10, lambda x: 10**x),
-        "sqrt": (np.sqrt, np.square),
-        "log1p": (np.log1p, np.expm1),
-    }
-    weights = {None, "2l+1", "l(l+1)"}
-
-    bins = config.get(section, "bins", fallback="none")
-    if bins == "none":
+    spec = config.get(section, "bins", fallback="none")
+    if spec == "none":
         return None, None
-    binopts = bins.split()
-    if not 2 <= len(binopts) <= 3:
+    parts = spec.split()
+    if len(parts) not in (2, 3):
         raise ValueError(
-            f"{section}: bins should be of the form '<size> <spacing> [<weights>]'"
+            f"[{section}] bins: want '<size> <spacing> [<weights>]', "
+            f"got {spec!r}"
         )
-    n = int(binopts[0])
-    s = binopts[1]
-    w = binopts[2] if len(binopts) > 2 else None
+    n = int(parts[0])
+    spacing = parts[1]
+    weight = parts[2] if len(parts) == 3 else None
     if n < 2:
-        raise ValueError(f"Invalid bin size '{n}' in section {section}")
-    if s not in spacings:
-        raise ValueError(f"Invalid bin spacing '{s}' in section {section}")
-    if w is not None and w not in weights:
-        raise ValueError(f"Invalid bin weights '{w}' in section {section}")
+        raise ValueError(f"[{section}] bins: need at least 2 bins, got {n}")
+    if spacing not in _SPACINGS:
+        raise ValueError(f"[{section}] bins: unknown spacing {spacing!r}")
+    if weight not in _BIN_WEIGHTS:
+        raise ValueError(f"[{section}] bins: unknown weights {weight!r}")
     lmin = config.getint(section, "lmin", fallback=1)
     lmax = config.getint(section, "lmax")
-    op, inv = spacings[s]
-    arr = inv(np.linspace(op(lmin), op(lmax + 1), n + 1))
-    arr[0], arr[-1] = lmin, lmax + 1
-    return arr, w
+    fwd, inv = _SPACINGS[spacing]
+    edges = inv(np.linspace(fwd(lmin), fwd(lmax + 1), n + 1))
+    # the transform pair can round the end points; pin them exactly
+    edges[0], edges[-1] = lmin, lmax + 1
+    return edges, weight
+
+
+# spectra-section options and how to read each
+_SPECTRUM_OPTIONS = {
+    "lmax": lambda opts: opts.getint("lmax"),
+    "l2max": lambda opts: opts.getint("l2max"),
+    "l3max": lambda opts: opts.getint("l3max"),
+    "include": lambda opts: opts.getfilter("include"),
+    "exclude": lambda opts: opts.getfilter("exclude"),
+    "debias": lambda opts: opts.getboolean("debias"),
+}
 
 
 def spectrum_from_config(config, section):
     """kwargs dict for angular_power_spectra / mixing_matrices."""
     options = config[section]
-    info: dict[str, Any] = {}
-    if "lmax" in options:
-        info["lmax"] = options.getint("lmax")
-    if "l2max" in options:
-        info["l2max"] = options.getint("l2max")
-    if "l3max" in options:
-        info["l3max"] = options.getint("l3max")
-    if "include" in options:
-        info["include"] = options.getfilter("include")
-    if "exclude" in options:
-        info["exclude"] = options.getfilter("exclude")
-    if "debias" in options:
-        info["debias"] = options.getboolean("debias")
+    info: dict[str, Any] = {
+        name: read(options)
+        for name, read in _SPECTRUM_OPTIONS.items()
+        if name in options
+    }
     if "bins" in options:
         info["bins"] = bins_from_config(config, section)
     return info
@@ -324,13 +343,11 @@ def spectrum_from_config(config, section):
 
 def spectra_from_config(config):
     """(label, kwargs) pairs for every ``spectra:NAME`` section."""
-    out = [
+    pairs = [
         (label, spectrum_from_config(config, section))
         for label, section in config.subsections("spectra").items()
     ]
-    if not out:
-        out = [(None, {})]
-    return out
+    return pairs or [(None, {})]
 
 
 def configloader(path):
@@ -347,6 +364,9 @@ def configloader(path):
 DEFAULT_LOADER = configloader
 
 
+# -- pipeline stages --------------------------------------------------------
+
+
 def _progress_obj(progress):
     if not progress:
         return None
@@ -358,18 +378,19 @@ def _progress_obj(progress):
         return None
 
 
+def _label_str(label):
+    return repr(label) if label is not None else "all"
+
+
 def map_all_selections(fields, config, logger, progress):
     """Yield map dicts per catalogue selection (on-the-fly, low memory)."""
     from .mapping import map_catalogs
 
     catalogs = catalogs_from_config(config)
-    logger.info("fields %s", ", ".join(map(repr, fields)))
+    logger.info("mapping fields: %s", ", ".join(map(repr, fields)))
     for key, catalog in catalogs.items():
-        logger.info(
-            "%s%s",
-            f"catalog {catalog.label!r}, " if catalog.label else "",
-            f"selection {key}",
-        )
+        where = f" of catalog {catalog.label!r}" if catalog.label else ""
+        logger.info("mapping selection %s%s", key, where)
         yield map_catalogs(
             fields,
             {key: catalog},
@@ -385,7 +406,7 @@ def load_all_maps(paths, logger):
     if isinstance(paths, (str, os.PathLike)):
         paths = (paths,)
     for path in paths:
-        logger.info("reading maps from %s", path)
+        logger.info("opening map file %s", path)
         yield MapFits(path, clobber=False)
 
 
@@ -393,13 +414,13 @@ def maps(path, *, files, logger, loader=DEFAULT_LOADER, progress):
     """compute maps"""
     from .io import MapFits
 
-    logger.info("reading configuration from %s", files)
+    logger.info("configuration: %s", files)
     config = loader(files)
     fields = fields_from_config(config)
-    itermaps = map_all_selections(fields, config, logger, progress)
     out = MapFits(path, clobber=True)
-    for m in itermaps:
-        logger.info("writing maps to %s", path)
+    # one selection's maps in memory at a time
+    for m in map_all_selections(fields, config, logger, progress):
+        logger.info("appending %d maps to %s", len(m), path)
         out.update(m)
         del m
 
@@ -416,7 +437,7 @@ def alms(path, *, files, maps=None, healpix_datapath=None, logger,
     from .mappers import HealpixMapper
     from .mapping import transform
 
-    logger.info("reading configuration from %s", files)
+    logger.info("configuration: %s", files)
     config = loader(files)
     if healpix_datapath is not None:
         HealpixMapper.DATAPATH = healpix_datapath
@@ -425,10 +446,10 @@ def alms(path, *, files, maps=None, healpix_datapath=None, logger,
         itermaps = load_all_maps(maps, logger)
     else:
         itermaps = map_all_selections(fields, config, logger, progress)
-    logger.info("writing alms to %s", path)
     out = AlmFits(path, clobber=True)
+    logger.info("alms go to %s", path)
     for m in itermaps:
-        logger.info("transforming %d maps", len(m))
+        logger.info("transforming a batch of %d maps", len(m))
         transform(fields, m, progress=_progress_obj(progress), out=out)
         del m
 
@@ -450,35 +471,27 @@ def spectra(path, *, files, alms, alms2=None, logger, loader=DEFAULT_LOADER,
     from .io import ClsFits
     from .twopoint import angular_power_spectra
 
-    logger.info("reading configuration from %s", files)
+    logger.info("configuration: %s", files)
     config = loader(files)
-    spectra_info = spectra_from_config(config)
     all_alms, all_alms2 = chained_alms(alms), chained_alms(alms2)
-    out = ClsFits(path, clobber=True)
-    total = 0
-    logger.info("using %d set(s) of alms", len(all_alms))
+    logger.info("%d alm set(s) on the auto side", len(all_alms))
     if all_alms2 is not None:
-        logger.info("using %d set(s) of cross-alms", len(all_alms2))
-    for label, info in spectra_info:
-        logger.info(
-            "computing %s spectra", repr(label) if label is not None else "all"
-        )
+        logger.info("%d alm set(s) on the cross side", len(all_alms2))
+    out = ClsFits(path, clobber=True)
+    done = 0
+    for label, info in spectra_from_config(config):
+        logger.info("spectra set %s", _label_str(label))
         bins, weights = info.get("bins") or (None, None)
         angular_power_spectra(
-            all_alms,
-            all_alms2,
-            lmax=info.get("lmax"),
-            debias=info.get("debias", True),
-            bins=bins,
-            weights=weights,
-            include=info.get("include"),
-            exclude=info.get("exclude"),
+            all_alms, all_alms2,
+            lmax=info.get("lmax"), debias=info.get("debias", True),
+            bins=bins, weights=weights,
+            include=info.get("include"), exclude=info.get("exclude"),
             out=out,
         )
-        logger.info("-> added %d spectra, total is now %d", len(out) - total,
-                    len(out))
-        total = len(out)
-    logger.info("finished computing %d spectra", total)
+        logger.info("+%d spectra (%d so far)", len(out) - done, len(out))
+        done = len(out)
+    logger.info("%d spectra written to %s", done, path)
 
 
 def mixmats(path, *, files, alms, alms2=None, logger, loader=DEFAULT_LOADER,
@@ -488,158 +501,138 @@ def mixmats(path, *, files, alms, alms2=None, logger, loader=DEFAULT_LOADER,
     from .io import MmsFits
     from .twopoint import angular_power_spectra, mixing_matrices
 
-    logger.info("reading configuration from %s", files)
+    logger.info("configuration: %s", files)
     config = loader(files)
     fields = fields_from_config(config)
-    spectra_info = spectra_from_config(config)
     all_alms, all_alms2 = chained_alms(alms), chained_alms(alms2)
     out = MmsFits(path, clobber=True)
-    total = 0
-    for label, info in spectra_info:
-        include, exclude = info.get("include"), info.get("exclude")
-        include_masks = get_masks(
-            fields, comb=2, include=include, exclude=exclude, append_eb=True
+    done = 0
+    for label, info in spectra_from_config(config):
+        mask_keys = get_masks(
+            fields,
+            comb=2,
+            include=info.get("include"),
+            exclude=info.get("exclude"),
+            append_eb=True,
         )
-        if not include_masks:
-            logger.info(
-                "missing masks for %s spectra, skipping...",
-                repr(label) if label is not None else "all",
-            )
+        if not mask_keys:
+            logger.info("no masks for set %s; nothing to do",
+                        _label_str(label))
             continue
-        logger.info(
-            "computing %s mask spectra for %s",
-            repr(label) if label is not None else "all",
-            ", ".join(map(str, include_masks)),
-        )
-        lmax, l2max, l3max = info.get("lmax"), info.get("l2max"), info.get("l3max")
+        logger.info("mask spectra for set %s: %s", _label_str(label),
+                    ", ".join(map(str, mask_keys)))
         bins, weights = info.get("bins") or (None, None)
         mask_cls = angular_power_spectra(
             all_alms,
             all_alms2,
-            lmax=l3max,
+            lmax=info.get("l3max"),
             debias=info.get("debias", True),
-            include=include_masks,
+            include=mask_keys,
         )
-        logger.info(
-            "computing %s mixing matrices from %d spectra",
-            repr(label) if label is not None else "all",
-            len(mask_cls),
-        )
+        logger.info("mixing matrices for set %s (%d mask spectra)",
+                    _label_str(label), len(mask_cls))
         mixing_matrices(
             fields,
             mask_cls,
-            l1max=lmax,
-            l2max=l2max,
-            l3max=l3max,
+            l1max=info.get("lmax"),
+            l2max=info.get("l2max"),
+            l3max=info.get("l3max"),
             bins=bins,
             weights=weights,
             progress=_progress_obj(progress),
             out=out,
         )
-        logger.info("-> added %d mixmats, total is now %d", len(out) - total,
-                    len(out))
-        total = len(out)
+        logger.info("+%d mixmats (%d so far)", len(out) - done, len(out))
+        done = len(out)
         del mask_cls
-    logger.info("finished computing %d mixing matrices", total)
+    logger.info("%d mixing matrices written to %s", done, path)
 
 
-class MainFormatter(argparse.RawDescriptionHelpFormatter):
-    """Formatter that keeps the order of arguments for usage."""
+# -- argument parsing -------------------------------------------------------
 
-    def add_usage(self, usage, actions, groups, prefix=None):
-        self.actions = actions
-        super().add_usage(usage, actions, groups, prefix)
-
-    def _format_actions_usage(self, actions, groups):
-        return super()._format_actions_usage(self.actions, groups)
+# subcommand table: function -> (usage, extra argument specs).  Explicit
+# usage strings replace a custom help formatter: argparse's default
+# reorders positionals after options, which reads wrong for pipelines.
+_COMMON_USAGE = "[-c <config>] [--no-progress]"
 
 
-def main():
-    """Entry point of the ``heracles-tpu`` command."""
-
-    def add_command(func):
-        name = func.__name__
-        doc = func.__doc__.strip()
-        help_, _, description = doc.partition("\n")
-        parser = commands.add_parser(
-            name,
-            help=help_,
-            description=description,
-            parents=[cmd_parser],
-            formatter_class=MainFormatter,
-        )
-        parser.set_defaults(cmd=func)
-        return parser
-
-    cmd_parser = argparse.ArgumentParser(add_help=False)
-    cmd_parser.add_argument(
+def _common_options(parser):
+    parser.add_argument(
         "-c", "--config",
         help="configuration file (can be repeated)",
         metavar="<config>", action="append", dest="files",
     )
-    cmd_parser.add_argument(
+    parser.add_argument(
         "--no-progress", help="do not show progress bars",
         action="store_false", dest="progress",
     )
 
-    main_parser = argparse.ArgumentParser(
+
+def _alm_inputs(parser):
+    parser.add_argument("alms", nargs="+",
+                        help="input FITS file(s) for alms",
+                        metavar="<alms>")
+    parser.add_argument("-X", nargs="+",
+                        help="input FITS file(s) for cross-spectra",
+                        metavar="<alms>", dest="alms2")
+
+
+def main():
+    """Entry point of the ``heracles-tpu`` command."""
+    top = argparse.ArgumentParser(
         prog="heracles-tpu",
-        epilog="TPU-native harmonic-space statistics on the sphere",
-        formatter_class=MainFormatter,
+        description="TPU-native harmonic-space statistics on the sphere",
     )
-    main_parser.set_defaults(cmd=None)
-    commands = main_parser.add_subparsers(
+    top.set_defaults(cmd=None)
+    sub = top.add_subparsers(
         title="commands", metavar="<command>",
         help="the processing step to carry out",
     )
 
-    parser = add_command(maps)
-    group = parser.add_argument_group("output")
-    group.add_argument("path", help="output FITS file for maps",
-                       metavar="<maps>")
+    def command(func, usage_tail):
+        summary, _, details = (func.__doc__ or "").strip().partition("\n")
+        parser = sub.add_parser(
+            func.__name__,
+            help=summary,
+            description=details.strip() or summary,
+            usage=f"%(prog)s {_COMMON_USAGE} {usage_tail}",
+        )
+        _common_options(parser)
+        parser.set_defaults(cmd=func)
+        return parser
 
-    parser = add_command(alms)
-    parser.add_argument("--healpix-datapath",
-                        help="path to HEALPix data files (accepted for "
-                             "compatibility; quadrature weights are computed)",
-                        metavar="<path>")
-    group = parser.add_argument_group("output")
-    group.add_argument("path", help="output FITS file for alms",
-                       metavar="<alms>")
-    group = parser.add_argument_group("inputs")
-    group.add_argument("maps", nargs="*", default=None,
-                       help="input FITS file(s) for maps", metavar="<maps>")
+    command(maps, "<maps>").add_argument(
+        "path", help="output FITS file for maps", metavar="<maps>"
+    )
 
-    parser = add_command(spectra)
-    group = parser.add_argument_group("output")
-    group.add_argument("path", help="output FITS file for spectra",
-                       metavar="<spectra>")
-    group = parser.add_argument_group("inputs")
-    group.add_argument("alms", nargs="+",
-                       help="input FITS file(s) for alms", metavar="<alms>")
-    group.add_argument("-X", nargs="+",
-                       help="input FITS file(s) for cross-spectra",
-                       metavar="<alms>", dest="alms2")
+    p = command(alms, "[--healpix-datapath <path>] <alms> [<maps> ...]")
+    p.add_argument("--healpix-datapath", metavar="<path>",
+                   help="path to HEALPix data files (accepted for "
+                        "compatibility; quadrature weights are computed)")
+    p.add_argument("path", help="output FITS file for alms",
+                   metavar="<alms>")
+    p.add_argument("maps", nargs="*", default=None,
+                   help="input FITS file(s) for maps", metavar="<maps>")
 
-    parser = add_command(mixmats)
-    group = parser.add_argument_group("output")
-    group.add_argument("path", help="output FITS file for mixing matrices",
-                       metavar="<mixmats>")
-    group = parser.add_argument_group("inputs")
-    group.add_argument("alms", nargs="+",
-                       help="input FITS file(s) for alms", metavar="<alms>")
-    group.add_argument("-X", nargs="+",
-                       help="input FITS file(s) for cross-spectra",
-                       metavar="<alms>", dest="alms2")
+    p = command(spectra, "<spectra> <alms> [<alms> ...] [-X <alms> ...]")
+    p.add_argument("path", help="output FITS file for spectra",
+                   metavar="<spectra>")
+    _alm_inputs(p)
 
-    args = main_parser.parse_args()
+    p = command(mixmats, "<mixmats> <alms> [<alms> ...] [-X <alms> ...]")
+    p.add_argument("path", help="output FITS file for mixing matrices",
+                   metavar="<mixmats>")
+    _alm_inputs(p)
+
+    args = top.parse_args()
     if args.cmd is None:
-        main_parser.print_help()
+        top.print_help()
         return 1
-    if not args.files:
-        args.files = ["heracles.cfg"]
     kwargs = vars(args)
     cmd = kwargs.pop("cmd")
+    kwargs.setdefault("files", None)
+    if not kwargs["files"]:
+        kwargs["files"] = ["heracles.cfg"]
 
     logger = logging.getLogger(__name__)
     logger.addHandler(logging.StreamHandler())
@@ -647,7 +640,7 @@ def main():
     try:
         cmd(**kwargs, logger=logger)
     except Exception as exc:  # noqa: BLE001
-        logger.debug("Exception", exc_info=exc)
+        logger.debug("traceback:", exc_info=exc)
         logger.error(f"ERROR: {exc!s}")
         return 1
     return 0
