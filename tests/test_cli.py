@@ -190,3 +190,42 @@ def test_cli_pipeline_end_to_end(tmp_path):
     mms = read(mms_fits)
     assert ("SHE", "SHE", 0, 0) in mms
     assert mms["SHE", "SHE", 0, 0].shape == (3, 3, 13)  # EB blocks, binned
+
+
+def test_make_example_data_cli_smoke(tmp_path):
+    """examples/make_example_data.py output drives the CLI stages."""
+    import importlib.util
+    import logging
+    import os
+
+    import heracles_tpu.cli as cli
+    from heracles_tpu.io import read, read_maps
+
+    spec = importlib.util.spec_from_file_location(
+        "make_example_data",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "make_example_data.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    out = str(tmp_path)
+    gen.main([out, "--demo", "--nside", "8", "--nrows", "2000"])
+    for name in ("catalog.fits", "vmap.fits", "heracles.cfg"):
+        assert os.path.exists(os.path.join(out, name))
+
+    cwd = os.getcwd()
+    os.chdir(out)  # the demo config uses relative paths
+    try:
+        logger = logging.getLogger("test_example_data")
+        cli.maps("maps.fits", files=["heracles.cfg"], logger=logger,
+                 progress=False)
+        assert len(read_maps("maps.fits")) == 12  # 4 fields x 3 selections
+        cli.alms("alms.fits", files=["heracles.cfg"], maps=["maps.fits"],
+                 logger=logger, progress=False)
+        cli.spectra("cls.fits", files=["heracles.cfg"], alms=["alms.fits"],
+                    logger=logger, progress=False)
+        cls = read("cls.fits")
+        assert ("POS", "POS", 0, 0) in cls
+    finally:
+        os.chdir(cwd)
