@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_sht import _two_prod, _two_sum, _vmem_limit
 
-__all__ = ["split_f64", "gram_df32", "gram_df32_ref", "matmul_df32",
-           "add_df32"]
+__all__ = ["split_f64", "gram_df32", "gram_df32_ref", "gram_df32_sharded",
+           "matmul_df32", "add_df32"]
 
 
 def split_f64(a):
@@ -182,6 +182,21 @@ def _gram_call(Ah, Al, Bh, Bl, uh, ul, *, a_tile, b_tile, k_chunk,
     return out[0][:L1, :L2], out[1][:L1, :L2]
 
 
+def _k_chunk_guard(K, k_chunk):
+    """Keep the K grid at >= 2 chunks (halving; stays a power of two).
+
+    A single-K-chunk grid combined with multiple output blocks loses the
+    compensated lo stream to XLA's loop compilation of the grid
+    (measured 3e-8 vs 5e-15 relative on CPU interpret; the production
+    multi-chunk path is measured-accurate on TPU).  Two chunks restore
+    the df32 floor at every K tested, and cost nothing at production
+    node counts (K ~ 4500 is multi-chunk regardless).
+    """
+    while k_chunk > 8 and -(-K // k_chunk) < 2:
+        k_chunk //= 2
+    return k_chunk
+
+
 def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
               interpret=False, block=True):
     """M[a, b] = sum_k A[k, a] B[k, b] u[k] in double-single precision.
@@ -198,11 +213,83 @@ def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
     contractions dispatch them all first so transfers overlap compute.
     """
     (Ah, Al), (Bh, Bl), (uh, ul) = A, B, u
+    k_chunk = _k_chunk_guard(np.shape(Ah)[0], k_chunk)
     hi, lo = _gram_call(
         jnp.asarray(Ah), jnp.asarray(Al), jnp.asarray(Bh), jnp.asarray(Bl),
         jnp.asarray(uh), jnp.asarray(ul),
         a_tile=a_tile, b_tile=b_tile, k_chunk=k_chunk, interpret=interpret,
     )
+    if not block:
+        for z in (hi, lo):
+            try:
+                z.copy_to_host_async()
+            except Exception:  # pragma: no cover - transport-specific
+                pass
+        return hi, lo
+    return gram_result((hi, lo))
+
+
+def gram_df32_sharded(mesh, A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
+                      interpret=False, block=True):
+    """:func:`gram_df32` with the node axis sharded over a device mesh.
+
+    The GL node axis K is embarrassingly parallel: every device runs the
+    compensated Gram kernel on its contiguous K block, and the per-device
+    (hi, lo) partials are combined with an all-gather + renormalised
+    double-single reduction — NOT a plain ``psum``, whose single f32 sum
+    would re-introduce exactly the cancellation amplification the df32
+    kernel exists to remove (partial quadrature sums over node blocks can
+    exceed the cancelled total by orders of magnitude).
+
+    All of ``mesh``'s axes are flattened into the K sharding; the result
+    is replicated on every device.  ``block=False`` returns the (hi, lo)
+    device pair (for :func:`gram_result`), mirroring :func:`gram_df32`.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    ndev = int(np.prod([mesh.shape[a] for a in axes]))
+    (Ah, Al), (Bh, Bl), (uh, ul) = (
+        tuple(jnp.asarray(z, jnp.float32) for z in p) for p in (A, B, u)
+    )
+    K = Ah.shape[0]
+    # pad K so each device gets an equal block; padded weights are zero,
+    # so the padded rows contribute exactly nothing
+    Kp = -(-K // ndev) * ndev
+
+    def padk(z):
+        return jnp.pad(z, ((0, Kp - K),) + ((0, 0),) * (z.ndim - 1))
+
+    Ah, Al, Bh, Bl, uh, ul = map(padk, (Ah, Al, Bh, Bl, uh, ul))
+    shard2 = NamedSharding(mesh, P(axes, None))
+    shard1 = NamedSharding(mesh, P(axes))
+    Ah, Al = jax.device_put(Ah, shard2), jax.device_put(Al, shard2)
+    Bh, Bl = jax.device_put(Bh, shard2), jax.device_put(Bl, shard2)
+    uh, ul = jax.device_put(uh, shard1), jax.device_put(ul, shard1)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axes, None), P(axes, None), P(axes, None),
+                  P(axes, None), P(axes), P(axes)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def local(ah, al, bh, bl, vh, vl):
+        hi, lo = _gram_call(
+            ah, al, bh, bl, vh, vl,
+            a_tile=a_tile, b_tile=b_tile,
+            k_chunk=_k_chunk_guard(Kp // ndev, k_chunk),
+            interpret=interpret,
+        )
+        part = jnp.stack([hi, lo])  # (2, L1, L2)
+        parts = jax.lax.all_gather(part, axes, tiled=False)
+        parts = parts.reshape((ndev, 2) + part.shape[1:])
+        hi, lo = parts[0, 0], parts[0, 1]
+        for d in range(1, ndev):
+            hi, lo = _dd_add(hi, lo, parts[d, 0], parts[d, 1])
+        return hi, lo
+
+    hi, lo = local(Ah, Al, Bh, Bl, uh, ul)
     if not block:
         for z in (hi, lo):
             try:
@@ -234,8 +321,8 @@ def matmul_df32(P, Q, *, a_tile=8, b_tile=512, k_chunk=512,
     z = jnp.zeros((k,), jnp.float32)
     return _gram_call(
         Ph, Pl, Qh, Ql, z, z,
-        a_tile=a_tile, b_tile=b_tile, k_chunk=k_chunk, unit_u=True,
-        interpret=interpret,
+        a_tile=a_tile, b_tile=b_tile, k_chunk=_k_chunk_guard(k, k_chunk),
+        unit_u=True, interpret=interpret,
     )
 
 

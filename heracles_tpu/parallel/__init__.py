@@ -39,6 +39,7 @@ __all__ = [
     "example_batch",
     "pipeline_step",
     "map2alm_sharded",
+    "alm2map_sharded",
 ]
 
 
@@ -302,6 +303,179 @@ def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0,
         )
 
     return local(maps, planes)
+
+
+def _local_synthesis(alm_local, lmax, per, x, logch, logsh, spin,
+                     engine="jnp", seed_planes=None, geom_lo=None,
+                     dd=False, x_lo=None, seed_jnp=None):
+    """Folded Wigner synthesis of this device's m block (inside shard_map).
+
+    Inverse of :func:`_local_analysis`: the local rectangular alm block
+    (..., lmax+1, per) [spin 0] or (..., 2, lmax+1, per) [E, B] becomes
+    this device's block of the (northern, mirrored-southern) ring
+    spectra.  Returns a tuple of (GN, GS) pairs, one per engine column
+    (one for spin 0, two — n = +spin / -spin — for a pair).
+    """
+    m0 = jax.lax.axis_index("m") * per
+    ms = m0 + jnp.arange(per, dtype=jnp.int32)
+    use_pallas = engine in ("pallas", "pallas-interpret")
+    interpret = engine == "pallas-interpret"
+    lo_ch, lo_sh = geom_lo if geom_lo is not None else (None, None)
+    if seed_jnp is not None:
+        seed_jnp = tuple(
+            p.reshape((-1,) + p.shape[2:]) for p in seed_jnp
+        )
+
+    if spin == 0:
+        if use_pallas:
+            from ..ops import pallas_sht
+
+            GN, GS = pallas_sht.synthesis_spin0_folded(
+                alm_local, x, logch, logsh, lmax,
+                logch_lo=lo_ch, logsh_lo=lo_sh, seed_planes=seed_planes,
+                interpret=interpret, dd=dd, x_lo=x_lo,
+            )
+        else:
+            GN, GS = wigner.lambda_synthesis_scan_folded(
+                ms, jnp.zeros(per, jnp.int32), x, logch, logsh, lmax,
+                alm_local, cross=False, seed=seed_jnp, dd=dd, x_lo=x_lo,
+            )
+        return ((GN, GS),)
+
+    # spin pair: engine columns n = +spin (from a_{+s}) and n = -spin
+    # (from conj(a_{-s})) — the composition sht.alm2map uses
+    alm_e = alm_local[..., 0, :, :]
+    alm_b = alm_local[..., 1, :, :]
+    a_p = -(alm_e + 1j * alm_b)
+    a_m = jnp.conj(-(alm_e - 1j * alm_b))
+    if use_pallas:
+        from ..ops import pallas_sht
+
+        GNp, GSp, GNm, GSm = pallas_sht.synthesis_pair_folded(
+            a_p, a_m, x, logch, logsh, lmax, spin,
+            logch_lo=lo_ch, logsh_lo=lo_sh, seed_planes=seed_planes,
+            interpret=interpret, dd=dd, x_lo=x_lo,
+        )
+    else:
+        ms_l = jnp.concatenate([ms, ms])
+        ns_l = jnp.concatenate(
+            [jnp.full(per, spin, jnp.int32), jnp.full(per, -spin, jnp.int32)]
+        )
+        alm_l = jnp.concatenate([a_p, a_m], axis=-1)
+        GN, GS = wigner.lambda_synthesis_scan_folded(
+            ms_l, ns_l, x, logch, logsh, lmax, alm_l, cross=True,
+            seed=seed_jnp, dd=dd, x_lo=x_lo,
+        )
+        GNp, GSp = GN[..., :per], GS[..., :per]
+        GNm, GSm = GN[..., per:], GS[..., per:]
+    return ((GNp, GSp), (GNm, GSm))
+
+
+def alm2map_sharded(mesh, alms, nside, *, lmax=None, spin=0, engine="auto",
+                    dd=None):
+    """Sharded synthesis: bins over "batch", harmonic orders over "m".
+
+    Inverse of :func:`map2alm_sharded` — accepts its rectangular output
+    layout: (nbins, lmax+1, m_pad) sharded P("batch", None, "m") for
+    spin 0, or (nbins, 2, lmax+1, m_pad) [E, B] for a spin pair (host
+    arrays are placed with that sharding).  Each device runs the folded
+    Wigner synthesis for its m block only; the blocks are all-gathered
+    over "m" (the one collective) and every device in an m-group runs
+    the cheap ring FFT on the full spectra.  Returns (nbins, npix) maps
+    sharded P("batch", None) (or (nbins, 2, npix) [Q, U] for a pair).
+    """
+    spin = abs(int(spin))
+    alms = jnp.asarray(alms)
+    if lmax is None:
+        lmax = alms.shape[-2] - 1
+    n_m = mesh.shape["m"]
+    per = _m_block(lmax, n_m)
+    if alms.shape[-1] != per * n_m:
+        pad = per * n_m - alms.shape[-1]
+        if pad < 0:
+            raise ValueError(
+                f"alms m axis {alms.shape[-1]} exceeds the mesh block "
+                f"layout {per * n_m}"
+            )
+        alms = jnp.pad(alms, [(0, 0)] * (alms.ndim - 1) + [(0, pad)])
+    fdt = "float64" if alms.dtype == jnp.complex128 else "float32"
+    x, logch, logsh = sht._geom_arrays(nside, fdt)
+    nhalf = 2 * nside
+    x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
+    engine = _resolve_engine(engine)
+    dd = sht._use_dd() if dd is None else bool(dd)
+    dd = dd and alms.dtype == jnp.complex64
+    x_lo = jnp.asarray(sht._x_lo_array(nside)) if dd else None
+
+    if spin == 0:
+        in_spec, out_spec = P("batch", None, "m"), P("batch", None)
+    else:
+        in_spec = P("batch", None, None, "m")
+        out_spec = P("batch", None, None)
+    alms = jax.device_put(alms, NamedSharding(mesh, in_spec))
+
+    def assemble_and_fft(pairs):
+        # gather every branch's m blocks, rebuild full rings, ring FFT
+        Gs = []
+        for GN, GS in pairs:
+            GN = jax.lax.all_gather(GN, "m", axis=-1, tiled=True)
+            GS = jax.lax.all_gather(GS, "m", axis=-1, tiled=True)
+            south = jnp.flip(GS[..., :-1, :], axis=-2)
+            G = jnp.concatenate([GN, south], axis=-2)[..., : lmax + 1]
+            Gs.append(G)
+        if spin == 0:
+            return ringfft.ring_synthesis(Gs[0], None, nside)
+        u = ringfft.ring_synthesis(Gs[0], Gs[1], nside, real_output=False)
+        return jnp.stack([u.real, u.imag], axis=-2)
+
+    if engine == "jnp":
+        seed_jnp = (
+            _sharded_jnp_seed_planes(mesh, nside, lmax, n_m, spin, dd)
+            if dd else None
+        )
+        if seed_jnp is None:
+
+            # check_vma=False: the synthesis scan's zero-initialised
+            # carries are unvarying while their updates vary over the
+            # mesh axes, which the vma tracker rejects
+            @partial(jax.shard_map, mesh=mesh, in_specs=in_spec,
+                     out_specs=out_spec, check_vma=False)
+            def local(alm_local):
+                pairs = _local_synthesis(
+                    alm_local, lmax, per, x, logch, logsh, spin
+                )
+                return assemble_and_fft(pairs)
+
+            return local(alms)
+
+        seed_specs = tuple(P(None, "m", None) for _ in seed_jnp)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_spec, seed_specs),
+                 out_specs=out_spec, check_vma=False)
+        def local_dd(alm_local, seed_local):
+            pairs = _local_synthesis(
+                alm_local, lmax, per, x, logch, logsh, spin,
+                dd=True, x_lo=x_lo, seed_jnp=seed_local,
+            )
+            return assemble_and_fft(pairs)
+
+        return local_dd(alms, seed_jnp)
+
+    planes = _sharded_seed_planes(mesh, lmax, n_m, spin)
+    geom_lo = sht._geom_lo_arrays(nside)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(in_spec, P(None, None, "m")), out_specs=out_spec,
+             check_vma=False)
+    def local(alm_local, planes_local):
+        pairs = _local_synthesis(
+            alm_local, lmax, per, x, logch, logsh, spin,
+            engine=engine, seed_planes=planes_local, geom_lo=geom_lo,
+            dd=dd, x_lo=x_lo,
+        )
+        return assemble_and_fft(pairs)
+
+    return local(alms, planes)
 
 
 def pipeline_step(mesh, maps, lmax, maps2=None, *, engine="auto", dd=None):

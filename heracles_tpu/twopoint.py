@@ -754,7 +754,7 @@ def _mixmat_tables_df32(l1max, l2max, s1, s2, npoints):
     return x, w, A, B
 
 
-def _mixmat_gl_df32_dispatch(cl3, l1max, l2max, s1, s2, eb):
+def _mixmat_gl_df32_dispatch(cl3, l1max, l2max, s1, s2, eb, mesh=None):
     """Double-single GL quadrature: f64-parity mixing matrices on f32 HW.
 
     The E/B blocks are parity-filtered at the integrand: with symmetric
@@ -797,10 +797,18 @@ def _mixmat_gl_df32_dispatch(cl3, l1max, l2max, s1, s2, eb):
         nonlocal use_kernel
         if use_kernel:
             try:
-                handle = df32.gram_df32(
-                    A, B, df32.split_f64(u64),
-                    interpret=mode == "interpret", block=False,
-                )
+                if mesh is not None:
+                    # GL node axis sharded over the mesh (compensated
+                    # cross-device reduction; see gram_df32_sharded)
+                    handle = df32.gram_df32_sharded(
+                        mesh, A, B, df32.split_f64(u64),
+                        interpret=mode == "interpret", block=False,
+                    )
+                else:
+                    handle = df32.gram_df32(
+                        A, B, df32.split_f64(u64),
+                        interpret=mode == "interpret", block=False,
+                    )
                 return lambda: df32.gram_result(handle)
             except Exception:  # pragma: no cover - device-specific
                 logger.exception(
@@ -883,7 +891,85 @@ def _mixmat_gl_f64(cl3, l1max, l2max, s1, s2, eb):
     return jnp.stack([M_plus, M_minus, M_plus - M_minus], axis=0)
 
 
-def _mixmat_dispatch(cl, *, l1max, l2max, l3max, spin, eb):
+def _mixmat_gl_f64_sharded(cl3, l1max, l2max, s1, s2, eb, mesh):
+    """f64 GL quadrature with the node axis sharded over a device mesh.
+
+    The per-node work (Wigner tables x xi x weights einsum) is
+    embarrassingly parallel; each device contracts its node block and a
+    single f64 ``psum`` combines them (f64 headroom absorbs the
+    quadrature cancellation that forces the df32 path's compensated
+    reduction).
+    """
+    from functools import partial as _partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fdt = jnp.float64
+    cl3 = jnp.asarray(cl3, fdt)
+    l3max = cl3.shape[-1] - 1
+    deg = l1max + l2max + l3max
+    npoints = deg // 2 + 1
+    axes = tuple(mesh.axis_names)
+    ndev = int(np.prod([mesh.shape[a] for a in axes]))
+    # pad the rule so each device holds an equal node block; padded
+    # nodes carry zero weight, contributing exactly nothing
+    npad = -(-npoints // ndev) * ndev
+    x, w, logch, logsh = _gl_nodes(npoints, fdt)
+    x, w, logch, logsh = (
+        np.pad(a, (0, npad - npoints)) for a in (x, w, logch, logsh)
+    )
+    nodes = jnp.stack([jnp.asarray(a) for a in (x, w, logch, logsh)],
+                      axis=-1)
+    nodes = jax.device_put(nodes, NamedSharding(mesh, P(axes, None)))
+
+    @_partial(jax.shard_map, mesh=mesh, in_specs=(P(axes, None), P()),
+              out_specs=(P(), P()))
+    def local(nodes_local, cl3_in):
+        xb, wb, lcb, lsb = (nodes_local[:, i] for i in range(4))
+        P3 = wigner_table(0, 0, xb, lcb, lsb, l3max)
+        ells3 = jnp.arange(l3max + 1, dtype=fdt)
+        hi = jax.lax.Precision.HIGHEST
+        xi = jnp.matmul(
+            (2 * ells3 + 1) / (4 * jnp.pi) * cl3_in, P3, precision=hi
+        )
+        D1 = wigner_table(s1, s2, xb, lcb, lsb, l1max)
+        D2 = wigner_table(-s1, -s2, xb, lcb, lsb, l2max)
+
+        def integral(xi_nodes):
+            part = jnp.einsum(
+                "ax,x,bx->ab", D1, wb * xi_nodes, D2,
+                preferred_element_type=fdt, precision=hi,
+            )
+            return jax.lax.psum(part, axes)
+
+        I_full = integral(xi)
+        # xi at the reversed (negated) nodes for the parity split: the
+        # global reversal is local negation (x -> -x), no communication
+        I_flip = integral(
+            jnp.matmul(
+                (2 * ells3 + 1) / (4 * jnp.pi) * cl3_in,
+                wigner_table(0, 0, -xb, lsb, lcb, l3max),
+                precision=hi,
+            )
+        ) if eb else None
+        return (I_full, I_flip) if eb else (I_full, I_full)
+
+    I_full, I_flip = local(nodes, cl3)
+    ells2 = np.arange(l2max + 1, dtype=np.float64)
+    pref = 2 * np.pi * (2 * ells2 + 1) / (4 * np.pi)
+    I_full = np.asarray(I_full) * pref[None, :]
+    if not eb:
+        return I_full
+    I_flip = np.asarray(I_flip) * pref[None, :]
+    ells1 = np.arange(l1max + 1)
+    par = np.where((ells1[:, None] + ells2[None, :].astype(int)) % 2 == 0,
+                   1.0, -1.0)
+    M_plus = (I_full + par * I_flip) / 2
+    M_minus = (I_full - par * I_flip) / 2
+    return np.stack([M_plus, M_minus, M_plus - M_minus], axis=0)
+
+
+def _mixmat_dispatch(cl, *, l1max, l2max, l3max, spin, eb, mesh=None):
     """Shared mixmat/mixmat_eb preprocessing; returns a finalize callable."""
     cl = np.asanyarray(cl)
     if l3max is not None:
@@ -895,33 +981,45 @@ def _mixmat_dispatch(cl, *, l1max, l2max, l3max, spin, eb):
     cl_j = jnp.asarray(cl)
     if cl_j.dtype != jnp.float64:
         return _mixmat_gl_df32_dispatch(
-            np.asarray(cl_j, np.float64), l1max, l2max, abs(s1), abs(s2), eb
+            np.asarray(cl_j, np.float64), l1max, l2max, abs(s1), abs(s2),
+            eb, mesh=mesh,
         )
+    if mesh is not None:
+        out = _mixmat_gl_f64_sharded(
+            cl_j, l1max, l2max, abs(s1), abs(s2), eb, mesh
+        )
+        return lambda: np.asarray(out)
     out = _mixmat_gl_f64(cl_j, l1max, l2max, abs(s1), abs(s2), eb)
     return lambda: np.asarray(out)
 
 
-def mixmat(cl, *, l1max=None, l2max=None, l3max=None, spin=(0, 0)):
+def mixmat(cl, *, l1max=None, l2max=None, l3max=None, spin=(0, 0),
+           mesh=None):
     """MASTER mixing matrix M[l1, l2] for a (possibly spin-weighted) pair.
 
     Equivalent of ``convolvecl.mixmat`` (used at reference
     twopoint.py:379-388): M = (2 l2+1)/4pi sum_l3 (2 l3+1) cl[l3]
     (3j(l1,l2,l3; -s1,s1,0))(3j(l1,l2,l3; -s2,s2,0)).
+    ``mesh``: shard the GL node axis over a device mesh (every axis).
     """
     return _mixmat_dispatch(
-        cl, l1max=l1max, l2max=l2max, l3max=l3max, spin=spin, eb=False
+        cl, l1max=l1max, l2max=l2max, l3max=l3max, spin=spin, eb=False,
+        mesh=mesh,
     )()
 
 
-def mixmat_eb(cl, *, l1max=None, l2max=None, l3max=None, spin=(2, 2)):
+def mixmat_eb(cl, *, l1max=None, l2max=None, l3max=None, spin=(2, 2),
+              mesh=None):
     """E/B mixing-matrix blocks (EE<->EE, EE<->BB, EB<->EB) for spin pairs.
 
     Equivalent of ``convolvecl.mixmat_eb``; the EB block equals
     M_plus - M_minus, consistent with the reference's block-diagonal
     inversion (twopoint.py:443-458).
+    ``mesh``: shard the GL node axis over a device mesh (every axis).
     """
     return _mixmat_dispatch(
-        cl, l1max=l1max, l2max=l2max, l3max=l3max, spin=spin, eb=True
+        cl, l1max=l1max, l2max=l2max, l3max=l3max, spin=spin, eb=True,
+        mesh=mesh,
     )()
 
 
@@ -936,6 +1034,7 @@ def mixing_matrices(
     weights=None,
     out=None,
     progress=None,
+    mesh=None,
 ):
     """Mixing matrices for all field pairs covered by the given mask cls.
 
@@ -943,6 +1042,8 @@ def mixing_matrices(
     fields are matched through their ``mask`` attribute (reference
     twopoint.py:316-401).  The result is keyed (field1, field2, bin1,
     bin2) and wrapped as a Result with the *output* ell on axis -2.
+    ``mesh``: shard each matrix build's GL node axis over a device mesh
+    (see :func:`mixmat`).
     """
     if out is None:
         out = TocDict()
@@ -980,6 +1081,7 @@ def mixing_matrices(
                 l3max=l3max,
                 spin=(spin1, spin2),
                 eb=not (spin1 == 0 or spin2 == 0),
+                mesh=mesh,
             )
             pending.append(((f1, f2, i1, i2), (spin1, spin2), finalize))
 
