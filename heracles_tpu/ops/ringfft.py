@@ -287,7 +287,8 @@ def _gather_rows(maps, pix0, nph_np, L):
     return jnp.where(p < nph[:, None], rows, 0)
 
 
-def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None):
+def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None,
+                  weight=None):
     """Per-ring Fourier coefficients F[..., r, m] = sum_p v_p e^{-i m phi_p}.
 
     ``maps``: (..., npix) real or complex, RING ordering.  The ``nm``
@@ -303,6 +304,10 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None):
     ``chirps``: optional output of ``chirp_fft_planes(nside, m0 + nm)``
     passed through the enclosing jit as an argument — skips the
     per-call chirp FFT of every cap bucket (a third of the cap cost).
+    ``weight``: optional (nrings,) real per-ring factor (the analysis
+    quadrature weights) folded into each bucket's phase plane — the
+    separate ``F * w`` pass over the full (nrings, nm) output costs a
+    measurable fraction of the FFT stage at production size.
     """
     complex_in = jnp.iscomplexobj(maps)
     cdt = _complex_dtype(maps.dtype)
@@ -318,6 +323,7 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None):
             f"{len(plan)} — were they built for a different nm/mext?"
         )
     m = (jnp.asarray(m0, jnp.int32) + jnp.arange(nm, dtype=jnp.int32))[None, :]
+    wv = None if weight is None else jnp.asarray(weight, rdt)
 
     out_pos = []
     out_neg = []
@@ -328,6 +334,10 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None):
         phase = jnp.exp(
             -1j * m.astype(rdt) * jnp.asarray(b["phi0"], rdt)[:, None]
         )
+        if wv is not None:
+            # fold the per-ring quadrature weight into the phase plane
+            # (w is real, so the conjugate-phase branches stay w-scaled)
+            phase = phase * wv[b["rings"][0] : b["rings"][1], None]
         if b["belt"]:
             # contiguous constant-length rows: reshape + one batched FFT
             p0, p1 = b["pix"]

@@ -680,10 +680,12 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
         return jnp.pad(F, [(0, 0)] * (F.ndim - 1) + [(0, nm_pad - (mmax + 1))])
 
     if spin == 0:
+        # the quadrature weight rides inside the FFT's phase planes —
+        # no separate F * w pass over the (nrings, nm) output
         F, _ = ringfft.ring_analysis(maps, nside, mmax + 1,
-                                     chirps=fft_chirps)
+                                     chirps=fft_chirps, weight=w[:, 0])
         (alm,) = _analysis_rect(
-            (pad_m(F * w),), x, logch, logsh, lmax, mmax, (0,), m_chunk,
+            (pad_m(F),), x, logch, logsh, lmax, mmax, (0,), m_chunk,
             geom_lo=geom_lo, dd=dd,
         )
         alm = alm[..., : mmax + 1]
@@ -691,11 +693,12 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
     else:
         u = maps[..., 0, :] + 1j * maps[..., 1, :]
         F, Fneg = ringfft.ring_analysis(u, nside, mmax + 1,
-                                        chirps=fft_chirps)
+                                        chirps=fft_chirps, weight=w[:, 0])
         # a_{+s,lm} = sum_r w slm(l,m,+s) F_m(r): engine column ns=+s
         # a_{-s,lm} = sum_r w slm(l,m,-s) conj(F_{-m}(r)): column ns=-s
+        # (w real: conj(Fneg * w) == conj(Fneg) * w)
         a_p, a_m = _analysis_rect(
-            (pad_m(F * w), pad_m(jnp.conj(Fneg) * w)),
+            (pad_m(F), pad_m(jnp.conj(Fneg))),
             x, logch, logsh, lmax, mmax, (spin, -spin), m_chunk,
             geom_lo=geom_lo, dd=dd,
         )

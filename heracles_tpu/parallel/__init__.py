@@ -111,8 +111,9 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
         )
 
     if spin == 0:
-        F, _ = ringfft.ring_analysis(maps_local, nside, per, m0=m0)
-        FN, FS = sht._fold_rings(F * w[:, None], nside)
+        F, _ = ringfft.ring_analysis(maps_local, nside, per, m0=m0,
+                                     weight=w)
+        FN, FS = sht._fold_rings(F, nside)
         if use_pallas:
             from ..ops import pallas_sht
 
@@ -134,9 +135,9 @@ def _local_analysis(maps_local, nside, lmax, per, w, x, logch, logsh, spin,
     # conj(F_{-m}) with ns=-s; N/S folding pairs each column with its
     # partner (cross mode) — same composition as sht._map2alm_once
     u = maps_local[..., 0, :] + 1j * maps_local[..., 1, :]
-    F, Fneg = ringfft.ring_analysis(u, nside, per, m0=m0)
-    fold_p = sht._fold_rings(F * w[:, None], nside)
-    fold_m = sht._fold_rings(jnp.conj(Fneg) * w[:, None], nside)
+    F, Fneg = ringfft.ring_analysis(u, nside, per, m0=m0, weight=w)
+    fold_p = sht._fold_rings(F, nside)
+    fold_m = sht._fold_rings(jnp.conj(Fneg), nside)
     if use_pallas:
         from ..ops import pallas_sht
 
