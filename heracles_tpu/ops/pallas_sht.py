@@ -184,6 +184,23 @@ def _env_contract(default="tree"):
     return os.environ.get("HERACLES_TPU_SHT_CONTRACT", default)
 
 
+def _env_skip(default="none"):
+    """Synthesis bulk-block skip strategy: "none", "wavefront" or "full".
+
+    The synthesis kernels' accumulators are loop-carried VALUES, so a
+    skip branch is a ``lax.cond`` over the whole accumulator carry —
+    which Mosaic handles badly: measured on TPU at n4096/l3000,
+    spin-0 synthesis rb1024 runs 231 ms with no skip, 362 ms with the
+    wavefront cond and 402 ms with the round-3 nested wavefront+emit
+    conds (pair rb128: 583 / 612 / 677) — while interpret mode shows
+    the conds as free.  Default "none"; resolved at trace time from
+    ``HERACLES_TPU_SHT_SKIP`` when the wrappers' ``skip`` argument is
+    None.  The analysis kernels accumulate into revisited output REFS
+    and keep their cheap ``pl.when`` skips regardless.
+    """
+    return os.environ.get("HERACLES_TPU_SHT_SKIP", default)
+
+
 def _chain_bounds(n):
     """Split ``n`` rows (a multiple of 8) into up to 4 tile chains."""
     tiles = n // 8
@@ -1286,7 +1303,8 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
 
 
 def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
-                  m_chunk, ring_block, nb=1, contract="tree"):
+                  m_chunk, ring_block, nb=1, contract="tree",
+                  skip="wavefront"):
     """Folded spin-0 synthesis: G accumulates in VMEM, written once.
 
     Grid (B//nb, n_mchunks, n_ringblocks); outputs 4 planes per map
@@ -1371,14 +1389,22 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
                 acc = acc_step(rows, t, ds[t] * emit, acc)
             return acc
 
-        kmin, kmax = jnp.min(k), jnp.max(k)
-        acc = jax.lax.cond(
-            kmax > -1.5,
-            lambda a: jax.lax.cond(
-                kmin > -0.5, _accumulate_fast, _accumulate_scaled, a
-            ),
-            lambda a: a, acc,
-        )
+        if skip == "none":
+            acc = _accumulate_scaled(acc)
+        elif skip == "wavefront":
+            acc = jax.lax.cond(
+                jnp.max(k) > -1.5, _accumulate_scaled, lambda a: a, acc
+            )
+        else:  # "full": wavefront + emit skip (value-carry conds; see
+            # _env_skip for why this can lose on Mosaic)
+            kmin, kmax = jnp.min(k), jnp.max(k)
+            acc = jax.lax.cond(
+                kmax > -1.5,
+                lambda a: jax.lax.cond(
+                    kmin > -0.5, _accumulate_fast, _accumulate_scaled, a
+                ),
+                lambda a: a, acc,
+            )
         return _block_rescale(d_prev, d_curr, k), acc
 
     nblocks = (lmax + 8) // 8
@@ -1401,7 +1427,8 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
 
 
 def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
-                     m_chunk, ring_block, nb=1, contract="tree"):
+                     m_chunk, ring_block, nb=1, contract="tree",
+                     skip="wavefront"):
     """dd (double-single f32) variant of :func:`_synth_kernel`.
 
     Same grid/blocking/output layout; the Wigner recurrence carries and
@@ -1474,7 +1501,12 @@ def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
                 acc = step_maps(rows, t, ds[t] * emit, acc)
             return acc
 
-        acc = jax.lax.cond(jnp.max(k) > -1.5, _accumulate, lambda a: a, acc)
+        if skip == "none":
+            acc = _accumulate(acc)
+        else:
+            acc = jax.lax.cond(
+                jnp.max(k) > -1.5, _accumulate, lambda a: a, acc
+            )
         over = jnp.abs(dch) > _SCALE
         sc = jnp.where(over, _INV_SCALE, 1.0)
         return (dph * sc, dpl * sc, dch * sc, dcl * sc,
@@ -1502,12 +1534,12 @@ def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "m_chunk", "ring_block", "nb", "interpret",
-                     "dd", "contract"),
+                     "dd", "contract", "skip"),
 )
 def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
                            logsh_lo=None, seed_planes=None, m_chunk=128,
                            ring_block=None, nb=None, interpret=False,
-                           dd=False, x_lo=None, contract=None):
+                           dd=False, x_lo=None, contract=None, skip=None):
     """Folded spin-0 synthesis: rectangular alm -> (GN, GS) ring spectra.
 
     ``alm``: (..., lmax+1, nm_pad) complex; returns (GN, GS) complex64 of
@@ -1519,6 +1551,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
     residual of f64 cos(theta) in ``x_lo``.
     """
     contract = contract or _env_contract()
+    skip = skip or _env_skip()
     B, batch, (alm,) = _flatten_batch((alm,))
     if nb is None:
         # alm blocks double-buffer per map: stay below the spin-0
@@ -1571,7 +1604,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
     out = pl.pallas_call(
         functools.partial(
             kernel, lmax=lmax, m_chunk=m_chunk, ring_block=ring_block,
-            nb=nb, contract=contract,
+            nb=nb, contract=contract, skip=skip,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[
@@ -1612,7 +1645,7 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
 
 def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
                        out_ref, *, lmax, spin, m_chunk, ring_block, nb=1,
-                       contract="tree"):
+                       contract="tree", skip="wavefront"):
     """Folded spin-pair synthesis: both Wigner columns in one program.
 
     Grid (B, n_mchunks, n_ringblocks); outputs 8 planes per tile:
@@ -1733,15 +1766,23 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
                 acc = step_maps(rows_p, rows_m, t, lam_p, lam_m, acc)
             return acc
 
-        kmin = jnp.minimum(jnp.min(k_p), jnp.min(k_m))
-        kmax = jnp.maximum(jnp.max(k_p), jnp.max(k_m))
-        acc = jax.lax.cond(
-            kmax > -1.5,
-            lambda a: jax.lax.cond(
-                kmin > -0.5, _accumulate_fast, _accumulate_scaled, a
-            ),
-            lambda a: a, acc,
-        )
+        if skip == "none":
+            acc = _accumulate_scaled(acc)
+        elif skip == "wavefront":
+            kmax = jnp.maximum(jnp.max(k_p), jnp.max(k_m))
+            acc = jax.lax.cond(
+                kmax > -1.5, _accumulate_scaled, lambda a: a, acc
+            )
+        else:  # "full" (see _env_skip)
+            kmin = jnp.minimum(jnp.min(k_p), jnp.min(k_m))
+            kmax = jnp.maximum(jnp.max(k_p), jnp.max(k_m))
+            acc = jax.lax.cond(
+                kmax > -1.5,
+                lambda a: jax.lax.cond(
+                    kmin > -0.5, _accumulate_fast, _accumulate_scaled, a
+                ),
+                lambda a: a, acc,
+            )
         return (
             _block_rescale(dp_prev, dp_curr, k_p),
             _block_rescale(dm_prev, dm_curr, k_m),
@@ -1774,7 +1815,8 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
 
 def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
                           am_ref, out_ref, *, lmax, spin, m_chunk,
-                          ring_block, nb=1, contract="tree"):
+                          ring_block, nb=1, contract="tree",
+                          skip="wavefront"):
     """dd (double-single f32) variant of :func:`_synth_pair_kernel`.
 
     Same grid/blocking/output layout; both branch recurrences carry
@@ -1895,10 +1937,13 @@ def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
                                 dms[t] * emit_m, acc)
             return acc
 
-        acc = jax.lax.cond(
-            jnp.maximum(jnp.max(k_p), jnp.max(k_m)) > -1.5,
-            _accumulate, lambda a: a, acc,
-        )
+        if skip == "none":
+            acc = _accumulate(acc)
+        else:
+            acc = jax.lax.cond(
+                jnp.maximum(jnp.max(k_p), jnp.max(k_m)) > -1.5,
+                _accumulate, lambda a: a, acc,
+            )
 
         def resc(ph, pll, ch_, cl_, k):
             over = jnp.abs(ch_) > _SCALE
@@ -1935,13 +1980,13 @@ def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "nb",
-                     "interpret", "dd", "contract"),
+                     "interpret", "dd", "contract", "skip"),
 )
 def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
                           logch_lo=None, logsh_lo=None, seed_planes=None,
                           m_chunk=128, ring_block=None, nb=None,
                           interpret=False, dd=False, x_lo=None,
-                          contract=None):
+                          contract=None, skip=None):
     """Folded spin-pair synthesis on the Pallas kernel.
 
     ``alm_p``/``alm_m``: rectangular (..., lmax+1, nm_pad) complex alms
@@ -1952,6 +1997,7 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     spectra per branch, matching the jnp cross scan.
     """
     contract = contract or _env_contract()
+    skip = skip or _env_skip()
     B, batch, (alm_p, alm_m) = _flatten_batch((alm_p, alm_m))
     if nb is None:
         # two alm-block streams double-buffer per map — halve the
@@ -2014,7 +2060,7 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
         functools.partial(
             kernel, lmax=lmax, spin=abs(int(spin)),
             m_chunk=m_chunk, ring_block=ring_block, nb=nb,
-            contract=contract,
+            contract=contract, skip=skip,
         ),
         grid=(B // nb, n_mchunks, n_rblocks),
         in_specs=[

@@ -5,7 +5,7 @@ import pytest
 
 from heracles_tpu.ops import sht
 
-NSIDE, LMAX = 16, 24
+NSIDE, LMAX = 8, 12
 
 
 @pytest.fixture(scope="module")
@@ -93,7 +93,7 @@ def test_sharded_pallas_engine_matches_jnp(mesh, spin):
     """The Pallas (interpret) sharded engine == the jnp scan engine."""
     from heracles_tpu.parallel import example_batch, map2alm_sharded
 
-    nside, lmax = 16, 24
+    nside, lmax = NSIDE, LMAX
     if spin == 0:
         (maps,) = example_batch(mesh, nside=nside, lmax=lmax, seed=7)
     else:
@@ -119,7 +119,7 @@ def test_public_transform_with_mesh_matches_single_device():
     from heracles_tpu.fields import Positions, Shears
     from heracles_tpu.parallel import make_mesh
 
-    nside, lmax = 16, 24
+    nside, lmax = NSIDE, LMAX
     rng = np.random.default_rng(33)
     mapper = HealpixMapper(nside, lmax=lmax, deconvolve=False)
     fields = {
@@ -157,7 +157,7 @@ def test_angular_power_spectra_with_mesh_matches_single_device():
     from heracles_tpu.ops import sht
     from heracles_tpu.parallel import make_mesh
 
-    lmax = 24
+    lmax = 12
     nlm = sht.alm_size(lmax)
     rng = np.random.default_rng(44)
     alms = {}
@@ -188,7 +188,7 @@ def test_angular_power_spectra_samples_matches_per_sample():
     from heracles_tpu.twopoint import angular_power_spectra_samples
     from heracles_tpu.parallel import make_mesh
 
-    lmax = 16
+    lmax = 12
     nlm = sht.alm_size(lmax)
     rng = np.random.default_rng(55)
     samples = []
@@ -222,7 +222,7 @@ def test_jackknife_cls_with_mesh_matches_single_device(tmp_path):
     from heracles_tpu.fields import Positions
     from heracles_tpu.parallel import make_mesh
 
-    nside, lmax, njk = 16, 16, 4
+    nside, lmax, njk = 8, 12, 4
     npix = 12 * nside * nside
     rng = np.random.default_rng(66)
     mapper = HealpixMapper(nside, lmax=lmax, deconvolve=False)
@@ -258,7 +258,7 @@ def test_map2alm_sharded_dd_matches_f64(mesh, spin, engine):
     """Sharded dd analysis on f32 maps reaches ~f64 accuracy, beats plain."""
     from heracles_tpu import parallel
 
-    nside, lmax = 16, 24
+    nside, lmax = NSIDE, LMAX
     if spin == 0:
         (maps,) = parallel.example_batch(mesh, nside=nside, lmax=lmax, seed=11)
     else:
