@@ -232,6 +232,11 @@ def chirp_fft_planes(nside, mext, rdt_str="float32", kind="analysis"):
     extent is the harmonic orders for analysis but the ring length for
     synthesis), hence the ``kind`` key.
     """
+    if kind == "analysis":
+        # analysis consumers run the Wigner kernels on 128-lane-padded
+        # m axes; building the planes at the padded extent lets the FFT
+        # produce the padded width directly (no separate pad pass)
+        mext = -(-int(mext) // 128) * 128
     plan = ring_plan(int(nside), int(mext))
     out = []
     for b in plan:

@@ -679,26 +679,35 @@ def _map2alm_once(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
     def pad_m(F):
         return jnp.pad(F, [(0, 0)] * (F.ndim - 1) + [(0, nm_pad - (mmax + 1))])
 
+    # the FFT produces a 128-lane-padded m width directly (chirp planes
+    # are built at the same rounding) and the quadrature weight rides
+    # inside its phase planes — no F * w pass, and no pad pass unless
+    # m_chunk > 128 demands extra columns
+    nm_fft = -(-(mmax + 1) // 128) * 128
+
+    def pad_fft(F):
+        if nm_fft == nm_pad:
+            return F
+        return jnp.pad(F, [(0, 0)] * (F.ndim - 1) + [(0, nm_pad - nm_fft)])
+
     if spin == 0:
-        # the quadrature weight rides inside the FFT's phase planes —
-        # no separate F * w pass over the (nrings, nm) output
-        F, _ = ringfft.ring_analysis(maps, nside, mmax + 1,
+        F, _ = ringfft.ring_analysis(maps, nside, nm_fft,
                                      chirps=fft_chirps, weight=w[:, 0])
         (alm,) = _analysis_rect(
-            (pad_m(F),), x, logch, logsh, lmax, mmax, (0,), m_chunk,
+            (pad_fft(F),), x, logch, logsh, lmax, mmax, (0,), m_chunk,
             geom_lo=geom_lo, dd=dd,
         )
         alm = alm[..., : mmax + 1]
         out = alm
     else:
         u = maps[..., 0, :] + 1j * maps[..., 1, :]
-        F, Fneg = ringfft.ring_analysis(u, nside, mmax + 1,
+        F, Fneg = ringfft.ring_analysis(u, nside, nm_fft,
                                         chirps=fft_chirps, weight=w[:, 0])
         # a_{+s,lm} = sum_r w slm(l,m,+s) F_m(r): engine column ns=+s
         # a_{-s,lm} = sum_r w slm(l,m,-s) conj(F_{-m}(r)): column ns=-s
         # (w real: conj(Fneg * w) == conj(Fneg) * w)
         a_p, a_m = _analysis_rect(
-            (pad_m(F), pad_m(jnp.conj(Fneg))),
+            (pad_fft(F), pad_fft(jnp.conj(Fneg))),
             x, logch, logsh, lmax, mmax, (spin, -spin), m_chunk,
             geom_lo=geom_lo, dd=dd,
         )

@@ -74,8 +74,9 @@ def main():
         # complex scalar constant through the transfer path, which this
         # transport does not implement
         fft_in = jax.jit(jax.lax.complex)(maps[0], maps[1])
+    nm_fft = -(-(mmax + 1) // 128) * 128  # chirp planes' rounding
     fft_fn = jax.jit(lambda mm, c: ringfft.ring_analysis(
-        mm, nside, mmax + 1, chirps=c)[0])
+        mm, nside, nm_fft, chirps=c)[0])
     out["ring_analysis_ms"] = timeit(fft_fn, fft_in, ch)
 
     # stage 2: fold + weights + pad (from a precomputed F)
@@ -86,7 +87,7 @@ def main():
     def fold_fn(Fm):
         Fw = Fm * w
         Fp = jnp.pad(Fw, [(0, 0)] * (Fw.ndim - 1)
-                     + [(0, nm_pad - (mmax + 1))])
+                     + [(0, nm_pad - Fw.shape[-1])])
         FN, FS = sht._fold_rings(Fp, nside)
         msign = jnp.where(jnp.arange(nm_pad) % 2 == 0, 1.0, -1.0)
         FS = FS * msign
