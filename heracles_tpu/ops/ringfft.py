@@ -272,9 +272,11 @@ def _gather_rows(maps, pix0, nph_np, L):
     """Extract the rings of a bucket from the flat pixel axis, padded to L.
 
     Rings are contiguous runs in the pixel array, so each padded row is a
-    dynamic slice (fast, contiguous) rather than an elementwise gather
-    (slow on TPU); the loop over rings is a `lax.scan` of static-size
-    slices.
+    contiguous dynamic slice (fast) rather than an elementwise gather
+    (slow on TPU).  The per-ring slices ride one vmapped dynamic-slice
+    (a single slice-gather op) instead of an R-iteration ``lax.scan`` —
+    measured on TPU at n4096 the scan's sequential while-loop costs
+    ~5-10 ms on the 2048-row buckets that the batched gather does not.
     """
     nph = jnp.asarray(nph_np, dtype=jnp.int32)
     starts = jnp.asarray(
@@ -284,11 +286,10 @@ def _gather_rows(maps, pix0, nph_np, L):
     # pad so every row's slice stays in bounds (masked below anyway)
     maps_pad = jnp.pad(maps, [(0, 0)] * (maps.ndim - 1) + [(0, L)])
 
-    def row(_, s):
-        return None, jax.lax.dynamic_slice_in_dim(maps_pad, s, L, axis=-1)
-
-    _, rows = jax.lax.scan(row, None, starts)
-    rows = jnp.moveaxis(rows, 0, -2)  # (R, ..., L) -> (..., R, L)
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(maps_pad, s, L, axis=-1),
+        out_axes=-2,
+    )(starts)
     return jnp.where(p < nph[:, None], rows, 0)
 
 
