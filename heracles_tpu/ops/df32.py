@@ -197,7 +197,7 @@ def _k_chunk_guard(K, k_chunk):
     return k_chunk
 
 
-def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
+def gram_df32(A, B, u, *, a_tile=64, b_tile=512, k_chunk=512,
               interpret=False, block=True):
     """M[a, b] = sum_k A[k, a] B[k, b] u[k] in double-single precision.
 
@@ -211,6 +211,11 @@ def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
     device-to-host copies already started (``copy_to_host_async``);
     pass it to :func:`gram_result` to materialise.  Callers with many
     contractions dispatch them all first so transfers overlap compute.
+
+    ``a_tile=64`` is the measured TPU optimum at production degree
+    (l=3000, K=4501: 2.6 s/contraction vs 4.7-6.5 s at a_tile=8 —
+    the per-block B*u product and grid overheads amortise over more
+    output rows).
     """
     (Ah, Al), (Bh, Bl), (uh, ul) = A, B, u
     k_chunk = _k_chunk_guard(np.shape(Ah)[0], k_chunk)
@@ -229,7 +234,7 @@ def gram_df32(A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
     return gram_result((hi, lo))
 
 
-def gram_df32_sharded(mesh, A, B, u, *, a_tile=8, b_tile=512, k_chunk=512,
+def gram_df32_sharded(mesh, A, B, u, *, a_tile=64, b_tile=512, k_chunk=512,
                       interpret=False, block=True):
     """:func:`gram_df32` with the node axis sharded over a device mesh.
 
@@ -306,7 +311,7 @@ def gram_result(pair):
     return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
 
 
-def matmul_df32(P, Q, *, a_tile=8, b_tile=512, k_chunk=512,
+def matmul_df32(P, Q, *, a_tile=64, b_tile=512, k_chunk=512,
                 interpret=False):
     """C = P @ Q in double-single precision; pairs in, pair out (on device).
 

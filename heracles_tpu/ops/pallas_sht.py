@@ -201,6 +201,16 @@ def _env_skip(default="none"):
     return os.environ.get("HERACLES_TPU_SHT_SKIP", default)
 
 
+def _env_lc():
+    """Default l-chunk for the l-chunked pair synthesis kernel (0 = off).
+
+    ``HERACLES_TPU_SHT_LCHUNK`` overrides; the wrapper's ``l_chunk``
+    argument wins over both.
+    """
+    v = int(os.environ.get("HERACLES_TPU_SHT_LCHUNK", "0"))
+    return v if v > 0 else None
+
+
 def _chain_bounds(n):
     """Split ``n`` rows (a multiple of 8) into up to 4 tile chains."""
     tiles = n // 8
@@ -1813,6 +1823,174 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
         out_ref[0, 8 * q + 7] = Smi * msign
 
 
+def _synth_pair_kernel_lc(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
+                          am_ref, out_ref,
+                          dpp_ref, dpc_ref, kp_ref,
+                          dmp_ref, dmc_ref, km_ref, *,
+                          lmax, spin, m_chunk, ring_block, l_chunk,
+                          n_lchunks, nb=1, contract="tree"):
+    """l-chunked variant of :func:`_synth_pair_kernel`.
+
+    A fourth (sequential) grid dimension walks the l axis in
+    ``l_chunk``-row alm blocks, with the recurrence state carried
+    between chunks in VMEM scratch.  The alm blocks shrink from the
+    full (lpad, m_chunk) column to (l_chunk, m_chunk), so the VMEM
+    budget no longer caps ``ring_block`` at 128 — the per-l coefficient
+    rows then amortise over 4-8x more rings per program.
+    """
+    lc = pl.program_id(3)
+    x = x_ref[...]
+    logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
+    logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
+    m = seed_ref[7]
+    j0 = seed_ref[6]
+    msign = jnp.where(m - 2.0 * jnp.floor(m * 0.5) == 0.0, 1.0, -1.0)
+    s2 = float(spin * spin)
+
+    def seed_vals(lc_hi, lc_lo, sign, pc, ps):
+        frac, k0 = _comp_seed_frac(
+            lc_hi, lc_lo,
+            [(pc, logch[0], logch[1]), (ps, logsh[0], logsh[1])],
+        )
+        return sign * jnp.exp2(frac * _SCALE_LOG2), k0
+
+    pc_p = m + float(spin)
+    ps_p = jnp.abs(m - float(spin))
+    seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], seed_ref[2],
+                             pc_p, ps_p)
+    seed_m, k0_m = seed_vals(seed_ref[3], seed_ref[4], seed_ref[5],
+                             ps_p, pc_p)
+    mn_p = m * float(spin)
+    mn_m = m * float(-spin)
+
+    @pl.when(lc == 0)
+    def _init_state():
+        z = jnp.zeros((ring_block, m_chunk), jnp.float32)
+        kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+        dpp_ref[...] = z
+        dpc_ref[...] = z
+        kp_ref[...] = kinit
+        dmp_ref[...] = z
+        dmc_ref[...] = z
+        km_ref[...] = kinit
+
+    fma = contract == "fma"
+    row0 = lc * l_chunk  # the alm block's first (global) l row
+
+    def step_maps(rows_p, rows_m, t, lam_p, lam_m, acc):
+        new = []
+        if fma:
+            lam_ps = lam_p if t % 2 == 0 else -lam_p
+            lam_ms = lam_m if t % 2 == 0 else -lam_m
+        else:
+            sgn = 1.0 if t % 2 == 0 else -1.0
+        for q in range(nb):
+            GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
+            apr = rows_p[2 * q, t, :][None, :]
+            api = rows_p[2 * q + 1, t, :][None, :]
+            amr = rows_m[2 * q, t, :][None, :]
+            ami = rows_m[2 * q + 1, t, :][None, :]
+            if fma:
+                new.append((
+                    GNpr + apr * lam_p, GNpi + api * lam_p,
+                    Spr + apr * lam_ms, Spi + api * lam_ms,
+                    GNmr + amr * lam_m, GNmi + ami * lam_m,
+                    Smr + amr * lam_ps, Smi + ami * lam_ps,
+                ))
+            else:
+                new.append((
+                    GNpr + apr * lam_p, GNpi + api * lam_p,
+                    Spr + sgn * apr * lam_m, Spi + sgn * api * lam_m,
+                    GNmr + amr * lam_m, GNmi + ami * lam_m,
+                    Smr + sgn * amr * lam_p, Smi + sgn * ami * lam_p,
+                ))
+        return new
+
+    def diag_body(blk, carry):
+        state_p, state_m, acc = carry
+        rows_p = ap_ref[0, :, pl.ds(8 * blk - row0, 8), :]
+        rows_m = am_ref[0, :, pl.ds(8 * blk - row0, 8), :]
+        for t in range(8):
+            ell = 8 * blk + t
+            state_p, lam_p = _advance_pair(
+                state_p, ell, m, s2, mn_p, x, j0, seed_p, k0_p
+            )
+            state_m, lam_m = _advance_pair(
+                state_m, ell, m, s2, mn_m, x, j0, seed_m, k0_m
+            )
+            acc = step_maps(rows_p, rows_m, t, lam_p, lam_m, acc)
+        return state_p, state_m, acc
+
+    def bulk_body(blk, carry):
+        (dp_prev, dp_curr, k_p), (dm_prev, dm_curr, k_m), acc = carry
+        emit_p = _emit_of(k_p)
+        emit_m = _emit_of(k_m)
+        dps, dms = [], []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
+            c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
+            dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
+            dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
+            dps.append(dp_new)
+            dms.append(dm_new)
+            dp_prev, dp_curr = dp_curr, dp_new
+            dm_prev, dm_curr = dm_curr, dm_new
+        norm = _norm_col(blk)
+        rows_p = ap_ref[0, :, pl.ds(8 * blk - row0, 8), :] * norm
+        rows_m = am_ref[0, :, pl.ds(8 * blk - row0, 8), :] * norm
+        for t in range(8):
+            acc = step_maps(rows_p, rows_m, t, dps[t] * emit_p,
+                            dms[t] * emit_m, acc)
+        return (
+            _block_rescale(dp_prev, dp_curr, k_p),
+            _block_rescale(dm_prev, dm_curr, k_m),
+            acc,
+        )
+
+    nblocks = (lmax + 8) // 8
+    m0 = seed_ref[7, 0, 0].astype(jnp.int32)
+    diag_end = _diag_end(m0, m_chunk, nblocks)
+    lo_blk = lc * (l_chunk // 8)
+    hi_blk = jnp.minimum(lo_blk + l_chunk // 8, nblocks)
+
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    state_p = (dpp_ref[...], dpc_ref[...], kp_ref[...])
+    state_m = (dmp_ref[...], dmc_ref[...], km_ref[...])
+    acc0 = [(zeros,) * 8 for _ in range(nb)]
+    carry = jax.lax.fori_loop(
+        jnp.minimum(jnp.maximum(lo_blk, m0 // 8), hi_blk),
+        jnp.minimum(diag_end, hi_blk),
+        diag_body, (state_p, state_m, acc0),
+    )
+    (state_p, state_m, acc) = jax.lax.fori_loop(
+        jnp.maximum(lo_blk, diag_end), hi_blk, bulk_body, carry
+    )
+    dpp_ref[...], dpc_ref[...], kp_ref[...] = state_p
+    dmp_ref[...], dmc_ref[...], km_ref[...] = state_m
+
+    planes = []
+    for q in range(nb):
+        GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
+        planes += [GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi]
+
+    @pl.when(lc == 0)
+    def _first_write():
+        for i, pln in enumerate(planes):
+            out_ref[0, i] = pln
+
+    @pl.when(lc > 0)
+    def _accum_write():
+        for i, pln in enumerate(planes):
+            out_ref[0, i] = out_ref[0, i] + pln
+
+    @pl.when(lc == n_lchunks - 1)
+    def _final_sign():
+        for q in range(nb):
+            for i in (8 * q + 2, 8 * q + 3, 8 * q + 6, 8 * q + 7):
+                out_ref[0, i] = out_ref[0, i] * msign
+
+
 def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
                           am_ref, out_ref, *, lmax, spin, m_chunk,
                           ring_block, nb=1, contract="tree",
@@ -1980,13 +2158,13 @@ def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("lmax", "spin", "m_chunk", "ring_block", "nb",
-                     "interpret", "dd", "contract", "skip"),
+                     "interpret", "dd", "contract", "skip", "l_chunk"),
 )
 def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
                           logch_lo=None, logsh_lo=None, seed_planes=None,
                           m_chunk=128, ring_block=None, nb=None,
                           interpret=False, dd=False, x_lo=None,
-                          contract=None, skip=None):
+                          contract=None, skip=None, l_chunk=None):
     """Folded spin-pair synthesis on the Pallas kernel.
 
     ``alm_p``/``alm_m``: rectangular (..., lmax+1, nm_pad) complex alms
@@ -1998,6 +2176,9 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     """
     contract = contract or _env_contract()
     skip = skip or _env_skip()
+    if l_chunk is None and not dd and _env_lc():
+        l_chunk = _env_lc()
+    use_lc = l_chunk is not None and not dd
     B, batch, (alm_p, alm_m) = _flatten_batch((alm_p, alm_m))
     if nb is None:
         # two alm-block streams double-buffer per map — halve the
@@ -2009,12 +2190,21 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
         # two double-buffered (nb*2, lpad, m_chunk) alm blocks + the
         # (nb*8, ring_block, m_chunk) out tile + per-map carries; the alm
         # blocks alone exceed Mosaic's default 16MB scoped-VMEM budget at
-        # production lmax, so the pallas_call below raises the limit
-        ring_block = min(nhalf, 128 if lmax > 2048 else 256)
+        # production lmax, so the pallas_call below raises the limit.
+        # The l-chunked kernel streams small alm blocks instead and
+        # affords larger ring blocks.
+        if use_lc:
+            ring_block = min(nhalf, 512)
+        else:
+            ring_block = min(nhalf, 128 if lmax > 2048 else 256)
     nr_pad = -(-nhalf // ring_block) * ring_block
     pad = nr_pad - nhalf
 
-    lpad = -(-(lmax + 1) // 8) * 8 + 8
+    nblocks8 = ((lmax + 8) // 8) * 8
+    if use_lc:
+        lpad = -(-nblocks8 // l_chunk) * l_chunk
+    else:
+        lpad = -(-(lmax + 1) // 8) * 8 + 8
 
     def prep(a):
         planes = jnp.stack([a.real, a.imag], axis=1).astype(jnp.float32)
@@ -2053,39 +2243,85 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     n_mchunks = nm_pad // m_chunk
     n_rblocks = nr_pad // ring_block
 
-    alm_spec = pl.BlockSpec((1, nb * 2, lpad, m_chunk),
-                            lambda b, i, j: (b, 0, 0, i),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(
-            kernel, lmax=lmax, spin=abs(int(spin)),
-            m_chunk=m_chunk, ring_block=ring_block, nb=nb,
-            contract=contract, skip=skip,
-        ),
-        grid=(B // nb, n_mchunks, n_rblocks),
-        in_specs=[
-            vec_spec, pair_spec, pair_spec,
-            pl.BlockSpec((8, 1, m_chunk), lambda b, i, j: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            alm_spec, alm_spec,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, nb * 8, ring_block, m_chunk), lambda b, i, j: (b, 0, j, i),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (B // nb, nb * 8, nr_pad, nm_pad), jnp.float32
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=_SEMANTICS,
-            vmem_limit_bytes=_vmem_limit(
-                2 * 2 * nb * 2 * lpad * m_chunk,
-                nb * 8 * ring_block * m_chunk,
-                carry_words * ring_block * m_chunk,
+    if use_lc:
+        n_lchunks = lpad // l_chunk
+        alm_spec = pl.BlockSpec((1, nb * 2, l_chunk, m_chunk),
+                                lambda b, i, j, lc: (b, 0, lc, i),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((ring_block, m_chunk), jnp.float32)] * 6
+        out = pl.pallas_call(
+            functools.partial(
+                _synth_pair_kernel_lc, lmax=lmax, spin=abs(int(spin)),
+                m_chunk=m_chunk, ring_block=ring_block, l_chunk=l_chunk,
+                n_lchunks=n_lchunks, nb=nb, contract=contract,
             ),
-        ),
-        interpret=interpret,
-    )(xp, logchp, logshp, jnp.asarray(seed), prep(alm_p), prep(alm_m))
+            grid=(B // nb, n_mchunks, n_rblocks, n_lchunks),
+            in_specs=[
+                pl.BlockSpec((ring_block, 1), lambda b, i, j, lc: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ring_block, 2), lambda b, i, j, lc: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ring_block, 2), lambda b, i, j, lc: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 1, m_chunk), lambda b, i, j, lc: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                alm_spec, alm_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, nb * 8, ring_block, m_chunk),
+                lambda b, i, j, lc: (b, 0, j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (B // nb, nb * 8, nr_pad, nm_pad), jnp.float32
+            ),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+                vmem_limit_bytes=_vmem_limit(
+                    2 * 2 * nb * 2 * l_chunk * m_chunk,
+                    2 * nb * 8 * ring_block * m_chunk,
+                    (carry_words + 6) * ring_block * m_chunk,
+                ),
+            ),
+            interpret=interpret,
+        )(xp, logchp, logshp, jnp.asarray(seed), prep(alm_p), prep(alm_m))
+    else:
+        alm_spec = pl.BlockSpec((1, nb * 2, lpad, m_chunk),
+                                lambda b, i, j: (b, 0, 0, i),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(
+                kernel, lmax=lmax, spin=abs(int(spin)),
+                m_chunk=m_chunk, ring_block=ring_block, nb=nb,
+                contract=contract, skip=skip,
+            ),
+            grid=(B // nb, n_mchunks, n_rblocks),
+            in_specs=[
+                vec_spec, pair_spec, pair_spec,
+                pl.BlockSpec((8, 1, m_chunk), lambda b, i, j: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                alm_spec, alm_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, nb * 8, ring_block, m_chunk),
+                lambda b, i, j: (b, 0, j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (B // nb, nb * 8, nr_pad, nm_pad), jnp.float32
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=_SEMANTICS,
+                vmem_limit_bytes=_vmem_limit(
+                    2 * 2 * nb * 2 * lpad * m_chunk,
+                    nb * 8 * ring_block * m_chunk,
+                    carry_words * ring_block * m_chunk,
+                ),
+            ),
+            interpret=interpret,
+        )(xp, logchp, logshp, jnp.asarray(seed), prep(alm_p), prep(alm_m))
 
     out = out.reshape((B, 8, nr_pad, nm_pad))[:, :, :nhalf]
     shape = batch + (nhalf, nm_pad)
