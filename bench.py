@@ -453,20 +453,6 @@ CONFIGS = {
         cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
         node_ms=_node_model_ms(4096, 3000, 1),
     ),
-    "pipeline_n4096_l3000": dict(
-        build=lambda: build_pipeline(4096, 3000),
-        reps=1,  # warmup + 1: a full rep runs for minutes
-        # dominated by 2 spin-0 + 2 spin-2 + 2 mask SHTs: scale by the
-        # SHT work ratio from the same pipeline measured at nside=512
-        cpu=("pipeline_n512_l768", _sht_scale(4096, 3000, 512, 768)),
-    ),
-    "dices_njk50_n1024": dict(
-        build=lambda: build_dices_real(1024, 1536, 50),
-        reps=1,  # warmup + 1: a full rep runs for minutes
-        # work ~ njk * (nside * lmax^2): measured at njk=8, nside=256
-        cpu=("dices_njk8_n256_real",
-             (50 / 8) * _sht_scale(1024, 1536, 256, 384)),
-    ),
     "spin0_cl_n128_l256": dict(
         build=lambda: build_spin0(128, 256),
         reps=5,
@@ -515,6 +501,22 @@ CONFIGS = {
         build=lambda: build_ingest(2),
         reps=3,
         cpu=("ingest_2Mrows_8of8cols", 1.0),
+    ),
+    # the two multi-minute end-to-ends run LAST so a driver wall-time
+    # cap cannot starve the faster metrics of their lines
+    "pipeline_n4096_l3000": dict(
+        build=lambda: build_pipeline(4096, 3000),
+        reps=1,  # warmup + 1: a full rep runs for minutes
+        # dominated by 2 spin-0 + 2 spin-2 + 2 mask SHTs: scale by the
+        # SHT work ratio from the same pipeline measured at nside=512
+        cpu=("pipeline_n512_l768", _sht_scale(4096, 3000, 512, 768)),
+    ),
+    "dices_njk50_n1024": dict(
+        build=lambda: build_dices_real(1024, 1536, 50),
+        reps=1,  # warmup + 1: a full rep runs for minutes
+        # work ~ njk * (nside * lmax^2): measured at njk=8, nside=256
+        cpu=("dices_njk8_n256_real",
+             (50 / 8) * _sht_scale(1024, 1536, 256, 384)),
     ),
 }
 
