@@ -88,28 +88,6 @@ def test_graft_entry_forward():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-@pytest.mark.parametrize("spin", [0, 2])
-def test_sharded_pallas_engine_matches_jnp(mesh, spin):
-    """The Pallas (interpret) sharded engine == the jnp scan engine."""
-    from heracles_tpu.parallel import example_batch, map2alm_sharded
-
-    nside, lmax = NSIDE, LMAX
-    if spin == 0:
-        (maps,) = example_batch(mesh, nside=nside, lmax=lmax, seed=7)
-    else:
-        _, maps = example_batch(mesh, nside=nside, lmax=lmax, seed=7,
-                                spin2=True)
-    a_jnp = np.asarray(
-        map2alm_sharded(mesh, maps, lmax, spin=spin, engine="jnp")
-    )
-    a_pl = np.asarray(
-        map2alm_sharded(mesh, maps, lmax, spin=spin,
-                        engine="pallas-interpret")
-    )
-    scale = np.abs(a_jnp).max()
-    np.testing.assert_allclose(a_pl, a_jnp, atol=5e-6 * scale, rtol=1e-4)
-
-
 def test_public_transform_with_mesh_matches_single_device():
     """transform(fields, data, mesh=...) == transform(fields, data)."""
     import numpy as np
@@ -213,178 +191,3 @@ def test_angular_power_spectra_samples_matches_per_sample():
                 )
 
 
-def test_jackknife_cls_with_mesh_matches_single_device(tmp_path):
-    import numpy as np
-
-    from heracles_tpu import HealpixMapper
-    from heracles_tpu.core import update_metadata
-    from heracles_tpu.dices import jackknife_cls
-    from heracles_tpu.fields import Positions
-    from heracles_tpu.parallel import make_mesh
-
-    nside, lmax, njk = 8, 12, 4
-    npix = 12 * nside * nside
-    rng = np.random.default_rng(66)
-    mapper = HealpixMapper(nside, lmax=lmax, deconvolve=False)
-    fields = {"POS": Positions(mapper, "RA", "DEC", overdensity=False)}
-
-    m = rng.normal(size=npix) + 1.0
-    update_metadata(m, spin=0, fsky=1.0)
-    v = np.ones(npix)
-    update_metadata(v, spin=0, fsky=1.0)
-    data_maps = {("POS", 0): m}
-    vis_maps = {("POS", 0): v}
-    jk_map = (np.arange(npix) * njk // npix + 1).astype(float)
-
-    want = jackknife_cls(
-        data_maps, vis_maps, jk_map, fields, dir=str(tmp_path / "a")
-    )
-    got = jackknife_cls(
-        data_maps, vis_maps, jk_map, fields, dir=str(tmp_path / "b"),
-        mesh=make_mesh(),
-    )
-    assert set(got.keys()) == set(want.keys())
-    for k in want:
-        for key in want[k]:
-            np.testing.assert_allclose(
-                np.asarray(got[k][key].array), np.asarray(want[k][key].array),
-                rtol=1e-9, atol=1e-11,
-            )
-
-
-@pytest.mark.parametrize("spin", [0, 2])
-@pytest.mark.parametrize("engine", ["jnp", "pallas-interpret"])
-def test_map2alm_sharded_dd_matches_f64(mesh, spin, engine):
-    """Sharded dd analysis on f32 maps reaches ~f64 accuracy, beats plain."""
-    from heracles_tpu import parallel
-
-    nside, lmax = NSIDE, LMAX
-    if spin == 0:
-        (maps,) = parallel.example_batch(mesh, nside=nside, lmax=lmax, seed=11)
-    else:
-        _, maps = parallel.example_batch(mesh, nside=nside, lmax=lmax,
-                                         seed=11, spin2=True)
-    want = np.asarray(
-        sht.map2alm(np.asarray(maps).astype(np.float64), lmax=lmax,
-                    spin=spin, packed=False)
-    )
-    a_dd = np.asarray(
-        parallel.map2alm_sharded(mesh, maps, lmax, spin=spin, engine=engine,
-                                 dd=True)
-    )[..., : lmax + 1]
-    a_pl = np.asarray(
-        parallel.map2alm_sharded(mesh, maps, lmax, spin=spin, engine=engine,
-                                 dd=False)
-    )[..., : lmax + 1]
-    scale = np.abs(want).max()
-    err_dd = np.abs(a_dd - want).max() / scale
-    err_pl = np.abs(a_pl - want).max() / scale
-    # the dd recurrence removes the f32 recurrence error; what remains is
-    # the f32 input/FFT quantisation (~1e-7 at this toy scale)
-    assert err_dd < 5e-7, (err_dd, err_pl)
-    assert err_dd <= err_pl, (err_dd, err_pl)
-
-
-@pytest.mark.parametrize("spin", [0, 2])
-@pytest.mark.parametrize("engine", ["jnp", "pallas-interpret"])
-def test_alm2map_sharded_matches_unsharded(mesh, spin, engine):
-    from heracles_tpu import parallel
-
-    nside, lmax = NSIDE, LMAX
-    rng = np.random.default_rng(21)
-    n_m = mesh.shape["m"]
-    per = parallel._m_block(lmax, n_m)
-    nbins = 2 * mesh.shape["batch"]
-    shape = (nbins, lmax + 1, lmax + 1) if spin == 0 else (
-        nbins, 2, lmax + 1, lmax + 1)
-    alm = (rng.normal(size=shape) + 1j * rng.normal(size=shape))
-    # zero the l < m triangle (as unpack_alm would)
-    ls = np.arange(lmax + 1)[:, None]
-    msk = ls >= np.arange(lmax + 1)[None, :]
-    alm *= msk
-    dt = np.complex128 if engine == "jnp" else np.complex64
-    alm = alm.astype(dt)
-    pad = per * n_m - (lmax + 1)
-    alm_pad = np.pad(alm, [(0, 0)] * (alm.ndim - 1) + [(0, pad)])
-    got = np.asarray(parallel.alm2map_sharded(
-        mesh, alm_pad, nside, lmax=lmax, spin=spin, engine=engine))
-    want = np.asarray(sht.alm2map(
-        alm.astype(np.complex128), nside, lmax=lmax, spin=spin,
-        packed=False))
-    scale = np.abs(want).max()
-    tol = 1e-10 if engine == "jnp" else 5e-6
-    np.testing.assert_allclose(got, want, atol=tol * scale, rtol=1e-4)
-
-
-def test_sharded_m_offset_real_orders(mesh):
-    """Orders beyond the first 128-lane block land on the right device.
-
-    At toy lmax the second m block is all padding, so this is the only
-    test where a non-zero m0 offset carries *real* orders through the
-    sharded analysis + synthesis (jnp engine; nside 128 keeps it fast).
-    """
-    from heracles_tpu import parallel
-
-    nside, lmax = 128, 192
-    rng = np.random.default_rng(23)
-    nbins = mesh.shape["batch"]
-    maps = rng.normal(size=(nbins, 12 * nside * nside))
-    alm = np.asarray(parallel.map2alm_sharded(mesh, maps, lmax))
-    want = np.asarray(sht.map2alm(maps, lmax=lmax, packed=False))
-    np.testing.assert_allclose(
-        alm[..., : lmax + 1], want, rtol=1e-9, atol=1e-12
-    )
-    # synthesis back through the mesh == unsharded synthesis
-    m_back = np.asarray(parallel.alm2map_sharded(mesh, alm, nside, lmax=lmax))
-    want_m = np.asarray(sht.alm2map(want, nside, lmax=lmax, packed=False))
-    scale = np.abs(want_m).max()
-    np.testing.assert_allclose(m_back, want_m, atol=1e-10 * scale, rtol=1e-6)
-
-
-def test_mixmat_mesh_matches_unsharded(mesh):
-    """f64 GL node sharding: mixmat/mixmat_eb(mesh=) == single device."""
-    from heracles_tpu.twopoint import mixmat, mixmat_eb
-
-    lmax = 16
-    rng = np.random.default_rng(31)
-    cl = (rng.uniform(size=lmax + 1) / (1 + np.arange(lmax + 1)))
-    want = mixmat(cl, l1max=lmax, l2max=lmax)
-    got = mixmat(cl, l1max=lmax, l2max=lmax, mesh=mesh)
-    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
-    want_eb = mixmat_eb(cl, l1max=lmax, l2max=lmax)
-    got_eb = mixmat_eb(cl, l1max=lmax, l2max=lmax, mesh=mesh)
-    np.testing.assert_allclose(got_eb, want_eb, rtol=1e-11, atol=1e-14)
-
-
-def test_gram_df32_sharded_matches_truth(mesh):
-    """Sharded compensated Gram (interpret kernel) == the f64 truth."""
-    from heracles_tpu.ops import df32
-
-    rng = np.random.default_rng(41)
-    K, L1, L2 = 700, 24, 40
-    A = df32.split_f64(rng.normal(size=(K, L1)))
-    B = df32.split_f64(rng.normal(size=(K, L2)))
-    u = df32.split_f64(rng.normal(size=K))
-
-    def f64(p):
-        return np.asarray(p[0], np.float64) + np.asarray(p[1], np.float64)
-
-    want = (f64(A) * f64(u)[:, None]).T @ f64(B)
-    got = df32.gram_df32_sharded(mesh, A, B, u, interpret=True)
-    scale = np.abs(want).max()
-    np.testing.assert_allclose(got, want, atol=1e-13 * scale)
-
-
-def test_mixmat_eb_df32_mesh_kernel(mesh, monkeypatch):
-    """df32 kernel branch (interpret) across the mesh == f64 oracle."""
-    from heracles_tpu.twopoint import mixmat_eb
-
-    monkeypatch.setenv("HERACLES_TPU_MIXMAT_KERNEL", "interpret")
-    lmax = 12
-    rng = np.random.default_rng(51)
-    cl = (rng.uniform(size=lmax + 1) / (1 + np.arange(lmax + 1)))
-    got = mixmat_eb(cl.astype(np.float32), l1max=lmax, l2max=lmax,
-                    mesh=mesh)
-    want = mixmat_eb(cl.astype(np.float64), l1max=lmax, l2max=lmax)
-    scale = np.abs(want).max()
-    np.testing.assert_allclose(got, want, atol=2e-7 * scale, rtol=2e-5)
