@@ -791,3 +791,12 @@ def test_pallas_fma_contract_matches_tree(dd):
                                 spin, contract="fma", **kw)
     for u, v in zip(q_t, q_f):
         close(u, v)
+
+
+def test_synthesis_skip_default_is_none():
+    """The bulk-block skip conds measure 1.7-1.8x slower on Mosaic
+    (STATUS.md round 4); the default must stay "none" unless re-measured
+    on hardware."""
+    from heracles_tpu.ops.pallas_sht import _env_skip
+
+    assert _env_skip() == "none"

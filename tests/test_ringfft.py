@@ -128,3 +128,32 @@ def test_analysis_synthesis_adjointness():
     # conjugate pairing: <v, S(h)> = sum_p v_p (h_0 + 2Re sum h_m e^{im phi})
     # equals Re[vdot(h_0, F_0)] + 2 Re[vdot(h_m, F_m)]
     np.testing.assert_allclose(lhs, rhs_full, rtol=1e-10)
+
+
+def test_ring_analysis_weight_fusion_matches_post_multiply():
+    """weight= folded into the phase planes == separate F * w pass."""
+    import numpy as np
+
+    from heracles_tpu.ops import ringfft
+
+    nside, nm = 16, 25
+    rng = np.random.default_rng(8)
+    npix = 12 * nside * nside
+    w = rng.uniform(0.5, 1.5, size=4 * nside - 1)
+
+    maps = rng.normal(size=npix)
+    F0, _ = ringfft.ring_analysis(maps, nside, nm)
+    Fw, _ = ringfft.ring_analysis(maps, nside, nm, weight=w)
+    np.testing.assert_allclose(
+        np.asarray(Fw), np.asarray(F0) * w[:, None], rtol=1e-12, atol=1e-12
+    )
+
+    u = maps + 1j * rng.normal(size=npix)
+    F0, N0 = ringfft.ring_analysis(u, nside, nm)
+    Fw, Nw = ringfft.ring_analysis(u, nside, nm, weight=w)
+    np.testing.assert_allclose(
+        np.asarray(Fw), np.asarray(F0) * w[:, None], rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(Nw), np.asarray(N0) * w[:, None], rtol=1e-12, atol=1e-12
+    )
