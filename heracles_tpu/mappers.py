@@ -274,6 +274,40 @@ class HealpixMapper:
         update_metadata(m, **self._metadata(spin))
         return m
 
+    def synthesize_sharded(self, mesh, alm, spin=0):
+        """Batched synthesis sharded over a device mesh.
+
+        Inverse of :meth:`transform_sharded`: ``alm`` is a (B, nlm)
+        (spin 0) or (B, 2, nlm) [E, B] packed stack; bins shard over
+        "batch" and each synthesis' harmonic orders over "m".  Returns
+        (B, npix) / (B, 2, npix) maps identical to :meth:`synthesize`
+        of the same stack.
+        """
+        from . import parallel
+
+        alm = np.asarray(alm)
+        rect = sht.unpack_alm(alm, self._lmax, self._lmax)
+        nb = mesh.shape["batch"]
+        B = rect.shape[0]
+        pad = (-B) % nb
+        if pad:
+            rect = np.concatenate(
+                [rect, np.zeros((pad,) + rect.shape[1:], rect.dtype)]
+            )
+        # complex arrays cannot cross some TPU transports: ship the
+        # re/im planes and combine on device
+        fdt = np.float32 if rect.dtype == np.complex64 else None
+        re = jnp.asarray(np.ascontiguousarray(rect.real, dtype=fdt))
+        im = jnp.asarray(np.ascontiguousarray(rect.imag, dtype=fdt))
+        rect_dev = jax.jit(jax.lax.complex)(re, im)
+        maps = parallel.alm2map_sharded(
+            mesh, rect_dev, self._nside, lmax=self._lmax,
+            spin=spin, dd=self._dd,
+        )
+        out = np.asarray(jax.device_get(maps))[:B].astype(self._dtype)
+        update_metadata(out, **self._metadata(spin))
+        return out
+
     def resample(self, data):
         """Change resolution of a HEALPix map (mean-of-children degrade)."""
         md = dict(getattr(data.dtype, "metadata", None) or {})

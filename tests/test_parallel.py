@@ -191,3 +191,23 @@ def test_angular_power_spectra_samples_matches_per_sample():
                 )
 
 
+
+
+@pytest.mark.parametrize("spin", [0, 2])
+def test_mapper_synthesize_sharded_matches_unsharded(mesh, spin):
+    """HealpixMapper.synthesize_sharded == synthesize on a stacked batch."""
+    import heracles_tpu as h
+    from heracles_tpu.ops import sht as sht_mod
+
+    nside, lmax = NSIDE, LMAX
+    mapper = h.HealpixMapper(nside, lmax=lmax, deconvolve=False)
+    rng = np.random.default_rng(61)
+    nlm = sht_mod.alm_size(lmax)
+    shape = (3, nlm) if spin == 0 else (3, 2, nlm)
+    alm = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    got = mapper.synthesize_sharded(mesh, alm, spin=spin)
+    want = np.stack([
+        np.asarray(mapper.synthesize(alm[b], spin=spin)) for b in range(3)
+    ])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-9, atol=1e-11)
+    assert (got.dtype.metadata or {}).get("spin") == spin
