@@ -556,6 +556,80 @@ class DiscreteMapper:
                 out += eb.reshape(out.shape)
         return out.astype(self._dtype)
 
+    def adjoint_synthesis_sharded(self, mesh, theta, phi, values, spin=0):
+        """Point adjoint with the point axis sharded over a device mesh.
+
+        The exact point adjoint is embarrassingly parallel over points:
+        every device runs the same point-block kernels on its shard and
+        a single ``psum`` over all mesh axes combines the partial alms
+        (the per-point contributions sum linearly).  Zero-valued padding
+        points at theta = pi/2 contribute exactly nothing, matching the
+        host block path's convention.  Returns packed alms like
+        :meth:`_adjoint_synthesis`.
+        """
+        from functools import partial as _partial
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lmax = self._lmax
+        use64 = self._dtype == np.complex128
+        fdt = np.float64 if use64 else np.float32
+        axes = tuple(mesh.axis_names)
+        ndev = int(np.prod([mesh.shape[a] for a in axes]))
+        theta = np.asarray(theta, np.float64)
+        phi = np.asarray(phi, np.float64)
+        values = np.atleast_2d(np.asarray(values))
+        npts = theta.size
+        npad = -(-npts // ndev) * ndev
+        pad = npad - npts
+        th = np.pad(theta, (0, pad), constant_values=np.pi / 2)
+        ph = np.pad(phi, (0, pad)).astype(fdt)
+        v = np.pad(values, ((0, 0),) * (values.ndim - 1) + ((0, pad),))
+        geom = _point_geometry(th, fdt)
+        shard = NamedSharding(mesh, P(axes))
+        geom_dev = tuple(jax.device_put(jnp.asarray(g), shard) for g in geom)
+        ph_dev = jax.device_put(jnp.asarray(ph), shard)
+        vspec = P(*((None,) * (v.ndim - 1) + (axes,)))
+        if spin == 0:
+            v_dev = jax.device_put(
+                jnp.asarray(v.astype(fdt)), NamedSharding(mesh, vspec)
+            )
+
+            @_partial(jax.shard_map, mesh=mesh,
+                      in_specs=(P(axes),) * 6 + (vspec,),
+                      out_specs=P(), check_vma=False)
+            def local(x, lc, ls, lcl, lsl, p, vl):
+                planes = _adjoint_spin0(x, lc, ls, lcl, lsl, p, vl, lmax)
+                return jax.lax.psum(planes, axes)
+
+            planes = np.asarray(local(*geom_dev, ph_dev, v_dev))
+            out = planes[0] + 1j * planes[1]
+        else:
+            u = (v[0] + 1j * v[1]).astype(
+                np.complex128 if use64 else np.complex64
+            )[None]
+            u_re = jax.device_put(
+                jnp.asarray(np.ascontiguousarray(u.real)),
+                NamedSharding(mesh, P(None, axes)),
+            )
+            u_im = jax.device_put(
+                jnp.asarray(np.ascontiguousarray(u.imag)),
+                NamedSharding(mesh, P(None, axes)),
+            )
+
+            @_partial(jax.shard_map, mesh=mesh,
+                      in_specs=(P(axes),) * 6 + (P(None, axes),) * 2,
+                      out_specs=P(), check_vma=False)
+            def local(x, lc, ls, lcl, lsl, p, ur, ui):
+                planes = _adjoint_spin(x, lc, ls, lcl, lsl, p, ur, ui,
+                                       lmax, spin)
+                return jax.lax.psum(planes, axes)
+
+            planes = np.asarray(local(*geom_dev, ph_dev, u_re, u_im))
+            eb = planes[0] + 1j * planes[1]
+            out = eb.reshape((2, -1))
+        return out.astype(self._dtype)
+
     def transform(self, data, spin=0):
         """Identity: the data already are alms (reference ducc.py:135-143)."""
         return data

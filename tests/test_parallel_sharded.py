@@ -152,3 +152,24 @@ def test_mixmat_eb_df32_mesh_kernel(mesh, monkeypatch):
     want = mixmat_eb(cl.astype(np.float64), l1max=lmax, l2max=lmax)
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=2e-7 * scale, rtol=2e-5)
+
+
+@pytest.mark.parametrize("spin", [0, 2])
+def test_discrete_adjoint_sharded_matches_blocked(mesh, spin):
+    """Point-sharded exact adjoint == the host block loop."""
+    from heracles_tpu.mappers import DiscreteMapper
+
+    rng = np.random.default_rng(71)
+    lmax, npts = 16, 301  # odd size exercises the padding path
+    mapper = DiscreteMapper(lmax)
+    theta = np.arccos(rng.uniform(-1, 1, size=npts))
+    phi = rng.uniform(0, 2 * np.pi, size=npts)
+    if spin == 0:
+        values = rng.normal(size=(1, npts))
+    else:
+        values = rng.normal(size=(2, npts))
+    want = mapper._adjoint_synthesis(theta, phi, values, spin)
+    got = mapper.adjoint_synthesis_sharded(mesh, theta, phi, values,
+                                           spin=spin)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-12 * scale, rtol=1e-10)
