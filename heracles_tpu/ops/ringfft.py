@@ -268,7 +268,7 @@ def _fftb_of_sign(planes, sign):
     return jnp.conj(jnp.concatenate([head, tail], axis=-1))
 
 
-def _gather_rows(maps, pix0, nph_np, L):
+def _gather_rows(maps, pix0, nph_np, L, maps_pad=None):
     """Extract the rings of a bucket from the flat pixel axis, padded to L.
 
     Rings are contiguous runs in the pixel array, so each padded row is a
@@ -277,14 +277,20 @@ def _gather_rows(maps, pix0, nph_np, L):
     (a single slice-gather op) instead of an R-iteration ``lax.scan`` —
     measured on TPU at n4096 the scan's sequential while-loop costs
     ~5-10 ms on the 2048-row buckets that the batched gather does not.
+
+    ``maps_pad``: the input already padded by >= L on the pixel axis —
+    pass it when processing several buckets so the full-map pad pass
+    (2.5 ms per copy of the nside=4096 map, one per bucket otherwise)
+    happens once.
     """
     nph = jnp.asarray(nph_np, dtype=jnp.int32)
     starts = jnp.asarray(
         pix0 + np.concatenate([[0], np.cumsum(nph_np)[:-1]]), dtype=jnp.int32
     )
     p = jnp.arange(L, dtype=jnp.int32)[None, :]
-    # pad so every row's slice stays in bounds (masked below anyway)
-    maps_pad = jnp.pad(maps, [(0, 0)] * (maps.ndim - 1) + [(0, L)])
+    if maps_pad is None:
+        # pad so every row's slice stays in bounds (masked below anyway)
+        maps_pad = jnp.pad(maps, [(0, 0)] * (maps.ndim - 1) + [(0, L)])
 
     rows = jax.vmap(
         lambda s: jax.lax.dynamic_slice_in_dim(maps_pad, s, L, axis=-1),
@@ -330,6 +336,20 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None,
         )
     m = (jnp.asarray(m0, jnp.int32) + jnp.arange(nm, dtype=jnp.int32))[None, :]
     wv = None if weight is None else jnp.asarray(weight, rdt)
+
+    # one shared slice-safety pad for every cap bucket (each bucket
+    # padding separately copies the full map once per bucket — 4 x
+    # 2.5 ms at nside 4096 in the device trace)
+    cap_L = [b["L"] for b in plan if not b["belt"]]
+    if static_m0:
+        cap_L += [
+            _next_pow2(int(b["nph"].max()) + m0 + nm + 1)
+            for b in plan if not b["belt"]
+        ]
+    maps_pad = (
+        jnp.pad(maps, [(0, 0)] * (maps.ndim - 1) + [(0, max(cap_L))])
+        if cap_L else None
+    )
 
     out_pos = []
     out_neg = []
@@ -402,7 +422,8 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None,
             L_eff = max(L, _next_pow2(b["nph"].max() + m0 + nm + 1))
             if L_eff != L:
                 fbp = None
-            rows = _gather_rows(maps, b["pix"][0], b["nph"], L_eff).astype(cdt)
+            rows = _gather_rows(maps, b["pix"][0], b["nph"], L_eff,
+                                maps_pad=maps_pad).astype(cdt)
             C = _bluestein_dft(
                 rows, nph, L_eff, sign=-1, out_extent=m0 + nm,
                 fftb=None if fbp is None else _fftb_of_sign(fbp, -1),
@@ -420,7 +441,8 @@ def ring_analysis(maps, nside, nm, *, plan=None, m0=0, chirps=None,
                     * jnp.conj(phase)
                 )
         else:
-            rows = _gather_rows(maps, b["pix"][0], b["nph"], L).astype(cdt)
+            rows = _gather_rows(maps, b["pix"][0], b["nph"], L,
+                                maps_pad=maps_pad).astype(cdt)
             C = _bluestein_dft(rows, nph, L, sign=-1)
             k = m % nph[:, None]
             kb = jnp.broadcast_to(k, C.shape[:-2] + k.shape)
