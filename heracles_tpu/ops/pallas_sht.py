@@ -198,7 +198,23 @@ def _env_skip(default="none"):
     None.  The analysis kernels accumulate into revisited output REFS
     and keep their cheap ``pl.when`` skips regardless.
     """
-    return os.environ.get("HERACLES_TPU_SHT_SKIP", default)
+    v = os.environ.get("HERACLES_TPU_SHT_SKIP", default)
+    if v not in ("none", "wavefront", "full"):
+        raise ValueError(
+            f"HERACLES_TPU_SHT_SKIP={v!r}: expected 'none', 'wavefront' "
+            "or 'full'"
+        )
+    return v
+
+
+def _check_l_chunk(l_chunk):
+    """The l-chunked kernel tiles alm blocks in 8-row units; any other
+    granularity silently corrupts the block indexing (lo_blk vs row0)."""
+    if l_chunk < 8 or l_chunk % 8 != 0:
+        raise ValueError(
+            f"l_chunk={l_chunk}: must be a positive multiple of 8"
+        )
+    return l_chunk
 
 
 def _env_lc():
@@ -208,7 +224,7 @@ def _env_lc():
     argument wins over both.
     """
     v = int(os.environ.get("HERACLES_TPU_SHT_LCHUNK", "0"))
-    return v if v > 0 else None
+    return _check_l_chunk(v) if v > 0 else None
 
 
 def _chain_bounds(n):
@@ -2178,6 +2194,8 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
     skip = skip or _env_skip()
     if l_chunk is None and not dd and _env_lc():
         l_chunk = _env_lc()
+    if l_chunk is not None:
+        _check_l_chunk(l_chunk)
     use_lc = l_chunk is not None and not dd
     B, batch, (alm_p, alm_m) = _flatten_batch((alm_p, alm_m))
     if nb is None:

@@ -217,7 +217,6 @@ _build_chirp_fft_jit = jax.jit(
 )
 
 
-@functools.lru_cache(maxsize=16)
 def chirp_fft_planes(nside, mext, rdt_str="float32", kind="analysis"):
     """Device-resident fft(chirp) planes per cap bucket of the plan.
 
@@ -235,8 +234,15 @@ def chirp_fft_planes(nside, mext, rdt_str="float32", kind="analysis"):
     if kind == "analysis":
         # analysis consumers run the Wigner kernels on 128-lane-padded
         # m axes; building the planes at the padded extent lets the FFT
-        # produce the padded width directly (no separate pad pass)
+        # produce the padded width directly (no separate pad pass).
+        # Normalizing BEFORE the cached builder means different mext
+        # values that round to the same 128 multiple share one entry.
         mext = -(-int(mext) // 128) * 128
+    return _chirp_fft_planes_cached(int(nside), int(mext), rdt_str, kind)
+
+
+@functools.lru_cache(maxsize=16)
+def _chirp_fft_planes_cached(nside, mext, rdt_str, kind):
     plan = ring_plan(int(nside), int(mext))
     out = []
     for b in plan:

@@ -1,5 +1,7 @@
 """Pallas analysis kernel vs the jnp folded scan (interpret mode on CPU)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -800,3 +802,67 @@ def test_synthesis_skip_default_is_none():
     from heracles_tpu.ops.pallas_sht import _env_skip
 
     assert _env_skip() == "none"
+
+
+def test_pallas_pair_synthesis_l_chunked_matches_plain():
+    """The opt-in l-chunked pair synthesis vs the plain kernel.
+
+    Covers l_chunk=8 and a chunk-straddling l_chunk=24 at a size where
+    lpad is not a multiple of the chunk.
+    """
+    from heracles_tpu.ops.pallas_sht import synthesis_pair_folded
+
+    nside, lmax, spin = 8, 12, 2
+    rng = np.random.default_rng(17)
+    nhalf = 2 * nside
+    nm_pad = 128
+
+    def rand():
+        return (rng.normal(size=(2, lmax + 1, nm_pad))
+                + 1j * rng.normal(size=(2, lmax + 1, nm_pad))
+                ).astype(np.complex64)
+
+    ap, am = rand(), rand()
+    x, logch, logsh = sht._geom_arrays(nside, "float32")
+    args = (jnp.asarray(ap), jnp.asarray(am), jnp.asarray(x[:nhalf]),
+            jnp.asarray(logch[:nhalf]), jnp.asarray(logsh[:nhalf]),
+            lmax, spin)
+    kw = dict(ring_block=8, interpret=True)
+    plain = synthesis_pair_folded(*args, **kw)
+    for lc in (8, 24):
+        lchunked = synthesis_pair_folded(*args, l_chunk=lc, **kw)
+        for got, want in zip(lchunked, plain):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4
+            )
+
+
+def test_pallas_pair_synthesis_l_chunk_validation():
+    """Non-multiple-of-8 l_chunk silently corrupts the block indexing;
+    the wrapper and the env hook must reject it."""
+    import pytest
+
+    from heracles_tpu.ops import pallas_sht
+
+    for bad in (4, 12, -8):
+        with pytest.raises(ValueError):
+            pallas_sht._check_l_chunk(bad)
+    os.environ["HERACLES_TPU_SHT_LCHUNK"] = "12"
+    try:
+        with pytest.raises(ValueError):
+            pallas_sht._env_lc()
+    finally:
+        del os.environ["HERACLES_TPU_SHT_LCHUNK"]
+
+
+def test_env_skip_rejects_typos():
+    import pytest
+
+    from heracles_tpu.ops.pallas_sht import _env_skip
+
+    os.environ["HERACLES_TPU_SHT_SKIP"] = "fulll"
+    try:
+        with pytest.raises(ValueError):
+            _env_skip()
+    finally:
+        del os.environ["HERACLES_TPU_SHT_SKIP"]
