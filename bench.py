@@ -33,14 +33,115 @@ north-star comparison; >1 means one chip beats the modeled node).
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
+import warnings
 
 import numpy as np
 
+# silence jax dtype-truncation chatter: the driver keeps only the LAST
+# 2000 chars of output, and stray warnings push metric lines out of it
+os.environ.setdefault("PYTHONWARNINGS", "ignore")
+warnings.filterwarnings("ignore")
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(HERE, "BENCH_BASELINES.json")
+
+# global wall-clock budget, shared with handoff subprocesses via env so
+# the whole bench (not each process) fits the driver's cap.  The driver
+# killed round 4's bench at its own cap (rc=124) with no recap printed;
+# now the bench stops itself first and always recaps.
+_T0 = float(os.environ.get("HERACLES_BENCH_T0") or time.time())
+os.environ["HERACLES_BENCH_T0"] = repr(_T0)
+_DEADLINE_S = float(os.environ.get("HERACLES_BENCH_DEADLINE", "1650"))
+_RECAP_FILE = os.environ.get("HERACLES_BENCH_RECAP")
+if not _RECAP_FILE:
+    _RECAP_FILE = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"heracles_bench_recap_{os.getpid()}.jsonl"
+    )
+    os.environ["HERACLES_BENCH_RECAP"] = _RECAP_FILE
+    try:
+        os.unlink(_RECAP_FILE)
+    except OSError:
+        pass
+
+
+def _remaining_s():
+    return _DEADLINE_S - (time.time() - _T0)
+
+
+def _emit(rec):
+    """Print one metric line AND append it to the recap file."""
+    line = json.dumps(rec)
+    print(line, flush=True)
+    try:
+        with open(_RECAP_FILE, "a") as f:
+            f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+    except OSError:
+        pass
+
+
+def _print_recap():
+    """Re-emit every metric line compactly, most important LAST.
+
+    The driver records only the tail of the output; this guarantees the
+    tail ends with all metric lines, north-star (spin0_n4096_l3000)
+    last so it is the final parsed line.
+    """
+    try:
+        with open(_RECAP_FILE) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+    except OSError:
+        return
+    by_metric = {}
+    for ln in lines:
+        try:
+            by_metric[json.loads(ln)["metric"]] = ln
+        except (json.JSONDecodeError, KeyError):
+            pass
+    order = list(reversed(list(CONFIGS)))  # reversed config order ends
+    # with the north-star SHT metrics, which print first live
+    ordered = [m for m in order if m in by_metric]
+    ordered += [m for m in by_metric if m not in order]
+    print("# ==== recap (every metric, north-star last) ====", flush=True)
+    for m in ordered:
+        print(by_metric[m], flush=True)
+
+
+def _recap_and_exit(signum, frame):  # noqa: ARG001
+    _print_recap()
+    os._exit(0)
+
+
+def _force_tree(*objs):
+    """Force materialization of every device array in nested containers.
+
+    ``block_until_ready`` does not actually sync on the tunnelled
+    backend (CLAUDE.md); a 1-element readback of each array does.
+    Complex arrays cannot cross the transfer boundary here, so complex
+    leaves are read back via their real plane.
+    """
+    import jax
+
+    seen = 0
+
+    def leaf(x):
+        nonlocal seen
+        arr = getattr(x, "array", x)  # DeviceMap and friends
+        if hasattr(arr, "device") and hasattr(arr, "dtype") and arr.size:
+            import jax.numpy as jnp
+
+            flat = arr.reshape(-1)[:1]
+            if jnp.iscomplexobj(flat):
+                flat = flat.real
+            float(flat[0])
+            seen += 1
+
+    for obj in objs:
+        jax.tree_util.tree_map(leaf, obj, is_leaf=lambda x: hasattr(x, "array"))
+    return seen
 
 
 # -- shared op builders (run on whichever backend jax is configured for) ----
@@ -279,21 +380,28 @@ def build_pipeline(nside, lmax, nrows=5_000_000, nbins=2):
     vis_dev = jax.device_put(jnp.asarray(vis_template, jnp.float32))
 
     def run():
+        # each stage ends with a _force_tree fence (1-element readbacks)
+        # so the per-stage wall times are truthful under async dispatch
+        # (round-4 logs attributed the SHT cost to the spectra stage)
         stages = [("t0", time.perf_counter())]
         maps = map_catalogs(
             fields, catalogs, include=[("POS", ...), ("SHE", ...)]
         )
+        _force_tree(maps)
         stages.append(("map_catalogs", time.perf_counter()))
         for i in range(nbins):
             maps["VIS", i] = DeviceMap(
                 vis_dev, metadata={**mapper._metadata(0), "fsky": 0.6}
             )
         alms = transform(fields, maps)
+        _force_tree(alms)
         stages.append(("transform", time.perf_counter()))
         cls = angular_power_spectra(alms)
+        _force_tree(cls)
         stages.append(("spectra", time.perf_counter()))
         mask_cls = {k: v for k, v in cls.items() if k[:2] == ("VIS", "VIS")}
         mms = mixing_matrices(fields, mask_cls, l3max=lmax)
+        _force_tree(mms)
         stages.append(("mixmats", time.perf_counter()))
         tot = 0.0
         for v in mms.values():
@@ -434,12 +542,14 @@ def _node_model_ms(nside, lmax, nmaps):
 # bench wall time; each line flushes as soon as it is measured)
 CONFIGS = {
     "spin0_n4096_l3000": dict(
+        est=45,
         build=lambda: build_spin0(4096, 3000),
         reps=3,
         cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
         node_ms=_node_model_ms(4096, 3000, 1),
     ),
     "spin2_n4096_l3000": dict(
+        est=45,
         build=lambda: build_spin2_masked(4096, 3000),
         reps=3,
         cpu=("spin2_masked_n512_l768", _sht_scale(4096, 3000, 512, 768)),
@@ -448,47 +558,55 @@ CONFIGS = {
     # high-accuracy mode: the double-single f32 recurrence (~f64-class
     # alms on f32 hardware; see tools/accuracy_sweep.json *_dd rows)
     "spin0_dd_n4096_l3000": dict(
+        est=50,
         build=lambda: build_spin0(4096, 3000, dd=True),
         reps=3,
         cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
         node_ms=_node_model_ms(4096, 3000, 1),
     ),
     "spin0_cl_n128_l256": dict(
+        est=20,
         build=lambda: build_spin0(128, 256),
         reps=5,
         cpu=("spin0_cl_n128_l256", 1.0),
         node_ms=_node_model_ms(128, 256, 1),
     ),
     "spin2_masked_n512_l768": dict(
+        est=25,
         build=lambda: build_spin2_masked(512, 768),
         reps=3,
         cpu=("spin2_masked_n512_l768", 1.0),
         node_ms=_node_model_ms(512, 768, 2),
     ),
     "mixmat_eb_l3000": dict(
+        est=90,
         build=lambda: build_mixmat_eb(3000),
         reps=3,
         # mixing-matrix work ~ O(lmax^2 * n_nodes) = O(lmax^3)
         cpu=("mixmat_eb_l1000", 27.0),
     ),
     "discrete_alm_l1000": dict(
+        est=25,
         build=lambda: build_discrete(1000, 65536),
         reps=3,
         # point-alm work ~ O(npts * lmax^2): measured at 8192 points
         cpu=("discrete_alm_l1000_n8192", 65536 / 8192),
     ),
     "discrete_gridded_1e7_l1000": dict(
+        est=45,
         build=lambda: build_discrete_gridded(1000, 10_000_000),
         reps=2,
         # spreading is O(npts): the same gridded path on CPU at 1e6 pts
         cpu=("discrete_gridded_1e6_l1000", 10.0),
     ),
     "dices_regions8_n256": dict(
+        est=20,
         build=lambda: build_dices_regions(256, 384, 8),
         reps=3,
         cpu=("dices_regions8_n256", 1.0),
     ),
     "alm2map_n1024_l1536": dict(
+        est=25,
         build=lambda: build_alm2map(1024, 1536),
         reps=3,
         cpu=("alm2map_n1024_l1536", 1.0),
@@ -498,6 +616,7 @@ CONFIGS = {
     # the same sweep decoding all 8 columns (the pre-subset behaviour),
     # so vs_baseline is the column-subset speedup
     "ingest_2Mrows_2of8cols": dict(
+        est=15,
         build=lambda: build_ingest(2),
         reps=3,
         cpu=("ingest_2Mrows_8of8cols", 1.0),
@@ -505,6 +624,7 @@ CONFIGS = {
     # the two multi-minute end-to-ends run LAST so a driver wall-time
     # cap cannot starve the faster metrics of their lines
     "pipeline_n4096_l3000": dict(
+        est=420,
         build=lambda: build_pipeline(4096, 3000),
         reps=1,  # warmup + 1: a full rep runs for minutes
         # dominated by 2 spin-0 + 2 spin-2 + 2 mask SHTs: scale by the
@@ -512,8 +632,11 @@ CONFIGS = {
         cpu=("pipeline_n512_l768", _sht_scale(4096, 3000, 512, 768)),
     ),
     "dices_njk50_n1024": dict(
+        est=450,
         build=lambda: build_dices_real(1024, 1536, 50),
-        reps=1,  # warmup + 1: a full rep runs for minutes
+        reps=1,
+        warmup=False,  # a multi-minute cold run IS the measurement; a
+        # warmup rep would double it past the driver's wall-clock cap
         # work ~ njk * (nside * lmax^2): measured at njk=8, nside=256
         cpu=("dices_njk8_n256_real",
              (50 / 8) * _sht_scale(1024, 1536, 256, 384)),
@@ -558,8 +681,9 @@ def _probe_backend(attempts=3, wait_s=0, timeout=180):
     return False
 
 
-def _timeit(fn, reps):
-    fn()  # compile + warm up (and force real execution via float readback)
+def _timeit(fn, reps, warmup=True):
+    if warmup:
+        fn()  # compile + warm up (forces real execution via readback)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -636,19 +760,30 @@ def main():
         _measure_cpu(todo, reps=args.reps or 1)
         return
 
+    # the bench must finish (and recap) BEFORE the driver's wall-clock
+    # cap kills it: a SIGTERM/SIGALRM handler prints the recap, and an
+    # alarm fires 45 s before the self-imposed deadline as a backstop
+    # against a metric overrunning its estimate.
+    signal.signal(signal.SIGTERM, _recap_and_exit)
+    signal.signal(signal.SIGALRM, _recap_and_exit)
+    if _remaining_s() > 60:
+        signal.alarm(int(_remaining_s() - 45))
+
     # the tunnelled TPU backend hangs at init when the tunnel is down;
     # probe it in a killable subprocess so a dead tunnel yields a clear
     # error line instead of an indefinite hang.  The tunnel is also
-    # *flaky* and can come back mid-window — probe repeatedly with waits
-    # between attempts (~25 min total) before giving up on the bench.
-    if not _probe_backend(attempts=8, wait_s=120):
-        print(json.dumps({
+    # *flaky* and can come back mid-window — probe repeatedly with
+    # waits, but never past the global deadline.
+    attempts = max(1, min(8, int((_remaining_s() - 120) // 180)))
+    if not _probe_backend(attempts=attempts, wait_s=120):
+        _emit({
             "metric": "backend_unreachable",
             "value": 0,
             "unit": "error",
             "vs_baseline": None,
             "baseline": "unavailable",
-        }), flush=True)
+        })
+        _print_recap()
         return
 
     names = args.configs.split(",") if args.configs else list(CONFIGS)
@@ -663,20 +798,33 @@ def main():
 
     for idx, name in enumerate(names):
         cfg = CONFIGS[name]
+        # skip a metric that cannot finish before the deadline (45 s
+        # recap margin); a skipped line still reaches the recap so the
+        # driver record shows WHY it is absent
+        if _remaining_s() < cfg.get("est", 60) + 45:
+            _emit({
+                "metric": name,
+                "value": 0,
+                "unit": "skipped_deadline",
+                "vs_baseline": None,
+                "baseline": "deadline",
+            })
+            continue
         # one bad metric (OOM, a TPU-worker restart mid-run) must not
         # take down the rest of the bench — and a crashed worker POISONS
         # this process (CLAUDE.md), so recovery means handing the
         # remaining metrics to a fresh subprocess, not retrying here
         try:
             fn = cfg["build"]()
-            dt = _timeit(fn, args.reps or cfg["reps"])
+            dt = _timeit(fn, args.reps or cfg["reps"],
+                         warmup=cfg.get("warmup", True))
         except Exception as exc:  # noqa: BLE001
             print(f"# {name} failed: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
             handoffs = int(os.environ.get("HERACLES_BENCH_HANDOFF", "0"))
             rest = names[idx:] if handoffs < 3 else names[idx + 1:]
-            if handoffs < 3 and rest and _probe_backend(attempts=3,
-                                                        wait_s=60):
+            if (handoffs < 3 and rest and _remaining_s() > 240
+                    and _probe_backend(attempts=2, wait_s=60)):
                 env = dict(os.environ,
                            HERACLES_BENCH_HANDOFF=str(handoffs + 1))
                 subprocess.run(
@@ -685,17 +833,19 @@ def main():
                     + (["--reps", str(args.reps)] if args.reps else []),
                     cwd=HERE, env=env,
                 )
+                # the handoff child prints the recap (shared file)
                 return
             for miss in ([name] if handoffs >= 3 else rest or [name]):
-                print(json.dumps({
+                _emit({
                     "metric": miss,
                     "value": 0,
                     "unit": "error",
                     "vs_baseline": None,
                     "baseline": "failed",
-                }), flush=True)
+                })
             if handoffs >= 3:
                 continue
+            _print_recap()
             return
         cpu_name, scale = cfg["cpu"]
         rec = baselines.get(cpu_name)
@@ -713,12 +863,16 @@ def main():
             "vs_baseline": vs,
             "baseline": kind,
         }
+        if not cfg.get("warmup", True):
+            rec["cold"] = True  # single cold run incl. compiles
         node_ms = cfg.get("node_ms")
         if node_ms is not None:
             # >1 means this chip beats the modeled 64-core ducc node
             # (BASELINE.md FLOP model) on the same transform
             rec["vs_node_model"] = round(node_ms / (dt * 1e3), 3)
-        print(json.dumps(rec), flush=True)
+        _emit(rec)
+    signal.alarm(0)
+    _print_recap()
 
 
 if __name__ == "__main__":
