@@ -79,6 +79,12 @@ def jackknife_cls(
     ``mesh``: optional ``jax.sharding.Mesh`` with ("batch", "m") axes;
     region-masked SHT batches and the sample-stacked spectra grids then
     shard across its devices (results identical to single-device).
+
+    ``dir=None`` selects the in-memory mode: no FITS caches are written
+    or read (single-process runs that do not need restartability skip
+    the file checkpoint cost entirely).  The default keeps the
+    reference's restartable file-cache contract
+    (reference jackknife.py:93-153).
     """
     if progress is None:
         progress = NoProgress()
@@ -112,12 +118,15 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
     """
     if progress is None:
         progress = NoProgress()
-    os.makedirs(dir, exist_ok=True)
+    if dir is not None:
+        os.makedirs(dir, exist_ok=True)
     njk = _n_regions(jk_map)
     progress.update(0, njk + 1)
     # alms computed in this process are handed back so the spectra stage
     # need not re-read them from the FITS caches (which remain the
-    # cross-process/resume checkpoint)
+    # cross-process/resume checkpoint).  With ``dir=None`` the FITS
+    # caches are skipped entirely (in-memory mode for single-process
+    # runs; no restartability).
     cache = {}
     if mesh is not None:
         # fill the mesh: whole multiples of the batch axis per dispatch
@@ -138,7 +147,7 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
     pending = [
         k
         for k in range(1, njk + 1)
-        if not (
+        if dir is None or not (
             os.path.exists(os.path.join(dir, f"data_alms_{k}.fits"))
             and os.path.exists(os.path.join(dir, f"vis_alms_{k}.fits"))
         )
@@ -158,13 +167,26 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
         jk_dt = next(iter(dev_data.values()))[0].dtype
         jk_dev = jax.device_put(jnp.asarray(np.asarray(jk_map), jk_dt))
         device_state = (dev_data, dev_vis, jk_dev, _masked_stack_fn())
+    # software pipeline: dispatch batch k+1's SHTs (async readbacks
+    # already in flight for batch k) before finishing batch k, so the
+    # tunnel transfer of one batch overlaps the device compute of the
+    # next
+    prev_finish = None
     for start in range(0, len(pending), region_batch):
         ks = pending[start : start + region_batch]
         with progress.task(f"ALMs {ks[0]}..{ks[-1]}"):
-            _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields,
-                                     dir, mesh=mesh,
-                                     device_state=device_state, cache=cache)
-        done += len(ks)
+            fin = _dispatch_batched_jk_alms(
+                ks, data_maps, vis_maps, jk_map, fields, dir, mesh=mesh,
+                device_state=device_state, cache=cache,
+            )
+            if prev_finish is not None:
+                prev_finish()
+                done += prev_len
+                progress.update(1 + done, njk + 1)
+            prev_finish, prev_len = fin, len(ks)
+    if prev_finish is not None:
+        prev_finish()
+        done += prev_len
         progress.update(1 + done, njk + 1)
     return cache
 
@@ -203,9 +225,18 @@ def _device_region_maps(maps):
     return out
 
 
-def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
-                             mesh=None, device_state=None, cache=None):
-    """One batched SHT over a group of region-masked map sets."""
+def _dispatch_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
+                              mesh=None, device_state=None, cache=None):
+    """Dispatch one batched SHT over a group of region-masked map sets.
+
+    Returns a zero-argument *finisher* that completes the device->host
+    alm readbacks and writes the per-region FITS caches.  On the device
+    fast path the SHTs are dispatched with async readbacks
+    (:meth:`HealpixMapper.transform_async`), so the caller can dispatch
+    the NEXT batch's SHTs while this batch's ~100 MB alm blocks are
+    still crossing the host boundary — the DICES profile showed that
+    boundary as ~90% of the stage cost.
+    """
     if mesh is None and device_state is not None:
         dev_data, dev_vis, jk_dev, masked_stack = device_state
         import jax.numpy as jnp
@@ -213,44 +244,59 @@ def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
         ks_arr = jnp.asarray(np.asarray(ks, np.float32), jk_dev.dtype)
 
         def batched_transform(dev_maps):
-            out_per_key = {}
+            handles = {}
             for key, (arr, md) in dev_maps.items():
                 field = fields[key[0]]
                 stacked = masked_stack(arr, jk_dev, ks_arr)
-                out_per_key[key] = field.mapper_or_error.transform(
+                handles[key] = field.mapper_or_error.transform_async(
                     stacked, spin=field.spin, metadata=md
                 )
-            return out_per_key
+            return handles
 
-        data_batched = batched_transform(dev_data)
-        vis_batched = batched_transform(dev_vis)
-    else:
-        masks = np.stack(
-            [(np.asarray(jk_map) == float(k)).astype(float) for k in ks]
-        )
+        data_handles = batched_transform(dev_data)
+        vis_handles = batched_transform(dev_vis)
 
-        def batched_transform(maps):
-            out_per_key = {}
-            for key, m in maps.items():
-                md = dict(m.dtype.metadata or {})
-                arr = np.asarray(m)
-                stacked = arr[None, ...] * masks.reshape(
-                    (len(ks),) + (1,) * (arr.ndim - 1) + (masks.shape[-1],)
+        def finish():
+            data_batched = {k: h() for k, h in data_handles.items()}
+            vis_batched = {k: h() for k, h in vis_handles.items()}
+            _store_batched_jk_alms(ks, data_batched, vis_batched, dir, cache)
+
+        return finish
+
+    masks = np.stack(
+        [(np.asarray(jk_map) == float(k)).astype(float) for k in ks]
+    )
+
+    def batched_transform(maps):
+        out_per_key = {}
+        for key, m in maps.items():
+            md = dict(m.dtype.metadata or {})
+            arr = np.asarray(m)
+            stacked = arr[None, ...] * masks.reshape(
+                (len(ks),) + (1,) * (arr.ndim - 1) + (masks.shape[-1],)
+            )
+            update_metadata(stacked, **md)
+            field = fields[key[0]]
+            spin = field.spin
+            mapper = field.mapper_or_error
+            if mesh is not None and hasattr(mapper, "transform_sharded"):
+                out_per_key[key] = mapper.transform_sharded(
+                    mesh, stacked, spin=spin
                 )
-                update_metadata(stacked, **md)
-                field = fields[key[0]]
-                spin = field.spin
-                mapper = field.mapper_or_error
-                if mesh is not None and hasattr(mapper, "transform_sharded"):
-                    out_per_key[key] = mapper.transform_sharded(
-                        mesh, stacked, spin=spin
-                    )
-                else:
-                    out_per_key[key] = mapper.transform(stacked, spin=spin)
-            return out_per_key
+            else:
+                out_per_key[key] = mapper.transform(stacked, spin=spin)
+        return out_per_key
 
-        data_batched = batched_transform(data_maps)
-        vis_batched = batched_transform(vis_maps)
+    data_batched = batched_transform(data_maps)
+    vis_batched = batched_transform(vis_maps)
+
+    def finish():
+        _store_batched_jk_alms(ks, data_batched, vis_batched, dir, cache)
+
+    return finish
+
+
+def _store_batched_jk_alms(ks, data_batched, vis_batched, dir, cache):
     for i, k in enumerate(ks):
         for batched, name in ((data_batched, "data"), (vis_batched, "vis")):
             alms = {}
@@ -258,18 +304,20 @@ def _compute_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
                 alm = np.ascontiguousarray(stack_alm[i])
                 update_metadata(alm, **dict(stack_alm.dtype.metadata or {}))
                 alms[key] = alm
-            write_alms(os.path.join(dir, f"{name}_alms_{k}.fits"), alms,
-                       clobber=True)
+            if dir is not None:
+                write_alms(os.path.join(dir, f"{name}_alms_{k}.fits"), alms,
+                           clobber=True)
             if cache is not None:
                 cache[name, k] = alms
 
 
 def _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir,
                            mesh=None, cache=None):
-    data_path = os.path.join(dir, f"data_alms_{k}.fits")
-    vis_path = os.path.join(dir, f"vis_alms_{k}.fits")
-    if os.path.exists(data_path) and os.path.exists(vis_path):
-        return k, False
+    if dir is not None:
+        data_path = os.path.join(dir, f"data_alms_{k}.fits")
+        vis_path = os.path.join(dir, f"vis_alms_{k}.fits")
+        if os.path.exists(data_path) and os.path.exists(vis_path):
+            return k, False
     if k == 0:
         data_alms = transform(fields, data_maps, mesh=mesh)
         vis_alms = transform(fields, vis_maps, mesh=mesh)
@@ -280,8 +328,9 @@ def _compute_single_jk_alm(k, data_maps, vis_maps, jk_map, fields, dir,
         vis_alms = transform(
             fields, _get_region_maps(vis_maps, jk_map, k), mesh=mesh
         )
-    write_alms(data_path, data_alms, clobber=True)
-    write_alms(vis_path, vis_alms, clobber=True)
+    if dir is not None:
+        write_alms(data_path, data_alms, clobber=True)
+        write_alms(vis_path, vis_alms, clobber=True)
     if cache is not None:
         cache["data", k] = dict(data_alms)
         cache["vis", k] = dict(vis_alms)
@@ -314,6 +363,11 @@ def compute_jk_cls_from_alms(
     def _load_alms(name, k):
         alms = cache.get((name, k))
         if alms is None:
+            if dir is None:
+                raise KeyError(
+                    f"alms ({name}, {k}) not in alms_cache and dir=None "
+                    "(in-memory mode has no FITS fallback)"
+                )
             alms = read_alms(os.path.join(dir, f"{name}_alms_{k}.fits"))
         return alms
 
@@ -334,10 +388,13 @@ def compute_jk_cls_from_alms(
         tag = "_".join(map(str, regions))
         return os.path.join(dir, f"cls_{tag}_unmixed_{unmixed}.fits")
 
-    pending = [r for r in all_regions if not os.path.exists(tag_path(r))]
-    for regions in all_regions:
-        if regions not in pending:
-            cls[regions] = read(tag_path(regions))
+    if dir is None:
+        pending = list(all_regions)
+    else:
+        pending = [r for r in all_regions if not os.path.exists(tag_path(r))]
+        for regions in all_regions:
+            if regions not in pending:
+                cls[regions] = read(tag_path(regions))
     done = len(all_regions) - len(pending)
     progress.update(done, len(all_regions))
     if not pending:
@@ -393,7 +450,8 @@ def compute_jk_cls_from_alms(
                     raise ValueError(
                         "mask_correction must be 'Fast' or 'Full'"
                     )
-                write(tag_path(regions), cls_jk, clobber=True)
+                if dir is not None:
+                    write(tag_path(regions), cls_jk, clobber=True)
                 cls[regions] = cls_jk
         done += len(batch)
         progress.update(done, len(all_regions))

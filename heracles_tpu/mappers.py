@@ -234,6 +234,31 @@ class HealpixMapper:
                                    iterations=self._iterations)
         return self._finish_alm(alm, md, spin)
 
+    def transform_async(self, data, spin=0, *, metadata=None):
+        """Dispatch the analysis and start an async alm readback.
+
+        Returns a zero-argument callable delivering the same host alms
+        as :meth:`transform` (host path).  DICES uses this to overlap
+        batch k's tunnel readback with batch k+1's SHT dispatch.
+        """
+        from .devicemap import DeviceMap
+
+        if isinstance(data, DeviceMap):
+            md = {**data.metadata, **(metadata or {})}
+            arr = data.array
+        elif isinstance(data, jax.Array):
+            md = dict(metadata or {})
+            arr = data
+        else:
+            md = dict(getattr(data.dtype, "metadata", None) or {})
+            md.update(metadata or {})
+            arr = np.asarray(data)
+        handle = sht.map2alm_async(
+            arr, lmax=self._lmax, spin=spin, weights="ring",
+            dd=self._dd, iterations=self._iterations,
+        )
+        return lambda: self._finish_alm(handle(), md, spin)
+
     def transform_sharded(self, mesh, data, spin=0):
         """Batched analysis sharded over a device mesh (public mesh path).
 

@@ -832,12 +832,16 @@ def _host_chirps(npix_or_nside, lmax, mmax, dtype, *, from_npix,
     return ringfft.chirp_fft_planes(nside, mext, fdt, kind)
 
 
-def map2alm_host(maps, lmax=None, **kw):
-    """map2alm for host (numpy) callers; returns numpy complex alms.
+def map2alm_async(maps, lmax=None, **kw):
+    """Dispatch map2alm and start the device->host plane readback.
 
-    Device-resident ``jax.Array`` input is passed straight to the jitted
-    transform (no host round-trip) — the DICES region-masked stacks are
-    built on the device and come through here.
+    Returns a zero-argument callable that completes the transfer and
+    returns the numpy complex alms (the same result as
+    :func:`map2alm_host`).  Callers that process many transforms can
+    dispatch transform k+1 while transform k's readback is still in
+    flight — at production sizes the ~GB-scale alm readbacks otherwise
+    serialize behind the device compute (the DICES jackknife profile:
+    ~90% of the stage was the host boundary).
     """
     if not isinstance(maps, jax.Array):
         maps = np.asarray(maps)
@@ -850,8 +854,27 @@ def map2alm_host(maps, lmax=None, **kw):
                 maps.shape[-1], lmax, kw.get("mmax"), maps.dtype,
                 from_npix=True, kind="synthesis",
             )
-    planes = np.asarray(_map2alm_planes(maps, lmax=lmax, **kw))
-    return np.ascontiguousarray(planes[0] + 1j * planes[1])
+    planes = _map2alm_planes(maps, lmax=lmax, **kw)
+    try:
+        planes.copy_to_host_async()
+    except AttributeError:
+        pass  # non-jax (already-host) result
+
+    def result():
+        p = np.asarray(planes)
+        return np.ascontiguousarray(p[0] + 1j * p[1])
+
+    return result
+
+
+def map2alm_host(maps, lmax=None, **kw):
+    """map2alm for host (numpy) callers; returns numpy complex alms.
+
+    Device-resident ``jax.Array`` input is passed straight to the jitted
+    transform (no host round-trip) — the DICES region-masked stacks are
+    built on the device and come through here.
+    """
+    return map2alm_async(maps, lmax=lmax, **kw)()
 
 
 def alm2map_host(alm, nside, lmax=None, **kw):

@@ -268,3 +268,38 @@ def test_shrinkage_factor_matches_bruteforce():
             num += covW(i, j, i, j) - tc[i, j] * f
             den += (S[i, j] - tc[i, j] * np.sqrt(S[i, i] * S[j, j])) ** 2
     np.testing.assert_allclose(lam, num / den, rtol=1e-10)
+
+
+def test_in_memory_mode_matches_file_mode(setup, tmp_path):
+    """dir=None (no FITS caches) must reproduce the file-cached spectra."""
+    import os
+
+    fields, data_maps, vis_maps, jk = setup
+    d = str(tmp_path / "files")
+    with_files = dices.jackknife_cls(data_maps, vis_maps, jk, fields,
+                                     nd=1, dir=d)
+    in_memory = dices.jackknife_cls(data_maps, vis_maps, jk, fields,
+                                    nd=1, dir=None)
+    assert set(in_memory) == set(with_files)
+    for regions in with_files:
+        for key in with_files[regions]:
+            np.testing.assert_allclose(
+                np.asarray(in_memory[regions][key]),
+                np.asarray(with_files[regions][key]),
+                atol=1e-12,
+            )
+    # and truly nothing was written anywhere for the in-memory run
+    assert sorted(os.listdir(tmp_path)) == ["files"]
+
+
+def test_in_memory_mode_requires_cache_for_cls():
+    """Without FITS fallback, missing alms must raise, not crash."""
+    import pytest as _pytest
+
+    jk = np.zeros(12 * 4 * 4)
+    jk[:100] = 1
+    jk[100:200] = 2
+    with _pytest.raises(KeyError):
+        dices.jackknife.compute_jk_cls_from_alms(
+            jk, {}, nd=1, dir=None, alms_cache={}
+        )
