@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_sht import _two_prod, _two_sum, _vmem_limit
+from .pallas_sht import _split_hi, _two_prod, _two_sum, _vmem_limit
 
 __all__ = ["split_f64", "gram_df32", "gram_df32_ref", "gram_df32_sharded",
            "matmul_df32", "add_df32"]
@@ -74,7 +74,15 @@ def _dd_add(h1, l1, h2, l2):
 
 
 def _rsum2(h, lo):
-    """Compensated halving-tree sum over axis 0 -> (1, lanes) hi/lo."""
+    """Compensated halving-tree sum over axis 0 -> (1, lanes) hi/lo.
+
+    Every level renormalises (:func:`_dd_add`).  Cheaper trees were
+    measured and rejected: skipping the renormalisation (8 ops vs 11)
+    even on the first level only costs ~eps^2 of the *largest summand*,
+    which the quadrature's cancellation amplifies to 5.8e-12 relative —
+    above the 1e-12 df32 floor the mixing matrices are specified to
+    (tests/test_df32.py); deeper sloppy levels compound to 2e-9..7e-8.
+    """
     n = h.shape[0]
     while n > 1:
         n //= 2
@@ -94,6 +102,10 @@ def _gram_kernel(Ah_ref, Al_ref, Bh_ref, Bl_ref, u_ref, out_ref, *, a_tile,
     [hi, lo columns], out (2, a_tile, b_tile) [hi, lo planes],
     revisited across the K grid axis.  ``unit_u`` skips the weight
     product (the df32 matmul case) — ~40% fewer VPU ops.
+
+    The Dekker split of the (weighted) B block is hoisted out of the
+    per-a loop: the split depends only on B, so recomputing it inside
+    every ``_two_prod`` wasted ~8 of the ~17 product ops per element.
     """
     k = pl.program_id(2)
 
@@ -106,12 +118,17 @@ def _gram_kernel(Ah_ref, Al_ref, Bh_ref, Bl_ref, u_ref, out_ref, *, a_tile,
     if not unit_u:
         # hoist the B*u pair product out of the per-a loop (shared)
         Bh, Bl = _term_df32(Bh, Bl, u_ref[:, 0:1], u_ref[:, 1:2])
+    B1, B2 = _split_hi(Bh)
 
     rows_h, rows_l = [], []
     for a in range(a_tile):
         ah = Ah_ref[0, :, a : a + 1]
         al = Al_ref[0, :, a : a + 1]
-        q, qlo = _term_df32(ah, al, Bh, Bl)
+        a1, a2 = _split_hi(ah)
+        # two-product with both splits precomputed (p + pe == ah*Bh)
+        q = ah * Bh
+        pe = ((a1 * B1 - q) + a1 * B2 + a2 * B1) + a2 * B2
+        qlo = pe + ah * Bl + al * Bh
         rh, rl = _rsum2(q, qlo)
         rows_h.append(rh)
         rows_l.append(rl)
