@@ -73,12 +73,18 @@ def _remaining_s():
 
 
 def _emit(rec):
-    """Print one metric line AND append it to the recap file."""
+    """Print one metric line AND append it to the recap file.
+
+    The recap copy drops the "baseline" kind field so that every
+    metric's line fits the driver's 2000-char tail (the live line keeps
+    the full record).
+    """
     line = json.dumps(rec)
     print(line, flush=True)
+    short = {k: v for k, v in rec.items() if k != "baseline"}
     try:
         with open(_RECAP_FILE, "a") as f:
-            f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+            f.write(json.dumps(short, separators=(",", ":")) + "\n")
     except OSError:
         pass
 
@@ -560,6 +566,16 @@ CONFIGS = {
     "spin0_dd_n4096_l3000": dict(
         est=50,
         build=lambda: build_spin0(4096, 3000, dd=True),
+        reps=3,
+        cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
+        node_ms=_node_model_ms(4096, 3000, 1),
+    ),
+    # compensated mode: plain recurrence + x-truncation correction
+    # stream (~1.5x plain, ~10x lower top-band error; the candidate
+    # TPU default — see ops/sht._use_dd)
+    "spin0_comp_n4096_l3000": dict(
+        est=50,
+        build=lambda: build_spin0(4096, 3000, dd="comp"),
         reps=3,
         cpu=("spin0_cl_n1024_l1536", _sht_scale(4096, 3000, 1024, 1536)),
         node_ms=_node_model_ms(4096, 3000, 1),

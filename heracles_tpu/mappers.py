@@ -74,8 +74,10 @@ class HealpixMapper:
         # per nside=4096 map otherwise)
         self._device_maps = bool(device_maps)
         # accuracy knobs, threaded into every analysis this mapper runs:
-        # dd — double-single f32 recurrence (f64-class accuracy on TPU,
-        # ~2-4x the SHT cost; default: the HERACLES_TPU_SHT_DD env flag);
+        # dd — True: double-single f32 recurrence (f64-class accuracy on
+        # TPU, ~2-4x the SHT cost); "comp": x-truncation-corrected
+        # recurrence (~1.5x, removes the dominant systematic top-band
+        # error; see ops/sht._use_dd); default: HERACLES_TPU_SHT_DD;
         # iterations — Jacobi refinement steps (healpy's iter= analog)
         self._dd = dd
         self._iterations = int(iterations)

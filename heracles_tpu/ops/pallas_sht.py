@@ -77,6 +77,43 @@ def _advance_spin0(carry, ell, m, x, seed_mant, k0):
     return (d_prev_new, d_new, k_new), d_new * emit * norm
 
 
+def _advance_spin0_comp(carry, ell, m, xh, xr, seed_mant, k0):
+    """One l-step of the compensated spin-0 recurrence (diag region).
+
+    Same seed/rescale logic as :func:`_advance_spin0` plus the
+    x-truncation lo stream of :func:`_kernel_comp` (r = x_lo/x_hi rides
+    in ``xr``); carry is (d_prev, d_prev_lo, d_curr, d_curr_lo, k).
+    """
+    d_prev, d_pl, d_curr, d_cl, k = carry
+    l_f = ell.astype(jnp.float32)
+    lm1 = l_f - 1.0
+    a_l = jnp.sqrt(jnp.maximum(l_f * l_f - m * m, 0.0))
+    a_lm1 = jnp.sqrt(jnp.maximum(lm1 * lm1 - m * m, 0.0))
+    inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
+    c1 = (2.0 * l_f - 1.0) * inv
+    c2 = a_lm1 * inv
+    t1 = c1 * (xh * d_curr)
+    cand = t1 - c2 * d_prev
+    cand_lo = c1 * (xh * d_cl) + xr * t1 - c2 * d_pl
+    is_seed = l_f == m
+    live = l_f > m
+    d_new = jnp.where(is_seed, seed_mant, jnp.where(live, cand, 0.0))
+    d_nl = jnp.where(is_seed | ~live, 0.0, cand_lo)
+    k_new = jnp.where(is_seed, k0, k)
+    over = jnp.abs(d_new) > _SCALE
+    sc = jnp.where(over, _INV_SCALE, 1.0)
+    d_prev_new = d_curr * sc
+    d_pl_new = d_cl * sc
+    d_new = d_new * sc
+    d_nl = d_nl * sc
+    k_new = jnp.where(over, k_new + 1.0, k_new)
+    emit = jnp.where(k_new == 0.0, 1.0,
+                     jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
+    norm = jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
+    lam = (d_new + d_nl) * emit * norm
+    return (d_prev_new, d_pl_new, d_new, d_nl, k_new), lam
+
+
 def _advance_pair(carry, ell, m, s2, mn, x, j0, seed_mant, seed_k):
     """One l-step of the scaled spin-pair recurrence (column n, mn = m*n)."""
     d_prev, d_curr, k = carry
@@ -104,6 +141,50 @@ def _advance_pair(carry, ell, m, s2, mn, x, j0, seed_mant, seed_k):
                      jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
     norm = jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
     return (d_prev_new, d_new, k_new), d_new * emit * norm
+
+
+def _advance_pair_comp(carry, ell, m, s2, mn, xh, xr, j0, seed_mant,
+                       seed_k):
+    """One l-step of the compensated pair recurrence (diag region).
+
+    :func:`_advance_pair` plus the x-truncation lo stream; carry is
+    (d_prev, d_prev_lo, d_curr, d_curr_lo, k).
+    """
+    d_prev, d_pl, d_curr, d_cl, k = carry
+    l_f = ell.astype(jnp.float32)
+    lm1 = l_f - 1.0
+
+    def a_of(l):
+        return jnp.sqrt(
+            jnp.maximum((l * l - m * m) * (l * l - s2), 0.0)
+        ) / jnp.maximum(l, 1.0)
+
+    a_l = a_of(l_f)
+    a_lm1 = a_of(lm1)
+    inv = jnp.where(a_l > 0.0, 1.0 / jnp.where(a_l > 0.0, a_l, 1.0), 0.0)
+    c0 = (2.0 * l_f - 1.0) * inv
+    cm = c0 * (mn / jnp.maximum(lm1 * l_f, 1.0))
+    c2 = a_lm1 * inv
+    t1 = c0 * (xh * d_curr)
+    cand = t1 - cm * d_curr - c2 * d_prev
+    cand_lo = c0 * (xh * d_cl) + xr * t1 - cm * d_cl - c2 * d_pl
+    is_seed = l_f == j0
+    live = l_f > j0
+    d_new = jnp.where(is_seed, seed_mant, jnp.where(live, cand, 0.0))
+    d_nl = jnp.where(is_seed | ~live, 0.0, cand_lo)
+    k_new = jnp.where(is_seed, seed_k, k)
+    over = jnp.abs(d_new) > _SCALE
+    sc = jnp.where(over, _INV_SCALE, 1.0)
+    d_prev_new = d_curr * sc
+    d_pl_new = d_cl * sc
+    d_new = d_new * sc
+    d_nl = d_nl * sc
+    k_new = jnp.where(over, k_new + 1.0, k_new)
+    emit = jnp.where(k_new == 0.0, 1.0,
+                     jnp.where(k_new == -1.0, _INV_SCALE, 0.0))
+    norm = jnp.sqrt((2.0 * l_f + 1.0) / (4.0 * np.pi))
+    lam = (d_new + d_nl) * emit * norm
+    return (d_prev_new, d_pl_new, d_new, d_nl, k_new), lam
 
 
 def _diag_end(m0, m_chunk, nblocks):
@@ -751,6 +832,124 @@ def _kernel(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *, lmax,
     jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
 
 
+def _kernel_comp(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *,
+                 lmax, m_chunk, ring_block, nb=1, contract="tree"):
+    """Compensated variant of :func:`_kernel`: plain recurrence + an
+    x-truncation correction stream (~1.5x plain, ~10x lower error).
+
+    The plain kernel's top-band error is dominated by the f32
+    representation error of x = cos(theta): an eps-scale *systematic*
+    per-step perturbation that dephases the recurrence coherently
+    (error ~ (l - m) * eps * x/sin(theta); measured in
+    tools/recurrence_error_model.py — exact-rounded coefficients change
+    nothing, while correcting only the x truncation is ~10x).  This
+    kernel carries one extra lo stream obeying the same recurrence with
+    the x_lo forcing folded in via the ratio r = x_lo/x_hi::
+
+        t1     = c1 * (x * d_curr)
+        hi_new = t1 - c2 * d_prev                (identical to plain)
+        lo_new = c1 * (x * dl_curr) + r * t1 - c2 * dl_prev
+
+    ``r * t1 ~= c1 * x_lo * d_curr`` reuses the already-computed t1.
+    The lo/hi ratio stays ~(l-m)*eps << 1, so no renormalisation is
+    needed; lo joins hi once at emission.  The remaining error is the
+    random walk of the hi products (~sqrt(l-m)*eps) and the (short)
+    plain diagonal region.  x_ref carries (x_hi, r) in its second axis.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    m = seed_ref[3]
+    msign = seed_ref[2]
+    xh = x_ref[:, 0:1]
+    xr = x_ref[:, 1:2]
+    logsum_hi = logsum_ref[:, 0:1]
+    logsum_lo = logsum_ref[:, 1:2]
+
+    frac, k0 = _comp_seed_frac(
+        seed_ref[0], seed_ref[1], [(m, logsum_hi, logsum_lo)]
+    )
+    seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
+
+    dot1 = _dot_rows if contract == "fma" else (lambda a, b: _rsum(a * b))
+
+    def F_planes(q, t):
+        ref = Fe_ref if t % 2 == 0 else Fo_ref
+        return ref[0, 2 * q], ref[0, 2 * q + 1]
+
+    # diagonal region: exact per-step seed/rescale logic, with the lo
+    # stream riding along (so the whole chain is drift-corrected)
+    def diag_body(blk, carry):
+        rows = [[] for _ in range(2 * nb)]
+        for t in range(8):
+            carry, lam = _advance_spin0_comp(carry, 8 * blk + t, m, xh, xr,
+                                             seed_mant, k0)
+            for q in range(nb):
+                Fr, Fi = F_planes(q, t)
+                rows[2 * q].append(dot1(lam, Fr))
+                rows[2 * q + 1].append(dot1(lam, Fi))
+        sl = pl.ds(8 * blk, 8)
+        for p in range(2 * nb):
+            out_ref[0, p, sl, :] += jnp.concatenate(rows[p], axis=0)
+        return carry
+
+    def bulk_body(blk, carry):
+        dph, dpl, dch, dcl, k = carry
+        emit = _emit_of(k)
+        ds = []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            c1, c2 = _bulk_coeffs_spin0(ell, m)
+            t1 = c1 * (xh * dch)
+            hi_new = t1 - c2 * dph
+            lo_new = c1 * (xh * dcl) + xr * t1 - c2 * dpl
+            ds.append(hi_new + lo_new)
+            dph, dpl, dch, dcl = dch, dcl, hi_new, lo_new
+
+        def _contract(lams):
+            rows = [[] for _ in range(2 * nb)]
+            for t in range(8):
+                for q in range(nb):
+                    Fr, Fi = F_planes(q, t)
+                    rows[2 * q].append(dot1(lams[t], Fr))
+                    rows[2 * q + 1].append(dot1(lams[t], Fi))
+            norm = _norm_col(blk)
+            sl = pl.ds(8 * blk, 8)
+            for p in range(2 * nb):
+                out_ref[0, p, sl, :] += (
+                    jnp.concatenate(rows[p], axis=0) * norm
+                )
+
+        kmin, kmax = jnp.min(k), jnp.max(k)
+
+        @pl.when(kmin > -0.5)
+        def _emit_fast():
+            _contract(ds)
+
+        @pl.when((kmax > -1.5) & (kmin <= -0.5))
+        def _emit_scaled():
+            _contract([d * emit for d in ds])
+
+        over = jnp.abs(dch) > _SCALE
+        sc = jnp.where(over, _INV_SCALE, 1.0)
+        return (dph * sc, dpl * sc, dch * sc, dcl * sc,
+                jnp.where(over, k + 1.0, k))
+
+    nblocks = (lmax + 8) // 8
+    m0 = seed_ref[3, 0, 0].astype(jnp.int32)
+    diag_end = _diag_end(m0, m_chunk, nblocks)
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body,
+        (zeros, zeros, zeros, zeros, kinit),
+    )
+    jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
+
+
 def _kernel_dd(x_ref, logsum_ref, seed_ref, Fe_ref, Fo_ref, out_ref, *,
                lmax, m_chunk, ring_block, nb=1, contract="tree"):
     """dd (double-single f32) variant of :func:`_kernel`.
@@ -1015,6 +1214,165 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
     jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
 
 
+def _pair_kernel_comp(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
+                      FNm_ref, Sm_ref, out_ref, *, lmax, spin, m_chunk,
+                      ring_block, nb=1, contract="tree"):
+    """Compensated spin-pair analysis (see :func:`_kernel_comp`).
+
+    The plain pair bulk step plus one x-truncation correction stream per
+    Wigner column; ``x_ref`` carries (x_hi, r = x_lo/x_hi).  The m*n
+    middle term needs no correction: its magnitude is <= s/l << |x|, so
+    its truncation forcing is far below the x one the stream removes.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    x = x_ref[:, 0:1]
+    xr = x_ref[:, 1:2]
+    logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
+    logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
+    m = seed_ref[7]
+    j0 = seed_ref[6]
+    s2 = float(spin * spin)
+
+    def seed_vals(lc_hi, lc_lo, sign, pc, ps):
+        frac, k0 = _comp_seed_frac(
+            lc_hi, lc_lo,
+            [(pc, logch[0], logch[1]), (ps, logsh[0], logsh[1])],
+        )
+        return sign * jnp.exp2(frac * _SCALE_LOG2), k0
+
+    pc_p = m + float(spin)
+    ps_p = jnp.abs(m - float(spin))
+    pc_m = jnp.abs(m - float(spin))
+    ps_m = m + float(spin)
+    seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], seed_ref[2], pc_p, ps_p)
+    seed_m, k0_m = seed_vals(seed_ref[3], seed_ref[4], seed_ref[5], pc_m, ps_m)
+    mn_p = m * float(spin)
+    mn_m = m * float(-spin)
+
+    def F_of(ref, q):
+        return (ref[0, 2 * q], ref[0, 2 * q + 1])
+
+    fma = contract == "fma"
+
+    def rows_of_t(rows, t, lam_p, lam_m):
+        if fma:
+            lam_ps = lam_p if t % 2 == 0 else -lam_p
+            lam_ms = lam_m if t % 2 == 0 else -lam_m
+        for q in range(nb):
+            FNp, Sp = F_of(FNp_ref, q), F_of(Sp_ref, q)
+            FNm, Sm = F_of(FNm_ref, q), F_of(Sm_ref, q)
+            for c in range(2):
+                if fma:
+                    rows[4 * q + c].append(
+                        _dot_rows2(lam_p, FNp[c], lam_ms, Sp[c])
+                    )
+                    rows[4 * q + 2 + c].append(
+                        _dot_rows2(lam_m, FNm[c], lam_ps, Sm[c])
+                    )
+                else:
+                    tp = lam_p * FNp[c]
+                    tm = lam_m * Sp[c]
+                    rows[4 * q + c].append(
+                        _rsum(tp + tm if t % 2 == 0 else tp - tm)
+                    )
+                    tp2 = lam_m * FNm[c]
+                    tm2 = lam_p * Sm[c]
+                    rows[4 * q + 2 + c].append(
+                        _rsum(tp2 + tm2 if t % 2 == 0 else tp2 - tm2)
+                    )
+
+    def diag_body(blk, carry):
+        carry_p, carry_m = carry
+        rows = [[] for _ in range(4 * nb)]
+        for t in range(8):
+            ell = 8 * blk + t
+            carry_p, lam_p = _advance_pair_comp(
+                carry_p, ell, m, s2, mn_p, x, xr, j0, seed_p, k0_p
+            )
+            carry_m, lam_m = _advance_pair_comp(
+                carry_m, ell, m, s2, mn_m, x, xr, j0, seed_m, k0_m
+            )
+            rows_of_t(rows, t, lam_p, lam_m)
+        sl = pl.ds(8 * blk, 8)
+        for plane in range(4 * nb):
+            out_ref[0, plane, sl, :] += jnp.concatenate(rows[plane], axis=0)
+        return carry_p, carry_m
+
+    def bulk_body(blk, carry):
+        ((dp_prev, dpl_prev, dp_curr, dpl_curr, k_p),
+         (dm_prev, dml_prev, dm_curr, dml_curr, k_m)) = carry
+        emit_p = _emit_of(k_p)
+        emit_m = _emit_of(k_m)
+        dps, dms = [], []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
+            c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
+            tp1 = c0p * (x * dp_curr)
+            tm1 = c0m * (x * dm_curr)
+            dp_new = tp1 - cmp_ * dp_curr - c2p * dp_prev
+            dm_new = tm1 - cmm * dm_curr - c2m * dm_prev
+            dpl_new = (c0p * (x * dpl_curr) + xr * tp1
+                       - cmp_ * dpl_curr - c2p * dpl_prev)
+            dml_new = (c0m * (x * dml_curr) + xr * tm1
+                       - cmm * dml_curr - c2m * dml_prev)
+            dps.append(dp_new + dpl_new)
+            dms.append(dm_new + dml_new)
+            dp_prev, dpl_prev, dp_curr, dpl_curr = (
+                dp_curr, dpl_curr, dp_new, dpl_new)
+            dm_prev, dml_prev, dm_curr, dml_curr = (
+                dm_curr, dml_curr, dm_new, dml_new)
+
+        def _contract(lams_p, lams_m):
+            rows = [[] for _ in range(4 * nb)]
+            for t in range(8):
+                rows_of_t(rows, t, lams_p[t], lams_m[t])
+            norm = _norm_col(blk)
+            sl = pl.ds(8 * blk, 8)
+            for plane in range(4 * nb):
+                out_ref[0, plane, sl, :] += (
+                    jnp.concatenate(rows[plane], axis=0) * norm
+                )
+
+        kmin = jnp.minimum(jnp.min(k_p), jnp.min(k_m))
+        kmax = jnp.maximum(jnp.max(k_p), jnp.max(k_m))
+
+        @pl.when(kmin > -0.5)
+        def _emit_fast():
+            _contract(dps, dms)
+
+        @pl.when((kmax > -1.5) & (kmin <= -0.5))
+        def _emit_scaled():
+            _contract([d * emit_p for d in dps], [d * emit_m for d in dms])
+
+        def resc(dp, dpl, dc, dcl, k):
+            over = jnp.abs(dc) > _SCALE
+            sc = jnp.where(over, _INV_SCALE, 1.0)
+            return (dp * sc, dpl * sc, dc * sc, dcl * sc,
+                    jnp.where(over, k + 1.0, k))
+
+        return (
+            resc(dp_prev, dpl_prev, dp_curr, dpl_curr, k_p),
+            resc(dm_prev, dml_prev, dm_curr, dml_curr, k_m),
+        )
+
+    nblocks = (lmax + 8) // 8
+    m0 = seed_ref[7, 0, 0].astype(jnp.int32)
+    diag_end = _diag_end(m0, m_chunk, nblocks)
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    state0 = (zeros, zeros, zeros, zeros, kinit)
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body, (state0, state0)
+    )
+    jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
+
+
 def _pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
                     FNm_ref, Sm_ref, out_ref, *, lmax, spin, m_chunk,
                     ring_block, nb=1, contract="tree"):
@@ -1269,7 +1627,18 @@ def analysis_pair_folded(FNp, Sp, FNm, Sm, x, logch, logsh, lmax, spin, *,
 
     pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                              memory_space=pltpu.VMEM)
-    if dd:
+    if dd == "comp":
+        if x_lo is None:
+            x_lo = jnp.zeros_like(x)
+        xf = x.astype(jnp.float32)
+        r = jnp.where(xf != 0.0, x_lo.astype(jnp.float32) / xf, 0.0)
+        xp = jnp.stack(
+            [jnp.pad(xf, (0, pad)), jnp.pad(r, (0, pad))], axis=-1
+        )
+        kernel = _pair_kernel_comp
+        vec_spec = pair_spec
+        carry_words = 10
+    elif dd:
         if x_lo is None:
             x_lo = jnp.zeros_like(x)
         xp = jnp.stack(
@@ -1452,6 +1821,111 @@ def _synth_kernel(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
         out_ref[0, 4 * q + 3] = Si * msign
 
 
+def _synth_kernel_comp(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *,
+                       lmax, m_chunk, ring_block, nb=1, contract="tree",
+                       skip="wavefront"):
+    """Compensated spin-0 synthesis (see :func:`_kernel_comp`).
+
+    Plain recurrence + the x-truncation correction stream; the G
+    accumulation stays plain f32 (as in the dd variant).  ``x_ref``
+    carries (x_hi, r = x_lo/x_hi) in its second axis.
+    """
+    m = seed_ref[3]
+    msign = seed_ref[2]
+    xh = x_ref[:, 0:1]
+    xr = x_ref[:, 1:2]
+
+    frac, k0 = _comp_seed_frac(
+        seed_ref[0], seed_ref[1],
+        [(m, logsum_ref[:, 0:1], logsum_ref[:, 1:2])],
+    )
+    seed_mant = msign * jnp.exp2(frac * _SCALE_LOG2)
+
+    fma = contract == "fma"
+
+    def acc_step(rows, t, lam, acc):
+        new = []
+        if fma:
+            lam_s = lam if t % 2 == 0 else -lam  # see _synth_kernel
+            for q in range(nb):
+                GNr, GNi, Sr, Si = acc[q]
+                apr = rows[2 * q, t, :][None, :]
+                api = rows[2 * q + 1, t, :][None, :]
+                new.append((GNr + apr * lam, GNi + api * lam,
+                            Sr + apr * lam_s, Si + api * lam_s))
+            return new
+        sgn = 1.0 if t % 2 == 0 else -1.0
+        for q in range(nb):
+            GNr, GNi, Sr, Si = acc[q]
+            t_re = rows[2 * q, t, :][None, :] * lam
+            t_im = rows[2 * q + 1, t, :][None, :] * lam
+            new.append((GNr + t_re, GNi + t_im,
+                        Sr + sgn * t_re, Si + sgn * t_im))
+        return new
+
+    def diag_body(blk, carry):
+        state, acc = carry
+        rows = alm_ref[0, :, pl.ds(8 * blk, 8), :]  # (nb*2, 8, m_chunk)
+        for t in range(8):
+            state, lam = _advance_spin0_comp(state, 8 * blk + t, m, xh, xr,
+                                             seed_mant, k0)
+            acc = acc_step(rows, t, lam, acc)
+        return state, acc
+
+    def bulk_body(blk, carry):
+        (d_prev, d_prev_lo, d_curr, d_curr_lo, k), acc = carry
+        emit = _emit_of(k)
+        ds = []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            c1, c2 = _bulk_coeffs_spin0(ell, m)
+            t1 = c1 * (xh * d_curr)
+            hi_new = t1 - c2 * d_prev
+            lo_new = c1 * (xh * d_curr_lo) + xr * t1 - c2 * d_prev_lo
+            ds.append(hi_new + lo_new)
+            d_prev, d_prev_lo, d_curr, d_curr_lo = (
+                d_curr, d_curr_lo, hi_new, lo_new)
+
+        def _accumulate_scaled(acc):
+            norm = _norm_col(blk)
+            rows = alm_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            for t in range(8):
+                acc = acc_step(rows, t, ds[t] * emit, acc)
+            return acc
+
+        if skip == "none":
+            acc = _accumulate_scaled(acc)
+        else:  # "wavefront"/"full": value-carry cond (see _env_skip)
+            acc = jax.lax.cond(
+                jnp.max(k) > -1.5, _accumulate_scaled, lambda a: a, acc
+            )
+        over = jnp.abs(d_curr) > _SCALE
+        sc = jnp.where(over, _INV_SCALE, 1.0)
+        return (
+            (d_prev * sc, d_prev_lo * sc, d_curr * sc, d_curr_lo * sc,
+             jnp.where(over, k + 1.0, k)),
+            acc,
+        )
+
+    nblocks = (lmax + 8) // 8
+    m0 = seed_ref[3, 0, 0].astype(jnp.int32)
+    diag_end = _diag_end(m0, m_chunk, nblocks)
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    acc0 = [(zeros, zeros, zeros, zeros) for _ in range(nb)]
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body,
+        ((zeros, zeros, zeros, zeros, kinit), acc0),
+    )
+    _, acc = jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
+    for q in range(nb):
+        GNr, GNi, Sr, Si = acc[q]
+        out_ref[0, 4 * q + 0] = GNr
+        out_ref[0, 4 * q + 1] = GNi
+        out_ref[0, 4 * q + 2] = Sr * msign
+        out_ref[0, 4 * q + 3] = Si * msign
+
+
 def _synth_kernel_dd(x_ref, logsum_ref, seed_ref, alm_ref, out_ref, *, lmax,
                      m_chunk, ring_block, nb=1, contract="tree",
                      skip="wavefront"):
@@ -1604,7 +2078,18 @@ def synthesis_spin0_folded(alm, x, logch, logsh, lmax, *, logch_lo=None,
 
     if seed_planes is None:
         seed_planes = spin0_seed_planes(np.arange(nm_pad))
-    if dd:
+    if dd == "comp":
+        if x_lo is None:
+            x_lo = jnp.zeros_like(x)
+        xf = x.astype(jnp.float32)
+        r = jnp.where(xf != 0.0, x_lo.astype(jnp.float32) / xf, 0.0)
+        xp = jnp.stack(
+            [jnp.pad(xf, (0, pad)), jnp.pad(r, (0, pad))], axis=-1
+        )
+        kernel = _synth_kernel_comp
+        x_width = 2
+        carry_words = 4 * nb + 5
+    elif dd:
         if x_lo is None:
             x_lo = jnp.zeros_like(x)
         xp = jnp.stack(
@@ -2007,6 +2492,164 @@ def _synth_pair_kernel_lc(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
                 out_ref[0, i] = out_ref[0, i] * msign
 
 
+def _synth_pair_kernel_comp(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
+                            am_ref, out_ref, *, lmax, spin, m_chunk,
+                            ring_block, nb=1, contract="tree",
+                            skip="wavefront"):
+    """Compensated spin-pair synthesis (see :func:`_kernel_comp`).
+
+    Plain pair recurrences + one x-truncation correction stream per
+    Wigner column; ``x_ref`` carries (x_hi, r = x_lo/x_hi).
+    """
+    xh = x_ref[:, 0:1]
+    xr = x_ref[:, 1:2]
+    logch = (logch_ref[:, 0:1], logch_ref[:, 1:2])
+    logsh = (logsh_ref[:, 0:1], logsh_ref[:, 1:2])
+    m = seed_ref[7]
+    j0 = seed_ref[6]
+    msign = jnp.where(m - 2.0 * jnp.floor(m * 0.5) == 0.0, 1.0, -1.0)
+    s2 = float(spin * spin)
+
+    def seed_vals(lc_hi, lc_lo, sign, pc, ps):
+        frac, k0 = _comp_seed_frac(
+            lc_hi, lc_lo,
+            [(pc, logch[0], logch[1]), (ps, logsh[0], logsh[1])],
+        )
+        return sign * jnp.exp2(frac * _SCALE_LOG2), k0
+
+    pc_p = m + float(spin)
+    ps_p = jnp.abs(m - float(spin))
+    seed_p, k0_p = seed_vals(seed_ref[0], seed_ref[1], seed_ref[2],
+                             pc_p, ps_p)
+    seed_m, k0_m = seed_vals(seed_ref[3], seed_ref[4], seed_ref[5],
+                             ps_p, pc_p)
+    mn_p = m * float(spin)
+    mn_m = m * float(-spin)
+
+    fma = contract == "fma"
+
+    def step_maps(rows_p, rows_m, t, lam_p, lam_m, acc):
+        new = []
+        if fma:
+            lam_ps = lam_p if t % 2 == 0 else -lam_p
+            lam_ms = lam_m if t % 2 == 0 else -lam_m
+        else:
+            sgn = 1.0 if t % 2 == 0 else -1.0
+        for q in range(nb):
+            GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
+            apr = rows_p[2 * q, t, :][None, :]
+            api = rows_p[2 * q + 1, t, :][None, :]
+            amr = rows_m[2 * q, t, :][None, :]
+            ami = rows_m[2 * q + 1, t, :][None, :]
+            if fma:
+                new.append((
+                    GNpr + apr * lam_p, GNpi + api * lam_p,
+                    Spr + apr * lam_ms, Spi + api * lam_ms,
+                    GNmr + amr * lam_m, GNmi + ami * lam_m,
+                    Smr + amr * lam_ps, Smi + ami * lam_ps,
+                ))
+            else:
+                new.append((
+                    GNpr + apr * lam_p, GNpi + api * lam_p,
+                    Spr + sgn * apr * lam_m, Spi + sgn * api * lam_m,
+                    GNmr + amr * lam_m, GNmi + ami * lam_m,
+                    Smr + sgn * amr * lam_p, Smi + sgn * ami * lam_p,
+                ))
+        return new
+
+    def diag_body(blk, carry):
+        state_p, state_m, acc = carry
+        rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :]
+        rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :]
+        for t in range(8):
+            ell = 8 * blk + t
+            state_p, lam_p = _advance_pair_comp(
+                state_p, ell, m, s2, mn_p, xh, xr, j0, seed_p, k0_p
+            )
+            state_m, lam_m = _advance_pair_comp(
+                state_m, ell, m, s2, mn_m, xh, xr, j0, seed_m, k0_m
+            )
+            acc = step_maps(rows_p, rows_m, t, lam_p, lam_m, acc)
+        return state_p, state_m, acc
+
+    def bulk_body(blk, carry):
+        ((dp_prev, dpl_prev, dp_curr, dpl_curr, k_p),
+         (dm_prev, dml_prev, dm_curr, dml_curr, k_m), acc) = carry
+        emit_p = _emit_of(k_p)
+        emit_m = _emit_of(k_m)
+        dps, dms = [], []
+        for t in range(8):
+            ell = (8 * blk + t).astype(jnp.float32)
+            c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
+            c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
+            tp1 = c0p * (xh * dp_curr)
+            tm1 = c0m * (xh * dm_curr)
+            dp_new = tp1 - cmp_ * dp_curr - c2p * dp_prev
+            dm_new = tm1 - cmm * dm_curr - c2m * dm_prev
+            dpl_new = (c0p * (xh * dpl_curr) + xr * tp1
+                       - cmp_ * dpl_curr - c2p * dpl_prev)
+            dml_new = (c0m * (xh * dml_curr) + xr * tm1
+                       - cmm * dml_curr - c2m * dml_prev)
+            dps.append(dp_new + dpl_new)
+            dms.append(dm_new + dml_new)
+            dp_prev, dpl_prev, dp_curr, dpl_curr = (
+                dp_curr, dpl_curr, dp_new, dpl_new)
+            dm_prev, dml_prev, dm_curr, dml_curr = (
+                dm_curr, dml_curr, dm_new, dml_new)
+
+        def _accumulate_scaled(acc):
+            norm = _norm_col(blk)
+            rows_p = ap_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            rows_m = am_ref[0, :, pl.ds(8 * blk, 8), :] * norm
+            for t in range(8):
+                lam_p = dps[t] * emit_p
+                lam_m = dms[t] * emit_m
+                acc = step_maps(rows_p, rows_m, t, lam_p, lam_m, acc)
+            return acc
+
+        if skip == "none":
+            acc = _accumulate_scaled(acc)
+        else:  # "wavefront"/"full": value-carry cond (see _env_skip)
+            kmax = jnp.maximum(jnp.max(k_p), jnp.max(k_m))
+            acc = jax.lax.cond(
+                kmax > -1.5, _accumulate_scaled, lambda a: a, acc
+            )
+
+        def resc(dp, dpl, dc, dcl, k):
+            over = jnp.abs(dc) > _SCALE
+            sc = jnp.where(over, _INV_SCALE, 1.0)
+            return (dp * sc, dpl * sc, dc * sc, dcl * sc,
+                    jnp.where(over, k + 1.0, k))
+
+        return (
+            resc(dp_prev, dpl_prev, dp_curr, dpl_curr, k_p),
+            resc(dm_prev, dml_prev, dm_curr, dml_curr, k_m),
+            acc,
+        )
+
+    nblocks = (lmax + 8) // 8
+    m0 = seed_ref[7, 0, 0].astype(jnp.int32)
+    diag_end = _diag_end(m0, m_chunk, nblocks)
+    zeros = jnp.zeros((ring_block, m_chunk), jnp.float32)
+    kinit = jnp.full((ring_block, m_chunk), -(2.0**30), jnp.float32)
+    state0 = (zeros, zeros, zeros, zeros, kinit)
+    acc0 = [(zeros,) * 8 for _ in range(nb)]
+    carry = jax.lax.fori_loop(
+        m0 // 8, diag_end, diag_body, (state0, state0, acc0)
+    )
+    _, _, acc = jax.lax.fori_loop(diag_end, nblocks, bulk_body, carry)
+    for q in range(nb):
+        GNpr, GNpi, Spr, Spi, GNmr, GNmi, Smr, Smi = acc[q]
+        out_ref[0, 8 * q + 0] = GNpr
+        out_ref[0, 8 * q + 1] = GNpi
+        out_ref[0, 8 * q + 2] = Spr * msign
+        out_ref[0, 8 * q + 3] = Spi * msign
+        out_ref[0, 8 * q + 4] = GNmr
+        out_ref[0, 8 * q + 5] = GNmi
+        out_ref[0, 8 * q + 6] = Smr * msign
+        out_ref[0, 8 * q + 7] = Smi * msign
+
+
 def _synth_pair_kernel_dd(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
                           am_ref, out_ref, *, lmax, spin, m_chunk,
                           ring_block, nb=1, contract="tree",
@@ -2236,7 +2879,18 @@ def synthesis_pair_folded(alm_p, alm_m, x, logch, logsh, lmax, spin, *,
 
     pair_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
                              memory_space=pltpu.VMEM)
-    if dd:
+    if dd == "comp":
+        if x_lo is None:
+            x_lo = jnp.zeros_like(x)
+        xf = x.astype(jnp.float32)
+        r = jnp.where(xf != 0.0, x_lo.astype(jnp.float32) / xf, 0.0)
+        xp = jnp.stack(
+            [jnp.pad(xf, (0, pad)), jnp.pad(r, (0, pad))], axis=-1
+        )
+        kernel = _synth_pair_kernel_comp
+        vec_spec = pair_spec
+        carry_words = 8 * nb + 10
+    elif dd:
         if x_lo is None:
             x_lo = jnp.zeros_like(x)
         xp = jnp.stack(
@@ -2450,9 +3104,11 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
     compensated seed path; pass them for full accuracy at high m).
     Batched maps are grouped ``nb`` per program (auto): the Wigner
     recurrence runs once per tile for all nb maps.
-    ``dd``: run the recurrence in double-single arithmetic (the
-    high-accuracy mode, ~2-4x slower); pass the f32 residual of f64
-    cos(theta) in ``x_lo``.
+    ``dd``: ``True`` runs the recurrence in double-single arithmetic
+    (the high-accuracy mode, ~2-4x slower); ``"comp"`` runs the plain
+    recurrence with the x-truncation correction stream
+    (:func:`_kernel_comp`, ~1.5x, ~10x lower top-band error).  Both
+    need the f32 residual of f64 cos(theta) in ``x_lo``.
     Returns (..., lmax+1, nm_pad) complex64.
     """
     contract = contract or _env_contract()
@@ -2484,7 +3140,20 @@ def analysis_spin0_folded(Fe, Fo, x, logch, logsh, lmax, *, logch_lo=None,
     Fo2 = prep(Fo)
     if seed_planes is None:
         seed_planes = spin0_seed_planes(np.arange(nm_pad))
-    if dd:
+    if dd == "comp":
+        # (nr_pad, 2): x_hi and the truncation ratio r = x_lo/x_hi
+        if x_lo is None:
+            x_lo = jnp.zeros_like(x)
+        xf = x.astype(jnp.float32)
+        r = jnp.where(xf != 0.0, x_lo.astype(jnp.float32) / xf, 0.0)
+        xp = jnp.stack(
+            [jnp.pad(xf, (0, pad)), jnp.pad(r, (0, pad))], axis=-1
+        )
+        kernel = _kernel_comp
+        x_spec = pl.BlockSpec((ring_block, 2), lambda b, i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        carry_words = 6
+    elif dd:
         # (nr_pad, 2) hi/lo pair of cos(theta)
         if x_lo is None:
             x_lo = jnp.zeros_like(x)

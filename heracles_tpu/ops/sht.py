@@ -192,16 +192,24 @@ def _x_lo_array(nside):
 
 
 def _use_dd():
-    """High-accuracy double-single (two-f32) recurrence mode.
+    """Accuracy mode of the Wigner recurrence: False, True or "comp".
 
-    Enabled with HERACLES_TPU_SHT_DD=1 (or per-call ``dd=True``): the
-    Wigner-d three-term recurrence carries (hi, lo) f32 pairs, removing
-    the f32 recurrence error that dominates the top multipole band
-    (~2-3e-5 band-max Cl at l >~ 0.9*lmax, measured on TPU at nside
-    512/2048/4096) at ~2-3x the scan cost.  Effective on the jnp scan
-    path (the fused Pallas kernels are bypassed in this mode).
+    ``dd=True`` (HERACLES_TPU_SHT_DD=1): the three-term recurrence
+    carries (hi, lo) f32 pairs (double-single), removing the f32
+    recurrence error entirely at ~2-5x the scan cost.
+
+    ``dd="comp"`` (HERACLES_TPU_SHT_DD=comp, or the legacy alias
+    "accum"): the plain recurrence plus a single correction stream for
+    the f32 truncation of cos(theta) — the *dominant* systematic error
+    of the plain kernel (tools/recurrence_error_model.py) — at ~1.5x
+    the plain cost and ~10x lower top-band error.
+
+    Unset/0: the plain f32 recurrence (~2-3e-5 band-max Cl at
+    l >~ 0.9*lmax, measured on TPU at nside 512/2048/4096).
     """
     flag = os.environ.get("HERACLES_TPU_SHT_DD", "").strip().lower()
+    if flag in ("comp", "accum"):
+        return "comp"
     return flag in ("1", "true", "yes", "on")
 
 
@@ -418,7 +426,10 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
         return (alm_p, alm_m)
 
     # f32 fallback: host-f64 seeds (the device f32 log/lgamma seed path
-    # costs ~1% alm error at production orders — see _host_seed_planes)
+    # costs ~1% alm error at production orders — see _host_seed_planes).
+    # The jnp scans have no "comp" mode; it maps to full dd (the jnp
+    # fallback is not the perf-critical path).
+    dd = True if dd == "comp" else dd
     seed_sl = _seed_slicer(
         _host_seed_planes(nside, nm_pad, tuple(int(n) for n in ns), dd=dd)
         if Fw[0].dtype == jnp.complex64
@@ -566,7 +577,9 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
             outs.append(jnp.concatenate([GN, south], axis=-2))
         return tuple(outs)
 
-    # f32 fallback: host-f64 seeds (see _host_seed_planes)
+    # f32 fallback: host-f64 seeds (see _host_seed_planes); "comp" maps
+    # to full dd here (the jnp scans have no comp mode)
+    dd = True if dd == "comp" else dd
     seed_sl = _seed_slicer(
         _host_seed_planes(nside, nm_pad, tuple(int(n) for n in ns), dd=dd)
         if alms[0].dtype == jnp.complex64
@@ -628,12 +641,13 @@ def map2alm(maps, lmax=None, mmax=None, *, spin=0, weights="ring",
     healpy's ``iter=`` analog; suppresses the HEALPix m-aliasing coupling
     (m >= nph of polar rings), which is exponentially small for
     lmax <= ~2*nside but visible at toy resolutions.
-    ``dd``: high-accuracy double-single f32 recurrence (default: the
+    ``dd``: accuracy mode — True (double-single recurrence), "comp"
+    (compensated x-truncation stream, ~1.5x), or False (default: the
     HERACLES_TPU_SHT_DD env flag; see :func:`_use_dd`).
     Returns packed alms (..., nlm) for spin 0, or (..., 2, nlm) (E, B) for
     spin 2 (packed=False returns rectangular (..., lmax+1, mmax+1)).
     """
-    dd = _use_dd() if dd is None else bool(dd)
+    dd = _use_dd() if dd is None else (dd if dd == "comp" else bool(dd))
     out = _map2alm_once(maps, lmax, mmax, spin=spin, weights=weights,
                         m_chunk=m_chunk, packed=False,
                         fft_chirps=fft_chirps, dd=dd)
@@ -730,7 +744,7 @@ def alm2map(alm, nside, lmax=None, mmax=None, *, spin=0,
     rectangular when packed=False.  Returns (..., npix) or (..., 2, npix).
     ``dd``: high-accuracy double-single f32 recurrence (see map2alm).
     """
-    dd = _use_dd() if dd is None else bool(dd)
+    dd = _use_dd() if dd is None else (dd if dd == "comp" else bool(dd))
     alm = jnp.asarray(alm)
     spin = abs(int(spin))
     if lmax is None:

@@ -247,7 +247,7 @@ def map2alm_sharded(mesh, maps, lmax, *, weights="ring", spin=0,
     x, logch, logsh, w = _engine_arrays(maps, nside, weights)
     engine = _resolve_engine(engine)
     spin = abs(int(spin))
-    dd = sht._use_dd() if dd is None else bool(dd)
+    dd = sht._use_dd() if dd is None else (dd if dd == "comp" else bool(dd))
     dd = dd and maps.dtype == jnp.float32
     x_lo = sht._x_lo_array(nside) if dd else None
 
@@ -404,7 +404,7 @@ def alm2map_sharded(mesh, alms, nside, *, lmax=None, spin=0, engine="auto",
     nhalf = 2 * nside
     x, logch, logsh = x[:nhalf], logch[:nhalf], logsh[:nhalf]
     engine = _resolve_engine(engine)
-    dd = sht._use_dd() if dd is None else bool(dd)
+    dd = sht._use_dd() if dd is None else (dd if dd == "comp" else bool(dd))
     dd = dd and alms.dtype == jnp.complex64
     x_lo = jnp.asarray(sht._x_lo_array(nside)) if dd else None
 
@@ -497,7 +497,7 @@ def pipeline_step(mesh, maps, lmax, maps2=None, *, engine="auto", dd=None):
     x, logch, logsh, w = _engine_arrays(maps, nside, "ring")
     with_spin2 = maps2 is not None
     engine = _resolve_engine(engine)
-    dd = sht._use_dd() if dd is None else bool(dd)
+    dd = sht._use_dd() if dd is None else (dd if dd == "comp" else bool(dd))
     dd = dd and maps.dtype == jnp.float32 and engine != "jnp"
     x_lo = sht._x_lo_array(nside) if dd else None
     if engine == "jnp":

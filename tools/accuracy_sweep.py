@@ -70,7 +70,11 @@ def _stage_synth(nside, lmax, spin, path):
     print(f"synth f64 done: {maps.shape}")
 
 
-def _stage_analyse(path, out, lmax, spin, dtype, iters=0, dd=False):
+def _parse_dd(dd):
+    return dd if dd == "comp" else bool(int(dd or 0))
+
+
+def _stage_analyse(path, out, lmax, spin, dtype, iters=0, dd=0):
     import jax
 
     if dtype == "f64":
@@ -85,6 +89,7 @@ def _stage_analyse(path, out, lmax, spin, dtype, iters=0, dd=False):
 
     from heracles_tpu.ops import sht
 
+    dd = _parse_dd(dd)
     maps = np.load(path)["maps"]
     if dtype == "f32":
         maps = maps.astype(np.float32)
@@ -93,6 +98,29 @@ def _stage_analyse(path, out, lmax, spin, dtype, iters=0, dd=False):
     np.savez(out, back=back)
     print(f"analyse {dtype} iters={iters} dd={dd} done on "
           f"{jax.default_backend()}")
+
+
+def _stage_synth32(path, out, lmax, spin, dd=0):
+    """f32 synthesis of the truth alms (the alm2map error budget's
+    device stage; the follow-up f64 analysis converts the map error to
+    per-l rows comparable with the analysis-direction ones)."""
+    import jax
+
+    if os.environ.get("HERACLES_TPU_SWEEP_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+
+    from heracles_tpu.ops import sht
+
+    dd = _parse_dd(dd)
+    data = np.load(path)
+    alm = data["alm"].astype(np.complex64)
+    nside = int(round(np.sqrt(data["maps"].shape[-1] / 12)))
+    maps32 = np.asarray(
+        sht.alm2map_host(alm, nside, lmax=lmax, spin=spin, dd=dd)
+    )
+    np.savez(out, maps=maps32.astype(np.float64))
+    print(f"synth f32 dd={dd} done on {jax.default_backend()}")
 
 
 def _cl_of(alm, lmax):
@@ -133,21 +161,45 @@ def run(nside, spin, partial=False, lmax=None):
     if not os.path.exists(base + ".npz"):
         sub(["--stage", "synth", "--nside", str(nside), "--spin", str(spin),
              "--path", base + ".npz", "--lmax", str(lmax)])
-    variants = (("f64", "f64", 0, 0), ("f32", "f32", 0, 0),
-                ("f64_it1", "f64", 1, 0), ("f32_it1", "f32", 1, 0),
-                ("f32_dd", "f32", 0, 1), ("f32_dd_it1", "f32", 1, 1))
+    variants = (("f64", "f64", 0, "0"), ("f32", "f32", 0, "0"),
+                ("f64_it1", "f64", 1, "0"), ("f32_it1", "f32", 1, "0"),
+                ("f32_dd", "f32", 0, "1"), ("f32_dd_it1", "f32", 1, "1"),
+                ("f32_comp", "f32", 0, "comp"),
+                ("f32_comp_it1", "f32", 1, "comp"))
     if os.environ.get("HERACLES_TPU_SWEEP_CPU"):
         # host-f32 rows are recorded separately from the TPU-f32 rows
-        variants = (("f32_cpu", "f32", 0, 0), ("f32_it1_cpu", "f32", 1, 0),
-                    ("f32_dd_cpu", "f32", 0, 1))
+        variants = (("f32_cpu", "f32", 0, "0"), ("f32_it1_cpu", "f32", 1, "0"),
+                    ("f32_dd_cpu", "f32", 0, "1"))
     for name, dt, it, dd in variants:
         if not os.path.exists(f"{base}_{name}.npz"):
             if partial:
                 continue  # report whatever stages exist (f32 needs TPU)
             sub(["--stage", "analyse", "--path", base + ".npz",
                  "--out", f"{base}_{name}.npz", "--lmax", str(lmax),
-                 "--spin", str(spin), "--dtype", dt, "--iters", str(it)]
-                + (["--dd"] if dd else []))
+                 "--spin", str(spin), "--dtype", dt, "--iters", str(it),
+                 "--dd", dd])
+    # synthesis-direction rows: f32 alm2map on the device, then an f64
+    # host analysis turns the map error into per-l rows on the same
+    # scale as the analysis-direction ones (the f64 one-pass floor is
+    # the "f64" row above)
+    synth_variants = (("alm2map_f32", "0"), ("alm2map_f32_dd", "1"),
+                      ("alm2map_f32_comp", "comp"))
+    if os.environ.get("HERACLES_TPU_SWEEP_CPU"):
+        synth_variants = (("alm2map_f32_cpu", "0"),)
+    for name, dd in synth_variants:
+        mpath = f"{base}_m_{name}.npz"
+        if not os.path.exists(f"{base}_{name}.npz") and not partial:
+            if not os.path.exists(mpath):
+                sub(["--stage", "synth32", "--path", base + ".npz",
+                     "--out", mpath, "--lmax", str(lmax),
+                     "--spin", str(spin), "--dd", dd])
+            sub(["--stage", "analyse", "--path", mpath,
+                 "--out", f"{base}_{name}.npz", "--lmax", str(lmax),
+                 "--spin", str(spin), "--dtype", "f64", "--iters", "0",
+                 "--dd", "0"])
+    variants = variants + tuple(
+        (name, None, None, None) for name, _ in synth_variants
+    )
 
     truth = np.load(base + ".npz")["alm"]
     scale = np.abs(truth).max()
@@ -204,17 +256,21 @@ def main():
     ap.add_argument("--table", action="store_true")
     ap.add_argument("--partial", action="store_true",
                     help="report existing stages only (skip missing)")
-    ap.add_argument("--stage", choices=["synth", "analyse"])
+    ap.add_argument("--stage", choices=["synth", "synth32", "analyse"])
     ap.add_argument("--path")
     ap.add_argument("--out")
     ap.add_argument("--lmax", type=int)
     ap.add_argument("--dtype", choices=["f32", "f64"])
     ap.add_argument("--iters", type=int, default=0)
-    ap.add_argument("--dd", action="store_true")
+    ap.add_argument("--dd", default="0",
+                    help='accuracy mode: 0, 1 (double-single) or "comp"')
     args = ap.parse_args()
     if args.stage == "synth":
         lmax = args.lmax if args.lmax else 3 * args.nside // 2
         _stage_synth(args.nside, lmax, args.spin, args.path)
+    elif args.stage == "synth32":
+        _stage_synth32(args.path, args.out, args.lmax, args.spin,
+                       dd=args.dd)
     elif args.stage == "analyse":
         _stage_analyse(args.path, args.out, args.lmax, args.spin, args.dtype,
                        args.iters, dd=args.dd)
