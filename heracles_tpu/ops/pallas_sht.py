@@ -1161,8 +1161,9 @@ def _pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             ell = (8 * blk + t).astype(jnp.float32)
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
-            dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
-            dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
+            # fold cm into the x coefficient: one fewer VPU op/column
+            dp_new = (c0p * x - cmp_) * dp_curr - c2p * dp_prev
+            dm_new = (c0m * x - cmm) * dm_curr - c2m * dm_prev
             dps.append(dp_new)
             dms.append(dm_new)
             dp_prev, dp_curr = dp_curr, dp_new
@@ -1313,14 +1314,17 @@ def _pair_kernel_comp(x_ref, logch_ref, logsh_ref, seed_ref, FNp_ref, Sp_ref,
             ell = (8 * blk + t).astype(jnp.float32)
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
-            tp1 = c0p * (x * dp_curr)
-            tm1 = c0m * (x * dm_curr)
-            dp_new = tp1 - cmp_ * dp_curr - c2p * dp_prev
-            dm_new = tm1 - cmm * dm_curr - c2m * dm_prev
-            dpl_new = (c0p * (x * dpl_curr) + xr * tp1
-                       - cmp_ * dpl_curr - c2p * dpl_prev)
-            dml_new = (c0m * (x * dml_curr) + xr * tm1
-                       - cmm * dml_curr - c2m * dml_prev)
+            # folded coefficient (see the plain kernel); the xr
+            # correction picks up a spurious -cm*x_lo/x*d term, ~s/l of
+            # the real c0*x_lo*d forcing -- far below the noise it fixes
+            tp = c0p * x - cmp_
+            tm = c0m * x - cmm
+            tp1 = tp * dp_curr
+            tm1 = tm * dm_curr
+            dp_new = tp1 - c2p * dp_prev
+            dm_new = tm1 - c2m * dm_prev
+            dpl_new = tp * dpl_curr + xr * tp1 - c2p * dpl_prev
+            dml_new = tm * dml_curr + xr * tm1 - c2m * dml_prev
             dps.append(dp_new + dpl_new)
             dms.append(dm_new + dml_new)
             dp_prev, dpl_prev, dp_curr, dpl_curr = (
@@ -2249,8 +2253,9 @@ def _synth_pair_kernel(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref, am_ref,
             ell = (8 * blk + t).astype(jnp.float32)
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
-            dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
-            dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
+            # fold cm into the x coefficient: one fewer VPU op/column
+            dp_new = (c0p * x - cmp_) * dp_curr - c2p * dp_prev
+            dm_new = (c0m * x - cmm) * dm_curr - c2m * dm_prev
             dps.append(dp_new)
             dms.append(dm_new)
             dp_prev, dp_curr = dp_curr, dp_new
@@ -2431,8 +2436,9 @@ def _synth_pair_kernel_lc(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
             ell = (8 * blk + t).astype(jnp.float32)
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
-            dp_new = c0p * (x * dp_curr) - cmp_ * dp_curr - c2p * dp_prev
-            dm_new = c0m * (x * dm_curr) - cmm * dm_curr - c2m * dm_prev
+            # fold cm into the x coefficient: one fewer VPU op/column
+            dp_new = (c0p * x - cmp_) * dp_curr - c2p * dp_prev
+            dm_new = (c0m * x - cmm) * dm_curr - c2m * dm_prev
             dps.append(dp_new)
             dms.append(dm_new)
             dp_prev, dp_curr = dp_curr, dp_new
@@ -2582,14 +2588,15 @@ def _synth_pair_kernel_comp(x_ref, logch_ref, logsh_ref, seed_ref, ap_ref,
             ell = (8 * blk + t).astype(jnp.float32)
             c0p, cmp_, c2p = _bulk_coeffs_pair(ell, m, s2, mn_p)
             c0m, cmm, c2m = _bulk_coeffs_pair(ell, m, s2, mn_m)
-            tp1 = c0p * (xh * dp_curr)
-            tm1 = c0m * (xh * dm_curr)
-            dp_new = tp1 - cmp_ * dp_curr - c2p * dp_prev
-            dm_new = tm1 - cmm * dm_curr - c2m * dm_prev
-            dpl_new = (c0p * (xh * dpl_curr) + xr * tp1
-                       - cmp_ * dpl_curr - c2p * dpl_prev)
-            dml_new = (c0m * (xh * dml_curr) + xr * tm1
-                       - cmm * dml_curr - c2m * dml_prev)
+            # folded coefficient (see the plain kernel / analysis comp)
+            tp = c0p * xh - cmp_
+            tm = c0m * xh - cmm
+            tp1 = tp * dp_curr
+            tm1 = tm * dm_curr
+            dp_new = tp1 - c2p * dp_prev
+            dm_new = tm1 - c2m * dm_prev
+            dpl_new = tp * dpl_curr + xr * tp1 - c2p * dpl_prev
+            dml_new = tm * dml_curr + xr * tm1 - c2m * dml_prev
             dps.append(dp_new + dpl_new)
             dms.append(dm_new + dml_new)
             dp_prev, dpl_prev, dp_curr, dpl_curr = (
