@@ -1,5 +1,6 @@
 """SHT validation: Wigner-d oracle, scipy Ylm oracle, round trips, spin-2."""
 
+import os
 import math
 
 import numpy as np
@@ -333,3 +334,38 @@ def test_dd_high_accuracy_mode():
                     dd=True)
     )
     assert np.abs(qadd - qa64).max() / np.abs(qa64).max() < 2e-6
+
+
+def test_comp_mode_plumbing():
+    """dd="comp" flows through map2alm/alm2map and _use_dd.
+
+    On the CPU jnp-scan fallback comp maps to full dd, so the result
+    must match dd=True and beat plain f32 against the f64 truth.
+    """
+    import jax.numpy as jnp
+
+    nside, lmax = 32, 48
+    rng = np.random.default_rng(9)
+    nlm = sht.alm_size(lmax)
+    alm_t = rng.normal(size=nlm) + 1j * rng.normal(size=nlm)
+    alm_t[: lmax + 1] = alm_t[: lmax + 1].real
+    m64 = np.asarray(sht.alm2map(jnp.asarray(alm_t), nside, lmax=lmax))
+    a64 = np.asarray(sht.map2alm(jnp.asarray(m64), lmax=lmax))
+    scale = np.abs(a64).max()
+
+    m32 = jnp.asarray(m64.astype(np.float32))
+    a_comp = np.asarray(sht.map2alm(m32, lmax=lmax, dd="comp"))
+    a_dd = np.asarray(sht.map2alm(m32, lmax=lmax, dd=True))
+    np.testing.assert_allclose(a_comp, a_dd, rtol=0, atol=0)
+    assert np.abs(a_comp - a64).max() / scale < 1e-5
+
+    os.environ["HERACLES_TPU_SHT_DD"] = "comp"
+    try:
+        assert sht._use_dd() == "comp"
+    finally:
+        del os.environ["HERACLES_TPU_SHT_DD"]
+    os.environ["HERACLES_TPU_SHT_DD"] = "accum"
+    try:
+        assert sht._use_dd() == "comp"
+    finally:
+        del os.environ["HERACLES_TPU_SHT_DD"]
