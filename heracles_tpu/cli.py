@@ -151,12 +151,20 @@ def _healpix_mapper(config, section):
         import jax
 
         device_maps = jax.default_backend() == "tpu"
+    # dd accepts the INI booleans plus the "comp" mode name
+    dd_raw = config.get(section, "dd", fallback=None)
+    if dd_raw is None:
+        dd = None
+    elif dd_raw.strip().lower() in ("comp", "accum"):
+        dd = "comp"
+    else:
+        dd = config.getboolean(section, "dd")
     return HealpixMapper(
         config.getint(section, "nside"),
         config.getint(section, "lmax", fallback=None),
         deconvolve=config.getboolean(section, "deconvolve", fallback=None),
         device_maps=device_maps,
-        dd=config.getboolean(section, "dd", fallback=None),
+        dd=dd,
         iterations=config.getint(section, "iterations", fallback=0),
     )
 

@@ -58,6 +58,8 @@ def test_mapper_from_config_accuracy_knobs():
     assert m._dd is True and m._iterations == 3
     m = mapper_from_config(config, "b")
     assert m._dd is None and m._iterations == 0
+    config = make_config("[c]\nnside = 8\ndd = comp\n")
+    assert mapper_from_config(config, "c")._dd == "comp"
 
 
 def test_fields_from_config():
