@@ -467,8 +467,15 @@ def build_dices_real(nside, lmax, njk):
     data_maps = {("POS", 0): pos, ("SHE", 0): she}
     vis_maps = {("VIS", 0): vis}
 
+    # in-memory mode (dir=None): the single-process bench run does not
+    # need the restartable FITS checkpoint contract, and the ~2 GB of
+    # per-region cache writes dominated the round-4 392 s measurement
+    # alongside the (now overlapped) alm readbacks.  HERACLES_BENCH_
+    # DICES_DIR=file restores the file-cached variant for comparison.
+    use_files = os.environ.get("HERACLES_BENCH_DICES_DIR") == "file"
+
     def run():
-        d = tempfile.mkdtemp(prefix="dices_bench_")
+        d = tempfile.mkdtemp(prefix="dices_bench_") if use_files else None
         try:
             t0 = time.perf_counter()
             cache = dices.jackknife.compute_jk_alms(
@@ -488,7 +495,8 @@ def build_dices_real(nside, lmax, njk):
             arr = np.asarray(next(iter(first.values())))
             return float(arr.ravel()[0])
         finally:
-            shutil.rmtree(d, ignore_errors=True)
+            if d is not None:
+                shutil.rmtree(d, ignore_errors=True)
 
     return run
 
