@@ -38,7 +38,11 @@ from ..mapping import transform
 from ..progress import NoProgress
 from ..result import Result, binned, get_result_array
 from ..transforms import cl2corr
-from ..twopoint import angular_power_spectra, angular_power_spectra_samples
+from ..twopoint import (
+    angular_power_spectra,
+    angular_power_spectra_sample_stacks,
+    angular_power_spectra_samples,
+)
 from ..unmixing import _naturalspice
 from ..utils import add_to_Cls, sub_to_Cls
 
@@ -104,8 +108,29 @@ def jackknife_cls(
     )
 
 
+def _device_cache_budget():
+    """HBM budget (bytes) for the DICES device alm cache (default 4 GiB;
+    HERACLES_TPU_DICES_DEVICE_BYTES overrides)."""
+    return int(os.environ.get("HERACLES_TPU_DICES_DEVICE_BYTES",
+                              4 * 1024**3))
+
+
+def _estimate_alm_bytes(data_maps, vis_maps, fields, njk):
+    """Estimated device bytes of a full per-region alm cache."""
+    total = 0
+    for key in list(data_maps) + list(vis_maps):
+        field = fields[key[0]]
+        mapper = field.mapper_or_error
+        lmax = mapper.lmax
+        nlm = (lmax + 1) * (lmax + 2) // 2
+        planes = 2 if abs(field.spin) == 2 else 1
+        total += planes * nlm * 8  # complex64
+    return (njk + 1) * total
+
+
 def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
-                    progress=None, region_batch=8, mesh=None):
+                    progress=None, region_batch=8, mesh=None,
+                    device_cache=None):
     """Compute and cache the alms of every jackknife region (and the full sky).
 
     TPU-native fast path: regions are processed in batches of
@@ -115,6 +140,15 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
     The per-region FITS cache layout is unchanged, so runs stay
     restartable and interoperable.  ``region_batch=1`` reproduces the
     sequential behaviour.
+
+    ``device_cache``: keep every region's alms ON the device
+    (:class:`~heracles_tpu.devicemap.DeviceMap` values) — no readback
+    at all; the spectra stage then assembles delete-k samples on the
+    device too, so only the small Cl grids ever cross the host
+    boundary.  Requires ``dir=None`` (no FITS checkpoints) and the
+    batched device path.  Default (None): auto — on when ``dir`` is
+    None, the device path is available, and the estimated cache size
+    fits the HBM budget (:func:`_device_cache_budget`).
     """
     if progress is None:
         progress = NoProgress()
@@ -132,6 +166,30 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
         # fill the mesh: whole multiples of the batch axis per dispatch
         nb = mesh.shape["batch"]
         region_batch = max(region_batch, nb) // nb * nb
+    batched_ok = region_batch > 1 and mesh is None and all(
+        getattr(fields[key[0]].mapper_or_error, "batched_transform", False)
+        for key in list(data_maps) + list(vis_maps)
+    )
+    if device_cache:
+        if dir is not None:
+            raise ValueError(
+                "device_cache=True requires dir=None (the device cache "
+                "replaces the FITS checkpoints)"
+            )
+        if not batched_ok:
+            raise ValueError(
+                "device_cache requires the batched device path "
+                "(region_batch > 1, no mesh, batched-transform mappers)"
+            )
+        resident = True
+    elif device_cache is None:
+        resident = (
+            dir is None and batched_ok
+            and _estimate_alm_bytes(data_maps, vis_maps, fields, njk)
+            <= _device_cache_budget()
+        )
+    else:
+        resident = False
     if region_batch <= 1:
         for k in range(njk + 1):
             with progress.task(f"ALMs {k}"):
@@ -139,11 +197,6 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
                                        fields, dir, cache=cache)
             progress.update(k + 1, njk + 1)
         return cache
-    # full-footprint alms (k = 0)
-    with progress.task("ALMs 0"):
-        _compute_single_jk_alm(0, data_maps, vis_maps, jk_map, fields, dir,
-                               mesh=mesh, cache=cache)
-    progress.update(1, njk + 1)
     pending = [
         k
         for k in range(1, njk + 1)
@@ -152,13 +205,8 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
             and os.path.exists(os.path.join(dir, f"vis_alms_{k}.fits"))
         )
     ]
-    done = njk - len(pending)
-    progress.update(1 + done, njk + 1)
     device_state = None
-    if pending and mesh is None and all(
-        getattr(fields[key[0]].mapper_or_error, "batched_transform", False)
-        for key in list(data_maps) + list(vis_maps)
-    ):
+    if batched_ok and (pending or resident):
         import jax
         import jax.numpy as jnp
 
@@ -167,17 +215,38 @@ def compute_jk_alms(data_maps, vis_maps, jk_map, fields, dir="./dices",
         jk_dt = next(iter(dev_data.values()))[0].dtype
         jk_dev = jax.device_put(jnp.asarray(np.asarray(jk_map), jk_dt))
         device_state = (dev_data, dev_vis, jk_dev, _masked_stack_fn())
+    # full-footprint alms (k = 0)
+    with progress.task("ALMs 0"):
+        if resident:
+            dev_data, dev_vis, _, _ = device_state
+            for name, dev_maps in (("data", dev_data), ("vis", dev_vis)):
+                alms = {}
+                for key, (arr, md) in dev_maps.items():
+                    field = fields[key[0]]
+                    alms[key] = field.mapper_or_error.transform_resident(
+                        arr, spin=field.spin, metadata=md
+                    )
+                cache[name, 0] = alms
+        else:
+            _compute_single_jk_alm(0, data_maps, vis_maps, jk_map, fields,
+                                   dir, mesh=mesh, cache=cache)
+    progress.update(1, njk + 1)
+    done = njk - len(pending)
+    progress.update(1 + done, njk + 1)
+    if not pending:
+        return cache
     # software pipeline: dispatch batch k+1's SHTs (async readbacks
     # already in flight for batch k) before finishing batch k, so the
     # tunnel transfer of one batch overlaps the device compute of the
-    # next
+    # next (in resident mode there is nothing to transfer and the
+    # finishers are trivial slices)
     prev_finish = None
     for start in range(0, len(pending), region_batch):
         ks = pending[start : start + region_batch]
         with progress.task(f"ALMs {ks[0]}..{ks[-1]}"):
             fin = _dispatch_batched_jk_alms(
                 ks, data_maps, vis_maps, jk_map, fields, dir, mesh=mesh,
-                device_state=device_state, cache=cache,
+                device_state=device_state, cache=cache, resident=resident,
             )
             if prev_finish is not None:
                 prev_finish()
@@ -226,7 +295,8 @@ def _device_region_maps(maps):
 
 
 def _dispatch_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
-                              mesh=None, device_state=None, cache=None):
+                              mesh=None, device_state=None, cache=None,
+                              resident=False):
     """Dispatch one batched SHT over a group of region-masked map sets.
 
     Returns a zero-argument *finisher* that completes the device->host
@@ -236,12 +306,44 @@ def _dispatch_batched_jk_alms(ks, data_maps, vis_maps, jk_map, fields, dir,
     the NEXT batch's SHTs while this batch's ~100 MB alm blocks are
     still crossing the host boundary — the DICES profile showed that
     boundary as ~90% of the stage cost.
+
+    ``resident=True`` (device cache mode): the alms never leave the
+    device — the finisher slices the batched stack into per-region
+    :class:`DeviceMap` cache entries, all as device ops.
     """
     if mesh is None and device_state is not None:
         dev_data, dev_vis, jk_dev, masked_stack = device_state
         import jax.numpy as jnp
 
         ks_arr = jnp.asarray(np.asarray(ks, np.float32), jk_dev.dtype)
+
+        if resident:
+            from ..devicemap import DeviceMap
+
+            def batched_resident(dev_maps):
+                out = {}
+                for key, (arr, md) in dev_maps.items():
+                    field = fields[key[0]]
+                    stacked = masked_stack(arr, jk_dev, ks_arr)
+                    out[key] = field.mapper_or_error.transform_resident(
+                        stacked, spin=field.spin, metadata=md
+                    )
+                return out
+
+            data_res = batched_resident(dev_data)
+            vis_res = batched_resident(dev_vis)
+
+            def finish():
+                for i, k in enumerate(ks):
+                    for batched, name in ((data_res, "data"),
+                                          (vis_res, "vis")):
+                        cache[name, k] = {
+                            key: DeviceMap(dm.array[i],
+                                           metadata=dm.metadata)
+                            for key, dm in batched.items()
+                        }
+
+            return finish
 
         def batched_transform(dev_maps):
             handles = {}
@@ -407,35 +509,85 @@ def compute_jk_cls_from_alms(
         if mask_correction == "Full" else None
     )
 
+    # device-cache mode: every region's alms are DeviceMaps in HBM —
+    # build per-key region stacks once, then assemble each batch's
+    # delete-k sample stack in ONE jitted gather-subtract per key and
+    # feed it straight to the device pair grids; nothing but the small
+    # Cl grids ever crosses the host boundary
+    from ..devicemap import DeviceMap
+
+    device_mode = any(
+        isinstance(v, DeviceMap) for v in data_alms_full.values()
+    )
+    if device_mode:
+        import jax
+        import jax.numpy as jnp
+
+        def region_stacks(name):
+            full = _load_alms(name, 0)
+            return {
+                key: jnp.stack([
+                    _load_alms(name, r)[key].array
+                    for r in range(1, njk + 1)
+                ])
+                for key in full
+            }
+
+        R_data = region_stacks("data")
+        R_vis = (region_stacks("vis")
+                 if mask_correction == "Full" else None)
+
+        @jax.jit
+        def _assemble(full_a, R_a, idx):
+            # linearity of the SHT: delete-k alms = full - sum(regions)
+            return full_a[None] - R_a[idx].sum(axis=1)
+
+        def _device_samples(full_alms, R, batch):
+            idx = jnp.asarray(np.asarray(batch, np.int32) - 1)
+            stacks = {
+                key: _assemble(full_alms[key].array, R[key], idx)
+                for key in full_alms
+            }
+            md = {key: full_alms[key].metadata for key in full_alms}
+            return angular_power_spectra_sample_stacks(
+                stacks, md, len(batch), mesh=mesh
+            )
+
     for start in range(0, len(pending), max(1, sample_batch)):
         batch = pending[start : start + max(1, sample_batch)]
         with progress.task(f"Cls {batch[0]}..{batch[-1]}"):
-            # linearity of the SHT: delete-k alms = full - sum of regions
-            data_samples = [
-                _subtract_alms(
-                    data_alms_full,
-                    _accumulate_alms(
-                        _load_alms("data", r) for r in regions
-                    ),
-                )
-                for regions in batch
-            ]
-            cls_samples = angular_power_spectra_samples(
-                data_samples, mesh=mesh
-            )
-            if mask_correction == "Full":
-                vis_samples = [
+            if device_mode:
+                cls_samples = _device_samples(data_alms_full, R_data, batch)
+                if mask_correction == "Full":
+                    mm_samples = _device_samples(vis_alms_full, R_vis,
+                                                 batch)
+            else:
+                # linearity of the SHT: delete-k = full - sum of regions
+                data_samples = [
                     _subtract_alms(
-                        vis_alms_full,
+                        data_alms_full,
                         _accumulate_alms(
-                            _load_alms("vis", r) for r in regions
+                            _load_alms("data", r) for r in regions
                         ),
                     )
                     for regions in batch
                 ]
-                mm_samples = angular_power_spectra_samples(
-                    vis_samples, mesh=mesh
+                cls_samples = angular_power_spectra_samples(
+                    data_samples, mesh=mesh
                 )
+                if mask_correction == "Full":
+                    vis_samples = [
+                        _subtract_alms(
+                            vis_alms_full,
+                            _accumulate_alms(
+                                _load_alms("vis", r) for r in regions
+                            ),
+                        )
+                        for regions in batch
+                    ]
+                    mm_samples = angular_power_spectra_samples(
+                        vis_samples, mesh=mesh
+                    )
             for i, regions in enumerate(batch):
                 cls_jk = correct_bias(cls_samples[i], jk_map, fields, *regions)
                 if mask_correction == "Full":

@@ -236,6 +236,43 @@ class HealpixMapper:
                                    iterations=self._iterations)
         return self._finish_alm(alm, md, spin)
 
+    def transform_resident(self, data, spin=0, *, metadata=None):
+        """Analysis with device-resident output, regardless of the
+        mapper's ``device_maps`` setting.
+
+        Returns a :class:`DeviceMap` of packed alms that never crosses
+        the host boundary (the DICES device cache keeps all region alms
+        in HBM and assembles delete-k samples on the device).
+        """
+        from .devicemap import DeviceMap
+
+        if isinstance(data, DeviceMap):
+            md = {**data.metadata, **(metadata or {})}
+            arr = data.array
+        elif isinstance(data, jax.Array):
+            md = dict(metadata or {})
+            arr = data
+        else:
+            md = dict(getattr(data.dtype, "metadata", None) or {})
+            md.update(metadata or {})
+            arr = jnp.asarray(np.asarray(data))
+        chirps = sht._host_chirps(
+            arr.shape[-1], self._lmax, None, arr.dtype, from_npix=True
+        )
+        synth_chirps = (
+            sht._host_chirps(arr.shape[-1], self._lmax, None, arr.dtype,
+                             from_npix=True, kind="synthesis")
+            if self._iterations else None
+        )
+        alm = sht.map2alm_jit(
+            arr, lmax=self._lmax, spin=spin, weights="ring",
+            fft_chirps=chirps, fft_chirps_synth=synth_chirps,
+            dd=self._dd, iterations=self._iterations,
+        )
+        if self._deconv:
+            alm = alm * self._fl_packed_dev(spin, alm.real.dtype)
+        return DeviceMap(alm, metadata={**md, "deconv": self._deconv})
+
     def transform_async(self, data, spin=0, *, metadata=None):
         """Dispatch the analysis and start an async alm readback.
 

@@ -60,6 +60,8 @@ __all__ = [
     "alm2cl",
     "alm2lmax",
     "angular_power_spectra",
+    "angular_power_spectra_samples",
+    "angular_power_spectra_sample_stacks",
     "debias_cls",
     "mixing_matrices",
     "invert_mixing_matrix",
@@ -345,15 +347,21 @@ def _cross_grids_samples(plan, nsamples, lmax, mesh=None):
     for arr in (a for _, a1, a2 in plan for a in (a1, a2)):
         if id(arr) in slot:
             continue
-        a = np.asanyarray(arr)
+        # device stacks stay device-resident: concatenation and chunk
+        # slicing below run as jnp ops, and the alms never cross the
+        # host boundary (the grids that come back are small and real)
+        a = arr if isinstance(arr, jax.Array) else np.asanyarray(arr)
         nlm = a.shape[-1]
         group = rows.setdefault(nlm, [])
         slot[id(arr)] = (nlm, sum(p.shape[1] for p in group), a.shape[1:-1])
         group.append(a.reshape(nsamples, -1, nlm))
-    stacks = {
-        nlm: np.ascontiguousarray(np.concatenate(group, axis=1))
-        for nlm, group in rows.items()
-    }
+
+    def cat(group):
+        if any(isinstance(p, jax.Array) for p in group):
+            return jnp.concatenate([jnp.asarray(p) for p in group], axis=1)
+        return np.ascontiguousarray(np.concatenate(group, axis=1))
+
+    stacks = {nlm: cat(group) for nlm, group in rows.items()}
     wanted = {(a1.shape[-1], a2.shape[-1]) for _, a1, a2 in plan}
     grids = {}
     for n1, n2 in wanted:
@@ -417,7 +425,8 @@ def _shard_sample_args(mesh, args):
     out = []
     for a in args:
         if pad:
-            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+            xp = jnp if isinstance(a, jax.Array) else np
+            a = xp.concatenate([a, xp.zeros((pad,) + a.shape[1:], a.dtype)])
         sh = NamedSharding(flat, PartitionSpec(*(("s",) + (None,) * (a.ndim - 1))))
         out.append(jax.device_put(a, sh))
     return tuple(out), S
@@ -609,6 +618,20 @@ def angular_power_spectra(
     return cls
 
 
+def _sample_pair_plan(keys, include, exclude):
+    """Canonical pair plan over a shared key structure (host pass)."""
+    twopoint_names = set()
+    plan_keys = []
+    for (k1, i1), (k2, i2) in combinations_with_replacement(keys, 2):
+        if (k1, k2) not in twopoint_names and (k2, k1) in twopoint_names:
+            k1, k2, i1, i2 = k2, k1, i2, i1
+        if not toc_match((k1, k2, i1, i2), include, exclude):
+            continue
+        plan_keys.append((k1, k2, i1, i2))
+        twopoint_names.add((k1, k2))
+    return plan_keys
+
+
 def angular_power_spectra_samples(
     alms_list,
     *,
@@ -630,34 +653,75 @@ def angular_power_spectra_samples(
     biggest DICES win).  Returns a list of cls dicts, one per input,
     identical to mapping :func:`angular_power_spectra` over the list.
 
+    Values may be host arrays (dtype metadata carries the science
+    metadata) or device-resident ``DeviceMap`` alms — device values are
+    stacked with jnp and never cross the host boundary.
+
     ``mesh``: optional device mesh; samples then shard across devices.
     """
+    from .devicemap import DeviceMap
+
     if not alms_list:
         return []
     nsamples = len(alms_list)
     base = alms_list[0]
 
-    # pass 1 (host): canonical pair plan on the shared key structure
-    twopoint_names = set()
-    plan_keys = []
-    for (k1, i1), (k2, i2) in combinations_with_replacement(base, 2):
-        if (k1, k2) not in twopoint_names and (k2, k1) in twopoint_names:
-            k1, k2, i1, i2 = k2, k1, i2, i1
-        if not toc_match((k1, k2, i1, i2), include, exclude):
-            continue
-        plan_keys.append((k1, k2, i1, i2))
-        twopoint_names.add((k1, k2))
+    plan_keys = _sample_pair_plan(base, include, exclude)
 
-    # stack each needed key's alms over samples
-    stacked = {}
+    # stack each needed key's alms over samples (device-aware)
+    stacks = {}
+    metadata = {}
     for k1, k2, i1, i2 in plan_keys:
         for k, i in ((k1, i1), (k2, i2)):
-            if (k, i) not in stacked:
-                stacked[k, i] = np.stack(
-                    [np.asanyarray(al[k, i]) for al in alms_list]
-                )
+            if (k, i) in stacks:
+                continue
+            vals = [al[k, i] for al in alms_list]
+            arrs = [v.array if isinstance(v, DeviceMap) else v
+                    for v in vals]
+            if any(isinstance(a, jax.Array) for a in arrs):
+                stacks[k, i] = jnp.stack([jnp.asarray(a) for a in arrs])
+            else:
+                stacks[k, i] = np.stack([np.asanyarray(a) for a in arrs])
+            v0 = vals[0]
+            metadata[k, i] = (
+                v0.metadata if isinstance(v0, DeviceMap)
+                else dict(getattr(v0.dtype, "metadata", None) or {})
+            )
+    return angular_power_spectra_sample_stacks(
+        stacks, metadata, nsamples, lmax=lmax, debias=debias, bins=bins,
+        weights=weights, mesh=mesh, plan_keys=plan_keys,
+    )
+
+
+def angular_power_spectra_sample_stacks(
+    stacks,
+    metadata,
+    nsamples,
+    *,
+    lmax=None,
+    debias=True,
+    bins=None,
+    weights=None,
+    include=None,
+    exclude=None,
+    mesh=None,
+    plan_keys=None,
+):
+    """Sample spectra from pre-stacked alms (the device-resident core).
+
+    ``stacks``: {(name, bin): (nsamples, ..., nlm) array} — host numpy
+    or device jax (a device stack's pair grids compute without the alms
+    ever crossing the host boundary; the DICES device cache feeds the
+    delete-k stacks it assembles on the device straight through here).
+    ``metadata``: {(name, bin): dict} science metadata per key (shared
+    by all samples — sample-specific bias corrections are applied
+    downstream, as in the jackknife flow).
+    """
+    if plan_keys is None:
+        plan_keys = _sample_pair_plan(list(stacks), include, exclude)
+
     plan = [
-        ((k1, k2, i1, i2), stacked[k1, i1], stacked[k2, i2])
+        ((k1, k2, i1, i2), stacks[k1, i1], stacks[k2, i2])
         for k1, k2, i1, i2 in plan_keys
     ]
 
@@ -665,7 +729,7 @@ def angular_power_spectra_samples(
     grids, slot = _cross_grids_samples(plan, nsamples, lmax, mesh)
 
     # pass 3 (host): per-sample metadata, bias, Result assembly
-    outs = [TocDict() for _ in alms_list]
+    outs = [TocDict() for _ in range(nsamples)]
     for (k1, k2, i1, i2), a1, a2 in plan:
         n1, row, shape1 = slot[id(a1)]
         n2, col, shape2 = slot[id(a2)]
@@ -674,10 +738,10 @@ def angular_power_spectra_samples(
         nc2 = int(np.prod(shape2, dtype=int))
         block = g[:, row : row + nc1, col : col + nc2]
         block = block.reshape((nsamples,) + shape1 + shape2 + (g.shape[-1],))
-        for s, alms in enumerate(alms_list):
+        for s in range(nsamples):
             cl = np.array(block[s])
-            md1 = alms[k1, i1].dtype.metadata or {}
-            md2 = alms[k2, i2].dtype.metadata or {}
+            md1 = metadata[k1, i1] or {}
+            md2 = metadata[k2, i2] or {}
             s1, s2 = md1.get("spin"), md2.get("spin")
             if s1 is None or s2 is None:
                 raise ValueError(f"missing spin metadata for {k1} or {k2}")

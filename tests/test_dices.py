@@ -303,3 +303,78 @@ def test_in_memory_mode_requires_cache_for_cls():
         dices.jackknife.compute_jk_cls_from_alms(
             jk, {}, nd=1, dir=None, alms_cache={}
         )
+
+
+def test_device_cache_mode_matches_file_mode(setup, tmp_path):
+    """device_cache=True (alms resident, device delete-k assembly) must
+    reproduce the file-cached spectra."""
+    fields, data_maps, vis_maps, jk = setup
+    d = str(tmp_path / "files")
+    with_files = dices.jackknife_cls(data_maps, vis_maps, jk, fields,
+                                     nd=1, dir=d)
+    cache = dices.jackknife.compute_jk_alms(
+        data_maps, vis_maps, jk, fields, dir=None, device_cache=True,
+        region_batch=2,
+    )
+    from heracles_tpu.devicemap import DeviceMap
+
+    assert all(
+        isinstance(v, DeviceMap)
+        for alms in cache.values() for v in alms.values()
+    )
+    resident = dices.jackknife.compute_jk_cls_from_alms(
+        jk, fields, nd=1, dir=None, alms_cache=cache
+    )
+    assert set(resident) == set(with_files)
+    for regions in with_files:
+        for key in with_files[regions]:
+            np.testing.assert_allclose(
+                np.asarray(resident[regions][key]),
+                np.asarray(with_files[regions][key]),
+                rtol=1e-10, atol=1e-12,
+            )
+
+
+def test_device_cache_validation():
+    """device_cache=True with a cache dir must raise (no FITS in the
+    device mode), and auto mode must respect the HBM budget."""
+    import pytest as _pytest
+
+    import heracles_tpu as h
+    from heracles_tpu.core import update_metadata
+    from heracles_tpu import healpix as hpx
+
+    npix = hpx.nside2npix(4)
+    mapper = h.HealpixMapper(4, 4, deconvolve=False)
+    fields = {"POS": h.Positions(mapper, "RA", "DEC", mask="VIS"),
+              "VIS": h.Visibility(mapper)}
+    m = mapper.create(spin=0)
+    m[:] = 1.0
+    update_metadata(m, fsky=1.0, musq=1.0, dens=1.0)
+    v = mapper.create(spin=0)
+    v[:] = 1.0
+    update_metadata(v, fsky=1.0)
+    jk = np.zeros(npix)
+    jk[: npix // 2] = 1
+    jk[npix // 2 :] = 2
+    with _pytest.raises(ValueError):
+        dices.jackknife.compute_jk_alms(
+            {("POS", 0): m}, {("VIS", 0): v}, jk, fields,
+            dir="/tmp/x", device_cache=True,
+        )
+    # zero budget forces the host cache even with dir=None
+    import os as _os
+
+    _os.environ["HERACLES_TPU_DICES_DEVICE_BYTES"] = "0"
+    try:
+        cache = dices.jackknife.compute_jk_alms(
+            {("POS", 0): m}, {("VIS", 0): v}, jk, fields, dir=None,
+        )
+    finally:
+        del _os.environ["HERACLES_TPU_DICES_DEVICE_BYTES"]
+    from heracles_tpu.devicemap import DeviceMap
+
+    assert not any(
+        isinstance(a, DeviceMap)
+        for alms in cache.values() for a in alms.values()
+    )
