@@ -204,13 +204,29 @@ def _use_dd():
     of the plain kernel (tools/recurrence_error_model.py) — at ~1.5x
     the plain cost and ~10x lower top-band error.
 
-    Unset/0: the plain f32 recurrence (~2-3e-5 band-max Cl at
-    l >~ 0.9*lmax, measured on TPU at nside 512/2048/4096).
+    0/"plain": the plain f32 recurrence (~2-3e-5 band-max Cl at
+    l >~ 0.9*lmax, measured on TPU at nside 512/2048/4096).  Unset:
+    ``_DD_DEFAULT`` (the project default; the plan of record is "comp"
+    once the on-hardware accuracy/cost bars are met — round-4 verdict
+    item 3).
     """
     flag = os.environ.get("HERACLES_TPU_SHT_DD", "").strip().lower()
     if flag in ("comp", "accum"):
         return "comp"
-    return flag in ("1", "true", "yes", "on")
+    if flag in ("1", "true", "yes", "on"):
+        return True
+    if flag in ("0", "false", "no", "off", "none", "plain"):
+        return False
+    if flag:
+        raise ValueError(
+            f"HERACLES_TPU_SHT_DD={flag!r}: expected 0/1/plain/comp"
+        )
+    return _DD_DEFAULT
+
+
+# flipped to "comp" when tools/accuracy_sweep.json + r5_hw_check.json
+# confirm <= 1e-5 every band at <= 2x plain cost on hardware
+_DD_DEFAULT = False
 
 
 @functools.lru_cache(maxsize=32)
