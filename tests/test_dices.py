@@ -307,8 +307,18 @@ def test_in_memory_mode_requires_cache_for_cls():
 
 def test_device_cache_mode_matches_file_mode(setup, tmp_path):
     """device_cache=True (alms resident, device delete-k assembly) must
-    reproduce the file-cached spectra."""
+    reproduce the file-cached spectra — incl. a spin-2 field (the
+    (B, 2, nlm) stack shape)."""
+    rng = np.random.default_rng(5)
     fields, data_maps, vis_maps, jk = setup
+    mapper = fields["POS"].mapper_or_error
+    fields = dict(fields)
+    fields["SHE"] = h.Spin2Field(mapper, "RA", "DEC", "G1", "G2",
+                                 mask="VIS")
+    she = mapper.create(2, spin=2)
+    she[:] = rng.normal(size=she.shape)
+    update_metadata(she, fsky=1.0, musq=1.0, dens=50.0)
+    data_maps = {**data_maps, ("SHE", 0): she}
     d = str(tmp_path / "files")
     with_files = dices.jackknife_cls(data_maps, vis_maps, jk, fields,
                                      nd=1, dir=d)
