@@ -388,3 +388,24 @@ def test_device_cache_validation():
         isinstance(a, DeviceMap)
         for alms in cache.values() for a in alms.values()
     )
+
+
+def test_device_cache_full_correction_matches_file_mode(setup, tmp_path):
+    """mask_correction="Full" through the device-resident path."""
+    fields, data_maps, vis_maps, jk = setup
+    d = str(tmp_path / "files_full")
+    with_files = dices.jackknife_cls(
+        data_maps, vis_maps, jk, fields, nd=1, dir=d,
+        mask_correction="Full",
+    )
+    in_mem = dices.jackknife_cls(
+        data_maps, vis_maps, jk, fields, nd=1, dir=None,
+        mask_correction="Full",
+    )
+    for regions in with_files:
+        for key in with_files[regions]:
+            np.testing.assert_allclose(
+                np.asarray(in_mem[regions][key]),
+                np.asarray(with_files[regions][key]),
+                rtol=1e-10, atol=1e-12,
+            )
