@@ -24,6 +24,7 @@ layout so long covariance runs resume for free.
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 from copy import deepcopy
@@ -106,6 +107,22 @@ def jackknife_cls(
         mesh=mesh,
         alms_cache=alms_cache,
     )
+
+
+@functools.lru_cache(maxsize=1)
+def _assemble_deletek_jit():
+    import jax
+
+    @jax.jit
+    def assemble(full_a, R_a, idx):
+        # linearity of the SHT: delete-k alms = full - sum(regions)
+        return full_a[None] - R_a[idx].sum(axis=1)
+
+    return assemble
+
+
+def _assemble_deletek(full_a, R_a, idx):
+    return _assemble_deletek_jit()(full_a, R_a, idx)
 
 
 def _device_cache_budget():
@@ -520,7 +537,6 @@ def compute_jk_cls_from_alms(
         isinstance(v, DeviceMap) for v in data_alms_full.values()
     )
     if device_mode:
-        import jax
         import jax.numpy as jnp
 
         def region_stacks(name):
@@ -537,15 +553,10 @@ def compute_jk_cls_from_alms(
         R_vis = (region_stacks("vis")
                  if mask_correction == "Full" else None)
 
-        @jax.jit
-        def _assemble(full_a, R_a, idx):
-            # linearity of the SHT: delete-k alms = full - sum(regions)
-            return full_a[None] - R_a[idx].sum(axis=1)
-
         def _device_samples(full_alms, R, batch):
             idx = jnp.asarray(np.asarray(batch, np.int32) - 1)
             stacks = {
-                key: _assemble(full_alms[key].array, R[key], idx)
+                key: _assemble_deletek(full_alms[key].array, R[key], idx)
                 for key in full_alms
             }
             md = {key: full_alms[key].metadata for key in full_alms}
