@@ -393,7 +393,8 @@ def _analysis_rect(Fw, x, logch, logsh, lmax, mmax, ns, m_chunk,
     msign = jnp.where(jnp.arange(nm_pad) % 2 == 0, 1.0, -1.0)
     folded = [_fold_rings(f, nside) for f in Fw]
 
-    dd = dd and Fw[0].dtype == jnp.complex64
+    # note: not `dd and <check>` — that collapses "comp" to True
+    dd = dd if Fw[0].dtype == jnp.complex64 else False
 
     # TPU fast path: the fused Pallas kernel (spin 0, f32, any batch);
     # dd=True routes to the double-single high-accuracy kernel variant
@@ -550,7 +551,8 @@ def _synthesis_rect(alms, x, logch, logsh, lmax, ns, m_chunk, nside,
     nspin = len(ns)
     cross = nspin == 2
 
-    dd = dd and alms[0].dtype == jnp.complex64
+    # note: not `dd and <check>` — that collapses "comp" to True
+    dd = dd if alms[0].dtype == jnp.complex64 else False
 
     # TPU fast path: fused Pallas synthesis (spin 0, f32, any batch);
     # dd=True routes to the double-single high-accuracy kernel variant
