@@ -201,14 +201,17 @@ def _use_dd():
     ``dd="comp"`` (HERACLES_TPU_SHT_DD=comp, or the legacy alias
     "accum"): the plain recurrence plus a single correction stream for
     the f32 truncation of cos(theta) — the *dominant* systematic error
-    of the plain kernel (tools/recurrence_error_model.py) — at ~1.5x
-    the plain cost and ~10x lower top-band error.
+    of the plain kernel (tools/recurrence_error_model.py).  Measured on
+    TPU at n4096/l3000: 1.26x the plain end-to-end cost; top-band Cl
+    error 1.4e-5 at n2048 (plain 3.3e-5; at n512 comp sits at the f64
+    one-pass aliasing floor).  The residual is the hi-product rounding
+    random walk, which only the full-Dekker dd kernel removes.
 
     0/"plain": the plain f32 recurrence (~2-3e-5 band-max Cl at
     l >~ 0.9*lmax, measured on TPU at nside 512/2048/4096).  Unset:
-    ``_DD_DEFAULT`` (the project default; the plan of record is "comp"
-    once the on-hardware accuracy/cost bars are met — round-4 verdict
-    item 3).
+    ``_DD_DEFAULT`` — plain; comp missed the <= 1e-5-every-band bar at
+    n2048 that the round-4 verdict set for flipping the default
+    (STATUS.md "float32 error budget").
     """
     flag = os.environ.get("HERACLES_TPU_SHT_DD", "").strip().lower()
     if flag in ("comp", "accum"):
@@ -224,8 +227,9 @@ def _use_dd():
     return _DD_DEFAULT
 
 
-# flipped to "comp" when tools/accuracy_sweep.json + r5_hw_check.json
-# confirm <= 1e-5 every band at <= 2x plain cost on hardware
+# measured (tools/accuracy_sweep.json n2048 rows): comp one-pass lands
+# at 1.4e-5 top band — short of the <= 1e-5-every-band bar for a
+# default flip — so the default stays the plain recurrence
 _DD_DEFAULT = False
 
 
